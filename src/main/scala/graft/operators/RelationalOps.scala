@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational renderings of the reference's operator inventory
+  * (SURVEY.md §2) over the driver's TPC-H-ish tables.
+  *
+  * Each query here has a DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  * Determinism rules shared with the oracle:
+  *  - every aggregate over doubles is computed exactly by casting the
+  *    addend to DECIMAL first and casting the exact sum back to DOUBLE
+  *    (float summation order is engine-dependent; decimal is not);
+  *  - every result carries a total ORDER BY on a unique key set;
+  *  - aggregate/computed columns are aliased identically on both sides.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (region/nation/supplier) are joined with an
+  *    explicit `broadcast()` hint — no shuffle of the fact table;
+  *  - fact-fact joins (orders⋈lineitem) are plain equi-joins so Catalyst
+  *    picks shuffled hash/sort-merge with AQE skew splitting;
+  *  - filters/projections sit directly on the scan so they reach parquet
+  *    as PushedFilters/ReadSchema.
+  */
+object RelationalOps {
+
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** S1/P5 scan + predicate + projection; pushdown-friendly. */
+  def scanFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A1-A5 grouped aggregation (TPC-H Q1 shape); map-side partial agg. */
+  def aggGroup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J1 + top-k (TPC-H Q3 shape): filter is pushed below the join, the
+    * revenue expression is decimal-exact, LIMIT is a TakeOrdered. */
+  def joinTopK(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** O1/O2 global sort + limit → Spark TakeOrderedAndProject (no full
+    * sort materialization at scale). */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** O3 DISTINCT projection. */
+  def distinctProj(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_nationkey", "c_mktsegment")
+      .distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Window top-k per group (beyond-reference: Spark Window). */
+  def windowTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Running (prefix) sum per key — the relational rendering of
+    * per-key streaming state; decimal-exact. */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(s, d)
+      .withColumn("running",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select("event_id", "user_id", "running")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Semi join (EXISTS): customers with ≥1 order. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Anti join (NOT EXISTS): customers with no orders — the MERGE
+    * existence check of SURVEY J6/M3 is this exact shape. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Set op (UNION ALL) with tagged provenance. */
+  def unionAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        lit("customer").as("kind"))
+      .unionByName(Tables.supplier(s, d)
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          lit("supplier").as("kind")))
+      .orderBy("kind", "id")
+
+  /** 3-hop join chain region→nation→customer→orders (relational J5):
+    * both dimension hops broadcast, single shuffle for the final agg. */
+  def multiHopRevenue(s: SparkSession, d: String): DataFrame =
+    broadcast(Tables.region(s, d))
+      .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name")
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .orderBy("r_name")
+
+  /** A3/GA3 node degree: union both edge directions, groupBy count.
+    * Nation nodes, edges = customer-FROM_NATION + supplier-FROM_NATION. */
+  def degree(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("node_id"))
+      .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("node_id")))
+      .groupBy("node_id")
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("node_id")
+
+  /** J6 pairwise MATCH..MERGE rendering: same-label cross product with
+    * id(a) < id(b), counted per group. Self-join on the equi-key keeps
+    * it a hash join, not a cartesian. */
+  def pairwiseMerge(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.supplier(s, d).select(col("s_suppkey").as("a_key"),
+      col("s_nationkey").as("nationkey"))
+    val b = Tables.supplier(s, d).select(col("s_suppkey").as("b_key"),
+      col("s_nationkey").as("nationkey"))
+    a.join(b, Seq("nationkey"))
+      .filter(col("a_key") < col("b_key"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("nationkey")
+  }
+
+  /** J5 variable-length reachability rendering: distinct parts reachable
+    * in 2 hops from each customer (customer→order→lineitem→part). */
+  def varlenReach(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("c_custkey")
+
+  /** GROUP BY + HAVING. */
+  def aggHaving(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") > 5)
+      .orderBy("c_nationkey")
+
+  /** CASE-expression bucketing. */
+  def caseBucket(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("bucket",
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Event-time tumbling window aggregation (streaming-ish analog;
+    * identical batch semantics to a Structured Streaming window). */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("hour",
+        date_format(timestamp_micros(expr("ts_ns div 1000")),
+          "yyyy-MM-dd HH:00:00"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("cnt"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Global min/max/count/count-distinct stats in one pass. */
+  def globalStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+}

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate: run each
+oracle SQL in DuckDB over the sf parquet tables, load the Verify
+parquet dump, sort columns by name + rows, and compare values."""
+import sys, json, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        odf = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}"); fail += 1; continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    sdf = pd.concat([pd.read_parquet(f) for f in files])
+    # driver-style normalize: columns sorted by name, then row-sort
+    o = odf[sorted(odf.columns)].reset_index(drop=True)
+    s = sdf[sorted(sdf.columns)].reset_index(drop=True)
+    if list(o.columns) != list(s.columns):
+        print(f"FAIL {name}: columns {list(s.columns)} vs oracle {list(o.columns)}"); fail += 1; continue
+    o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    if len(o) != len(s):
+        print(f"FAIL {name}: rows {len(s)} vs oracle {len(o)}"); fail += 1; continue
+    try:
+        pd.testing.assert_frame_equal(o, s, check_dtype=False, check_exact=True)
+        print(f"OK   {name}: {len(s)} rows"); ok += 1
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch: {str(e)[:400]}"); fail += 1
+print(f"\n{ok} ok, {fail} fail, {len([q for q in glob.glob(outdir+'/q*') ])} spark outputs total")

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Run a graft main class against the compiled sbt output without sbt
+# startup overhead: tools/run.sh graft.Verify <args...>
+set -e
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADDOPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
+  "$@"
