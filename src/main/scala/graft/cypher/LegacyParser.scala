@@ -1,0 +1,206 @@
+package graft.cypher
+
+import Ast._
+import Ast.LegacyCmd._
+import Ast.LegacyCond._
+
+/** Parser for the legacy command dialect
+  * (query_interface.rs:256-352, 530-660) and the legacy pairwise
+  * MATCH..MERGE statement (query_interface.rs:368-528). String-level
+  * parsing mirrors the reference's tolerance (UUID literals, bare
+  * labels, quoted prop values).
+  */
+object LegacyParser {
+  import Parser.ParseException
+
+  /** `{k:"v", k2:'w'}` → map; returns (map, restAfter). */
+  def parseProps(s: String): (Map[String, String], String) = {
+    val t = s.trim
+    if (!t.startsWith("{")) return (Map.empty, t)
+    var i = 1
+    val m = Map.newBuilder[String, String]
+    while (i < t.length && t(i) != '}') {
+      while (i < t.length && (t(i).isWhitespace || t(i) == ',')) i += 1
+      if (i < t.length && t(i) == '}') ()
+      else {
+        val keyStart = i
+        while (i < t.length && t(i) != ':') i += 1
+        if (i >= t.length) throw ParseException(s"bad props map: $s")
+        val key = t.substring(keyStart, i).trim
+        i += 1
+        while (i < t.length && t(i).isWhitespace) i += 1
+        val value =
+          if (i < t.length && (t(i) == '"' || t(i) == '\'')) {
+            val q = t(i); i += 1
+            val st = i
+            while (i < t.length && t(i) != q) i += 1
+            if (i >= t.length) throw ParseException(s"unterminated string in props: $s")
+            val v = t.substring(st, i); i += 1
+            v
+          } else {
+            val st = i
+            while (i < t.length && t(i) != ',' && t(i) != '}') i += 1
+            t.substring(st, i).trim
+          }
+        if (key.nonEmpty) m += key -> value
+      }
+    }
+    if (i >= t.length) throw ParseException(s"unterminated props map: $s")
+    (m.result(), t.substring(i + 1).trim)
+  }
+
+  private val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+  def requireUuid(s: String): String = {
+    if (uuidRe.findFirstIn(s.trim).isEmpty)
+      throw ParseException(s"invalid uuid: ${s.trim}")
+    s.trim.toLowerCase
+  }
+
+  /** Legacy WHERE: AND-separated conditions (query_interface.rs:256-352). */
+  def parseWhere(s: String): Seq[LegacyCond] =
+    s.split("(?i)\\bAND\\b").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
+      val u = c.toUpperCase
+      if (u.startsWith("ID=")) IdEq(requireUuid(c.substring(3)))
+      else if (u.startsWith("LABEL=")) LabelEq(c.substring(6).trim)
+      else if (u.startsWith("FROM=")) FromEq(requireUuid(c.substring(5)))
+      else if (u.startsWith("TO=")) ToEq(requireUuid(c.substring(3)))
+      else if (u.startsWith("HAS(") && c.endsWith(")")) HasKey(c.substring(4, c.length - 1).trim)
+      else if (c.contains("!=")) {
+        val i = c.indexOf("!=")
+        KeyNe(c.substring(0, i).trim, unquote(c.substring(i + 2).trim))
+      } else if (c.contains("=")) {
+        val i = c.indexOf("=")
+        KeyEq(c.substring(0, i).trim, unquote(c.substring(i + 1).trim))
+      } else throw ParseException(s"unsupported WHERE condition: $c")
+    }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def splitWhere(s: String): (String, Option[String]) = {
+    val i = s.toUpperCase.indexOf(" WHERE ")
+    if (i < 0) (s.trim, None)
+    else (s.substring(0, i).trim, Some(s.substring(i + 7).trim))
+  }
+
+  /** `Label {props}` (CREATE NODE / MATCH NODE bodies). */
+  private def labelAndProps(rest: String): (String, Map[String, String], Seq[LegacyCond]) = {
+    val (head, whereOpt) = splitWhere(rest)
+    val t = head.trim
+    val brace = t.indexOf('{')
+    val (label, propsStr) =
+      if (brace >= 0) (t.substring(0, brace).trim, t.substring(brace))
+      else (t, "")
+    val props = if (propsStr.nonEmpty) parseProps(propsStr)._1 else Map.empty[String, String]
+    (label, props, whereOpt.map(parseWhere).getOrElse(Seq.empty))
+  }
+
+  def parse(stmt: String): LegacyCmd = {
+    val s = stmt.trim
+    val u = s.toUpperCase
+    if (u.startsWith("CREATE NODE ")) {
+      val (label, props, _) = labelAndProps(s.substring(12))
+      if (label.isEmpty) throw ParseException("CREATE NODE requires a label")
+      CreateNode(label, props)
+    } else if (u.startsWith("CREATE REL ")) {
+      // from=<uuid> to=<uuid> label=L {props}
+      val rest = s.substring(11).trim
+      val brace = rest.indexOf('{')
+      val head = if (brace >= 0) rest.substring(0, brace) else rest
+      val props = if (brace >= 0) parseProps(rest.substring(brace))._1 else Map.empty[String, String]
+      var from = ""; var to = ""; var label = ""
+      head.split("\\s+").foreach { tok =>
+        val tu = tok.toUpperCase
+        if (tu.startsWith("FROM=")) from = requireUuid(tok.substring(5))
+        else if (tu.startsWith("TO=")) to = requireUuid(tok.substring(3))
+        else if (tu.startsWith("LABEL=")) label = tok.substring(6)
+      }
+      if (from.isEmpty || to.isEmpty || label.isEmpty)
+        throw ParseException("CREATE REL requires from=, to=, label=")
+      CreateRel(from, to, label, props)
+    } else if (u.startsWith("MATCH NODE")) {
+      val (label, props, where) = labelAndProps(s.substring(10))
+      MatchNode(if (label.isEmpty) None else Some(label), props, where)
+    } else if (u.startsWith("MATCH REL")) {
+      val (label, props, where) = labelAndProps(s.substring(9))
+      MatchRel(if (label.isEmpty) None else Some(label), props, where)
+    } else if (u.startsWith("DELETE NODE ")) {
+      DeleteNode(requireUuid(s.substring(12)))
+    } else if (u.startsWith("DELETE REL ")) {
+      DeleteRel(requireUuid(s.substring(11)))
+    } else throw ParseException(s"unrecognized statement: $stmt")
+  }
+
+  /** Legacy pairwise `MATCH (a:L),(b:L) [WHERE id(a) op id(b)] MERGE
+    * (a)-[:T]->(b)` — faithful to query_interface.rs:372-528 including
+    * its restrictions (two labeled patterns, id() comparators only). */
+  def parsePairwiseMerge(stmt: String): PairwiseMerge = {
+    val up = stmt.toUpperCase
+    val matchPos = up.indexOf("MATCH ")
+    if (matchPos < 0) throw ParseException("invalid MATCH/MERGE statement")
+    val mergePos = up.lastIndexOf(" MERGE ")
+    if (mergePos < 0 || mergePos <= matchPos) throw ParseException("MATCH ... MERGE ... required")
+    val matchPart = stmt.substring(matchPos + 6, mergePos).trim
+    val mergePart = stmt.substring(mergePos + 7).trim
+
+    val (patternsPart, whereOpt) = splitWhere(matchPart)
+    val pats = patternsPart.split(",").map(_.trim).filter(_.nonEmpty)
+    if (pats.length != 2) throw ParseException("exactly two node patterns are supported")
+    def parseVarLabel(p: String): (String, String) = {
+      if (!p.startsWith("(") || !p.endsWith(")")) throw ParseException(s"invalid node pattern: $p")
+      val inside = p.substring(1, p.length - 1)
+      val col = inside.indexOf(':')
+      val (v, l) = if (col >= 0) (inside.substring(0, col).trim, inside.substring(col + 1).trim)
+        else (inside.trim, "")
+      if (v.isEmpty) throw ParseException("variable name required in node pattern")
+      (v, l)
+    }
+    val (va, la) = parseVarLabel(pats(0))
+    val (vb, lb) = parseVarLabel(pats(1))
+    if (la.isEmpty || lb.isEmpty) throw ParseException("labels required in MATCH node patterns")
+
+    val idCmp = whereOpt.map { w =>
+      val wu = w.replace(" ", "")
+      val sym =
+        if (wu.contains("<=")) "<=" else if (wu.contains(">=")) ">="
+        else if (wu.contains("<>")) "<>" else if (wu.contains("<")) "<"
+        else if (wu.contains(">")) ">" else if (wu.contains("=")) "="
+        else throw ParseException("unsupported WHERE comparator; use <,>,<=,>=,=,<>")
+      val parts = wu.split(java.util.regex.Pattern.quote(sym))
+      if (parts.length != 2) throw ParseException("malformed WHERE clause")
+      def idVar(x: String): String = {
+        if (!x.toUpperCase.startsWith("ID(") || !x.endsWith(")"))
+          throw ParseException("WHERE must use id(var)")
+        val v = x.substring(3, x.length - 1)
+        if (v.isEmpty) throw ParseException("empty variable in id()")
+        v
+      }
+      (idVar(parts(0)), sym, idVar(parts(1)))
+    }
+
+    // MERGE pattern: (x)-[:TYPE]->(y)
+    val mp = mergePart
+    if (!mp.startsWith("(") || !mp.toUpperCase.contains(")-[:") ||
+        !mp.toUpperCase.contains("]->(") || !mp.endsWith(")"))
+      throw ParseException("unsupported MERGE pattern; expected (a)-[:TYPE]->(b)")
+    val leftEnd = mp.indexOf(')')
+    val leftVar = mp.substring(1, leftEnd).trim
+    val typeStart = mp.indexOf("[:", leftEnd) + 2
+    val typeEnd = mp.indexOf(']', typeStart)
+    val relType = mp.substring(typeStart, typeEnd).trim
+    val arrow = mp.indexOf("->(", typeEnd)
+    val rightVar = mp.substring(arrow + 3, mp.length - 1).trim
+    def known(v: String): Unit =
+      if (v != va && v != vb) throw ParseException(s"MERGE references unknown variable: $v")
+    known(leftVar); known(rightVar)
+    // validate direction mapping like the reference
+    if (!((leftVar == va && rightVar == vb) || (leftVar == vb && rightVar == va)))
+      throw ParseException("MERGE variable order does not match MATCH variables")
+
+    PairwiseMerge(va, la, vb, lb, idCmp, relType, leftVar, rightVar)
+  }
+}

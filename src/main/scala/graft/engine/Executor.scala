@@ -1,0 +1,706 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+import graft.core.{IdGen, PropertyGraph}
+import graft.cypher.Ast._
+import graft.cypher.Parser.ParseException
+
+/** Result-row union schema mirroring the reference DTO
+  * (api/server.rs:70-78, proto/graph_loom.proto:22-28). */
+case class ResultRow(kind: String, id: String, label: String,
+    src: String, dst: String, properties: Map[String, String], info: String)
+
+object ResultRow {
+  def node(id: String, label: String, props: Map[String, String]): ResultRow =
+    ResultRow("node", id, label, null, null, props, null)
+  def rel(id: String, src: String, dst: String, label: String,
+      props: Map[String, String]): ResultRow =
+    ResultRow("relationship", id, label, src, dst, props, null)
+  def info(s: String): ResultRow = ResultRow("info", null, null, null, null, null, s)
+}
+
+/** rows + counters + mutated flag (query_interface.rs:20-26). */
+case class QueryOutcome(rows: Seq[ResultRow], affectedNodes: Long,
+    affectedRels: Long, mutated: Boolean)
+
+/** Executes one parsed Cypher [[Statement]] against a [[PropertyGraph]].
+  *
+  * The binding table (reference: `Vec<HashMap<String,Val>>`,
+  * cypher_spec.rs:751-753) is a DataFrame with one STRING id column per
+  * bound variable; variable kinds (node vs relationship) are tracked
+  * driver-side since they are static per statement. MATCH = joins,
+  * WHERE = filters, mutations = anti-join/union set operations — every
+  * step distributed; the driver only sequences clauses (mirroring the
+  * reference's single engine thread, §3 of SURVEY.md).
+  */
+class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
+
+  sealed trait Kind
+  case object NodeKind extends Kind
+  case object RelKind extends Kind
+
+  private val kinds = mutable.Map.empty[String, Kind]
+  private val hidden = mutable.Set.empty[String]
+  private var anonCounter = 0
+  private def freshAnon(): String = { anonCounter += 1; s"__anon$anonCounter" }
+
+  private def resolve(v: PropValue): String = v match {
+    case PropValue.Lit(s) => s
+    case PropValue.Param(name) =>
+      params.getOrElse(name, throw ParseException(s"Missing parameter: $$$name"))
+  }
+
+  private def propsLit(props: Map[String, PropValue]): Column = {
+    val resolved = props.map { case (k, v) => k -> resolve(v) }
+    if (resolved.isEmpty) typedLit(Map.empty[String, String])
+    else map(resolved.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+  }
+
+  private def filterNodes(nodes: DataFrame, label: Option[String],
+      props: Map[String, PropValue]): DataFrame = {
+    val l = label.map(lb => nodes.filter(col("label") === lb)).getOrElse(nodes)
+    props.foldLeft(l) { case (d, (k, v)) =>
+      d.filter(col("properties")(k) === resolve(v))
+    }
+  }
+
+  private def filterEdges(edges: DataFrame, typ: Option[String],
+      props: Map[String, PropValue]): DataFrame = {
+    val l = typ.map(t => edges.filter(col("label") === t)).getOrElse(edges)
+    props.foldLeft(l) { case (d, (k, v)) =>
+      d.filter(col("properties")(k) === resolve(v))
+    }
+  }
+
+  // ---------------------------------------------------------------- MATCH
+
+  /** Expand the binding table over one path pattern. */
+  private def matchPath(g: PropertyGraph, binding: DataFrame, p: PathPattern): DataFrame = {
+    if (p.rels.isEmpty) matchNodeOnly(g, binding, p.nodes.head)
+    else {
+      var b = binding
+      for (i <- p.rels.indices) {
+        b = matchRelStep(g, b, p.nodes(i), p.rels(i), p.nodes(i + 1))
+      }
+      b
+    }
+  }
+
+  private def varName(np: NodePattern): String = np.variable.getOrElse {
+    val v = freshAnon(); hidden += v; v
+  }
+
+  private def matchNodeOnly(g: PropertyGraph, binding: DataFrame, np: NodePattern): DataFrame = {
+    np.variable match {
+      case Some(v) if kinds.contains(v) =>
+        // variable-binding consistency (J3): re-filter existing binding
+        val cand = filterNodes(g.nodes, np.label, np.props)
+          .select(col("id").as("__cand"))
+        binding.join(cand, col(v) === col("__cand")).drop("__cand")
+      case other =>
+        val v = other.getOrElse { val a = freshAnon(); hidden += a; a }
+        kinds(v) = NodeKind
+        val cand = filterNodes(g.nodes, np.label, np.props).select(col("id").as(v))
+        binding.crossJoin(cand)
+    }
+  }
+
+  /** One relationship hop: (npL)-[rp]->(npR) in either/both directions. */
+  private def matchRelStep(g: PropertyGraph, binding: DataFrame,
+      npL: NodePattern, rp: RelPattern, npR: NodePattern): DataFrame = {
+    rp.varLength match {
+      case Some((mn, mx)) => return matchVarLength(g, binding, npL, rp, npR, mn, mx)
+      case None =>
+    }
+    val lv = npL.variable.getOrElse { val a = freshAnon(); hidden += a; a }
+    val rv = npR.variable.getOrElse { val a = freshAnon(); hidden += a; a }
+    val relv = rp.variable.getOrElse { val a = freshAnon(); hidden += a; a }
+
+    val e0 = filterEdges(g.edges, rp.relType, rp.props)
+      .select(col("id").as("__rid"), col("src").as("__src"), col("dst").as("__dst"))
+    // orientations: (leftEndpointCol, rightEndpointCol)
+    val orients: Seq[DataFrame] = rp.direction match {
+      case Direction.Out  => Seq(e0.select(col("__rid"), col("__src").as("__l"), col("__dst").as("__r")))
+      case Direction.In   => Seq(e0.select(col("__rid"), col("__dst").as("__l"), col("__src").as("__r")))
+      case Direction.Both => Seq(
+        e0.select(col("__rid"), col("__src").as("__l"), col("__dst").as("__r")),
+        e0.select(col("__rid"), col("__dst").as("__l"), col("__src").as("__r")))
+    }
+
+    def expand(b: DataFrame, eo0: DataFrame): DataFrame = {
+      var eo = eo0
+      // endpoint label/prop constraints applied to the edge candidate set
+      if (npL.label.nonEmpty || npL.props.nonEmpty) {
+        val nl = filterNodes(g.nodes, npL.label, npL.props).select(col("id").as("__l"))
+        eo = eo.join(nl, "__l")
+      }
+      if (npR.label.nonEmpty || npR.props.nonEmpty) {
+        val nr = filterNodes(g.nodes, npR.label, npR.props).select(col("id").as("__r"))
+        eo = eo.join(nr, "__r")
+      }
+      val conds = mutable.Buffer.empty[Column]
+      if (kinds.contains(lv)) conds += col(lv) === col("__l")
+      if (kinds.contains(rv)) conds += col(rv) === col("__r")
+      if (kinds.contains(relv)) conds += col(relv) === col("__rid")
+      val joined =
+        if (conds.isEmpty) b.crossJoin(eo)
+        else b.join(eo, conds.reduce(_ && _))
+      var out = joined
+      if (!kinds.contains(lv)) out = out.withColumn(lv, col("__l"))
+      if (!kinds.contains(rv)) out = out.withColumn(rv, col("__r"))
+      if (!kinds.contains(relv)) out = out.withColumn(relv, col("__rid"))
+      out.drop("__rid", "__l", "__r")
+    }
+
+    val parts = orients.map(eo => expand(binding, eo))
+    val res = parts.reduce(_ unionByName _)
+    if (!kinds.contains(lv)) kinds(lv) = NodeKind
+    if (!kinds.contains(rv)) kinds(rv) = NodeKind
+    if (!kinds.contains(relv)) kinds(relv) = RelKind
+    res
+  }
+
+  /** Variable-length path (J5): BFS with min-depth-only semantics
+    * (cypher_spec.rs:790-883) — a target is matched at its minimum
+    * reachable depth only; hop cap 8; rel properties rejected; the rel
+    * variable is never bound. Iterative join loop with per-iteration
+    * localCheckpoint to cut lineage (SURVEY §4.3). */
+  private def matchVarLength(g: PropertyGraph, binding: DataFrame,
+      npL: NodePattern, rp: RelPattern, npR: NodePattern,
+      mn0: Int, mx0: Int): DataFrame = {
+    if (rp.props.nonEmpty)
+      throw ParseException("variable-length relationships with properties not supported yet")
+    val cap = 8
+    val mn = math.max(mn0, 1)
+    val mx = math.min(mx0, cap)
+    val lv = npL.variable.getOrElse { val a = freshAnon(); hidden += a; a }
+    val rv = npR.variable.getOrElse { val a = freshAnon(); hidden += a; a }
+
+    val e0 = filterEdges(g.edges, rp.relType, Map.empty)
+      .select(col("src").as("__es"), col("dst").as("__ed"))
+    val eAll = rp.direction match {
+      case Direction.Out  => e0
+      case Direction.In   => e0.select(col("__ed").as("__es"), col("__es").as("__ed"))
+      case Direction.Both => e0.unionByName(
+        e0.select(col("__ed").as("__es"), col("__es").as("__ed")))
+    }
+
+    // param props in var-length endpoints are NOT resolved (reference
+    // falls back to exact-string matching of the raw "$name" text,
+    // cypher_spec.rs:806-810)
+    def filterNodesRaw(label: Option[String], props: Map[String, PropValue]): DataFrame = {
+      val l = label.map(lb => g.nodes.filter(col("label") === lb)).getOrElse(g.nodes)
+      props.foldLeft(l) { case (d, (k, v)) =>
+        val raw = v match {
+          case PropValue.Lit(s) => s
+          case PropValue.Param(name) => "$" + name
+        }
+        d.filter(col("properties")(k) === raw)
+      }
+    }
+
+    val sources: DataFrame =
+      (if (kinds.contains(lv)) binding.select(col(lv).as("__s")).distinct()
+       else filterNodesRaw(npL.label, npL.props).select(col("id").as("__s")))
+        .localCheckpoint(true)
+
+    var frontier = sources.select(col("__s"), col("__s").as("__c"))
+    var visited = frontier
+    var results: DataFrame = null
+    var depth = 0
+    while (depth < mx) {
+      depth += 1
+      frontier = frontier.join(eAll, col("__c") === col("__es"))
+        .select(col("__s"), col("__ed").as("__c"))
+        .distinct()
+        .join(visited, Seq("__s", "__c"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+      if (depth >= mn) {
+        results = if (results == null) frontier else results.unionByName(frontier)
+      }
+    }
+    if (results == null) results = frontier.limit(0)
+    // right endpoint constraints
+    var pairs = results.select(col("__s").as("__l"), col("__c").as("__r")).distinct()
+    if (npR.label.nonEmpty || npR.props.nonEmpty) {
+      val nr = filterNodesRaw(npR.label, npR.props).select(col("id").as("__r"))
+      pairs = pairs.join(nr, "__r")
+    }
+    val conds = mutable.Buffer.empty[Column]
+    if (kinds.contains(lv)) conds += col(lv) === col("__l")
+    if (kinds.contains(rv)) conds += col(rv) === col("__r")
+    val joined =
+      if (conds.isEmpty) binding.crossJoin(pairs)
+      else binding.join(pairs, conds.reduce(_ && _))
+    var out = joined
+    if (!kinds.contains(lv)) out = out.withColumn(lv, col("__l"))
+    if (!kinds.contains(rv)) out = out.withColumn(rv, col("__r"))
+    out = out.drop("__l", "__r")
+    if (!kinds.contains(lv)) kinds(lv) = NodeKind
+    if (!kinds.contains(rv)) kinds(rv) = NodeKind
+    out
+  }
+
+  // ---------------------------------------------------------------- WHERE
+
+  /** Attach `<v>__props` helper column via left join (node vars only). */
+  private def withProps(g: PropertyGraph, b: DataFrame, v: String): DataFrame = {
+    if (b.columns.contains(s"${v}__props")) b
+    else b.join(
+      g.nodes.select(col("id").as(s"${v}__pid"), col("properties").as(s"${v}__props")),
+      col(v) === col(s"${v}__pid"), "left").drop(s"${v}__pid")
+  }
+
+  private def strCmp(l: Column, r: Column, op: String): Column = op match {
+    case "<" => l < r; case "<=" => l <= r; case ">" => l > r
+    case ">=" => l >= r; case "=" => l === r; case "<>" => l =!= r
+  }
+
+  // ------------------------------------------------------------- execute
+
+  /** Run the statement; returns (result rows, updated graph). */
+  def run(g0: PropertyGraph, stmt: Statement): (Seq[ResultRow], PropertyGraph) = {
+    var g = g0
+    var binding: DataFrame = spark.range(1).select(lit(0).as("__seed"))
+    val statementMs = System.currentTimeMillis()
+
+    def visibleVars: Seq[String] = kinds.keys.filterNot(hidden.contains).toSeq.sorted
+
+    for (clause <- stmt.clauses) clause match {
+      case Clause.Match(paths, _optional) =>
+        // OPTIONAL MATCH is parsed but behaves as MATCH (T7,
+        // cypher_spec.rs:338-339 — the optional flag is never read)
+        paths.foreach { p => binding = matchPath(g, binding, p) }
+
+      case Clause.Where(conds) =>
+        binding = applyWhere(g, binding, conds)
+
+      case Clause.With(items, _distinct, orderBy, skip, limit) =>
+        // projects to the listed *variables* only; prop/id items dropped
+        // (O4, cypher_spec.rs:1181-1186); WITH DISTINCT parsed+ignored
+        val keep = items.collect { case Expr.Var(v) if kinds.contains(v) => v }
+        val (sorted, _) = applyOrder(g, binding, orderBy)
+        var b = sorted.select(keep.map(col) :+ lit(0).as("__seed"): _*)
+        skip.foreach(n => b = b.offset(n))
+        limit.foreach(n => b = b.limit(n))
+        val keepSet = keep.toSet
+        kinds.keys.toSeq.foreach { v => if (!keepSet.contains(v)) kinds.remove(v) }
+        binding = b
+
+      case Clause.Create(paths) =>
+        val (b2, g2) = execCreate(g, binding, paths, statementMs)
+        binding = b2; g = g2
+
+      case Clause.Merge(path) =>
+        val (b2, g2) = execMerge(g, binding, path, statementMs)
+        binding = b2; g = g2
+
+      case Clause.SetProp(v, key, value) =>
+        g = execSetProp(g, binding, v, key, resolve(value))
+
+      case Clause.SetLabel(v, label) =>
+        g = execSetLabel(g, binding, v, label)
+
+      case Clause.RemoveProp(v, key) =>
+        g = execRemoveProp(g, binding, v, key)
+
+      case Clause.Delete(vars, detach) =>
+        g = execDelete(g, binding, vars, detach)
+
+      case Clause.Return(items, distinct, orderBy, skip, limit) =>
+        return (execReturn(g, binding, items, distinct, orderBy, skip, limit), g)
+    }
+
+    // implicit return: all bound visible vars of every row (T6,
+    // cypher_spec.rs:1520-1531), looked up against the CURRENT graph
+    val rows = mutable.Buffer.empty[ResultRow]
+    if (visibleVars.nonEmpty) {
+      val nodeVars = visibleVars.filter(v => kinds(v) == NodeKind)
+      val relVars = visibleVars.filter(v => kinds(v) == RelKind)
+      var b = binding
+      nodeVars.foreach { v =>
+        b = b.join(g.nodes.select(col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
+          col("properties").as(s"${v}__props")), col(v) === col(s"${v}__id"), "left")
+      }
+      relVars.foreach { v =>
+        b = b.join(g.edges.select(col("id").as(s"${v}__id"), col("src").as(s"${v}__src"),
+          col("dst").as(s"${v}__dst"), col("label").as(s"${v}__label"),
+          col("properties").as(s"${v}__props")), col(v) === col(s"${v}__id"), "left")
+      }
+      val collected = b.collect()
+      collected.foreach { row =>
+        visibleVars.foreach { v =>
+          if (row.getAs[String](s"${v}__id") != null) {
+            if (kinds(v) == NodeKind)
+              rows += ResultRow.node(row.getAs[String](s"${v}__id"),
+                row.getAs[String](s"${v}__label"),
+                Option(row.getAs[Map[String, String]](s"${v}__props")).getOrElse(Map.empty))
+            else
+              rows += ResultRow.rel(row.getAs[String](s"${v}__id"),
+                row.getAs[String](s"${v}__src"), row.getAs[String](s"${v}__dst"),
+                row.getAs[String](s"${v}__label"),
+                Option(row.getAs[Map[String, String]](s"${v}__props")).getOrElse(Map.empty))
+          }
+        }
+      }
+    }
+    (rows.toSeq, g)
+  }
+
+  /** WHERE: AND-conjunction filter over the binding table.
+    * Fidelity notes: rel-var property predicates drop the row (P10),
+    * missing props compare as "" (P11), unknown conditions are fail-open
+    * no-ops (P9), id() comparisons are string comparisons on canonical
+    * UUIDv7 ids == u128 order (P4). */
+  private def applyWhere(g: PropertyGraph, binding: DataFrame, conds: Seq[Cond]): DataFrame = {
+    var b = binding
+    var filter: Column = lit(true)
+
+    def nodePropLhs(v: String, key: String): Option[Column] = {
+      if (kinds.get(v).contains(RelKind) || !kinds.contains(v)) None
+      else {
+        b = withProps(g, b, v)
+        Some(coalesce(col(s"${v}__props")(key), lit("")))
+      }
+    }
+
+    conds.foreach {
+      case Cond.IdCmp(l, op, r) =>
+        if (!kinds.contains(l) || !kinds.contains(r))
+          throw ParseException("WHERE references unknown variable")
+        filter = filter && strCmp(col(l), col(r), op)
+      case Cond.PropCmp(v, key, op, value) =>
+        nodePropLhs(v, key) match {
+          case None => filter = filter && lit(false)
+          case Some(lhs) =>
+            val rhs = resolve(value)
+            scala.util.Try(rhs.toDouble).toOption match {
+              case Some(n) =>
+                val ln = lhs.try_cast("double")
+                val numC = strCmp(ln, lit(n), op)
+                filter = filter && when(ln.isNotNull, numC).otherwise(strCmp(lhs, lit(rhs), op))
+              case None => filter = filter && strCmp(lhs, lit(rhs), op)
+            }
+        }
+      case Cond.Contains(v, key, value) =>
+        filter = filter && nodePropLhs(v, key).map(_.contains(resolve(value))).getOrElse(lit(false))
+      case Cond.StartsWith(v, key, value) =>
+        filter = filter && nodePropLhs(v, key).map(_.startsWith(resolve(value))).getOrElse(lit(false))
+      case Cond.EndsWith(v, key, value) =>
+        filter = filter && nodePropLhs(v, key).map(_.endsWith(resolve(value))).getOrElse(lit(false))
+      case Cond.Unknown(_) => ()
+    }
+    b.filter(filter).drop(b.columns.filter(_.endsWith("__props")).toSeq: _*)
+  }
+
+  // ------------------------------------------------------------ mutations
+
+  private def execCreate(g0: PropertyGraph, binding0: DataFrame,
+      paths: Seq[PathPattern], statementMs: Long): (DataFrame, PropertyGraph) = {
+    var g = g0
+    var binding = binding0
+    paths.foreach { p =>
+      if (p.rels.isEmpty) {
+        // node pattern: ONE new node per statement evaluation, bound
+        // into all current rows (M1, cypher_spec.rs:1320-1330)
+        val np = p.nodes.head
+        val id = IdGen.next()
+        val label = np.label.getOrElse("_")
+        val props = np.props.map { case (k, v) => k -> resolve(v) }
+        val newNode = PropertyGraph.nodesDf(spark, Seq((id, label, props)))
+        g = PropertyGraph(g.nodes.unionByName(newNode), g.edges).materialized
+        np.variable.foreach { v =>
+          binding = binding.withColumn(v, lit(id))
+          kinds(v) = NodeKind
+        }
+      } else {
+        // path pattern: one edge per binding row; endpoints must be
+        // bound node vars, else rows are skipped (M2, cypher_spec.rs:1331-1348)
+        p.rels.indices.foreach { i =>
+          val (l, rel, r) = (p.nodes(i), p.rels(i), p.nodes(i + 1))
+          val lOk = l.variable.exists(kinds.contains)
+          val rOk = r.variable.exists(kinds.contains)
+          if (lOk && rOk) {
+            val lv = l.variable.get
+            val rv = r.variable.get
+            val typ = rel.relType.getOrElse("_")
+            val b2 = binding.withColumn("__newrel", IdGen.distributedExpr(statementMs))
+              .localCheckpoint(true)
+            val newEdges = b2.select(col("__newrel").as("id"), col(lv).as("src"),
+              col(rv).as("dst"), lit(typ).as("label"),
+              propsLit(rel.props).as("properties"))
+            g = PropertyGraph(g.nodes, g.edges.unionByName(newEdges)).materialized
+            binding = rel.variable match {
+              case Some(rvn) =>
+                kinds(rvn) = RelKind
+                b2.withColumnRenamed("__newrel", rvn)
+              case None => b2.drop("__newrel")
+            }
+          }
+          // else: rows unchanged (reference keeps rows when new_rows empty)
+        }
+      }
+    }
+    (binding, g)
+  }
+
+  private def execMerge(g0: PropertyGraph, binding: DataFrame,
+      path: PathPattern, statementMs: Long): (DataFrame, PropertyGraph) = {
+    if (path.rels.size != 1)
+      throw ParseException("MERGE currently supports only single relationship patterns")
+    val (l, rel, r) = (path.nodes.head, path.rels.head, path.nodes(1))
+    val lOk = l.variable.exists(kinds.contains)
+    val rOk = r.variable.exists(kinds.contains)
+    if (!lOk || !rOk) {
+      // reference: rows without both endpoints bound are dropped and
+      // rows := new_rows unconditionally (cypher_spec.rs:1384)
+      return (binding.limit(0), g0)
+    }
+    val lv = l.variable.get
+    val rv = r.variable.get
+    val typ = rel.relType.getOrElse("_")
+    val mergeProps = rel.props.map { case (k, v) => k -> resolve(v) }
+
+    // existing candidates: same (src,dst,label) and all MERGE props match
+    var cand = g0.edges.filter(col("label") === typ)
+    mergeProps.foreach { case (k, v) => cand = cand.filter(col("properties")(k) === v) }
+    val candDedup = cand.groupBy(col("src").as("__msrc"), col("dst").as("__mdst"))
+      .agg(min(col("id")).as("__mrid"))
+
+    val joined = binding.join(candDedup,
+      col(lv) === col("__msrc") && col(rv) === col("__mdst"), "left")
+      .drop("__msrc", "__mdst")
+      .withColumn("__newrid", IdGen.distributedExpr(statementMs))
+      .localCheckpoint(true)
+
+    val toCreate = joined.filter(col("__mrid").isNull)
+      .select(col(lv).as("src"), col(rv).as("dst"), col("__newrid"))
+      // duplicate (src,dst) rows merge to ONE created edge (the
+      // reference's per-row loop sees its own earlier insertions)
+      .groupBy("src", "dst").agg(min(col("__newrid")).as("id"))
+      .select(col("id"), col("src"), col("dst"), lit(typ).as("label"),
+        propsLit(rel.props).as("properties"))
+
+    val g = PropertyGraph(g0.nodes, g0.edges.unionByName(toCreate)).materialized
+
+    // bind rel var: existing rid or the created edge's id
+    val created = toCreate.select(col("src").as("__csrc"), col("dst").as("__cdst"),
+      col("id").as("__crid"))
+    var b2 = joined.join(created,
+      col(lv) === col("__csrc") && col(rv) === col("__cdst"), "left")
+      .withColumn("__rid", coalesce(col("__mrid"), col("__crid")))
+      .drop("__mrid", "__crid", "__csrc", "__cdst", "__newrid")
+    b2 = rel.variable match {
+      case Some(rvn) => kinds(rvn) = RelKind; b2.withColumnRenamed("__rid", rvn)
+      case None => b2.drop("__rid")
+    }
+    (b2.localCheckpoint(true), g)
+  }
+
+  private def boundIds(binding: DataFrame, v: String): DataFrame =
+    binding.select(col(v).as("__tid")).distinct()
+
+  private def execSetProp(g: PropertyGraph, binding: DataFrame, v: String,
+      key: String, value: String): PropertyGraph = {
+    if (!kinds.contains(v)) return g
+    val ids = boundIds(binding, v)
+    def upd(df: DataFrame): DataFrame =
+      df.join(ids, col("id") === col("__tid"), "left")
+        .withColumn("properties",
+          when(col("__tid").isNotNull,
+            map_concat(map_filter(col("properties"), (k, _) => k =!= key),
+              map(lit(key), lit(value))))
+            .otherwise(col("properties")))
+        .drop("__tid")
+    kinds(v) match {
+      case NodeKind => PropertyGraph(upd(g.nodes), g.edges).materialized
+      case RelKind  => PropertyGraph(g.nodes, upd(g.edges)).materialized
+    }
+  }
+
+  private def execSetLabel(g: PropertyGraph, binding: DataFrame, v: String,
+      label: String): PropertyGraph = {
+    if (!kinds.contains(v)) return g
+    val ids = boundIds(binding, v)
+    def upd(df: DataFrame): DataFrame =
+      df.join(ids, col("id") === col("__tid"), "left")
+        .withColumn("label", when(col("__tid").isNotNull, lit(label)).otherwise(col("label")))
+        .drop("__tid")
+    // SET n:Label REPLACES the label (M5, cypher_spec.rs:1262-1274)
+    kinds(v) match {
+      case NodeKind => PropertyGraph(upd(g.nodes), g.edges).materialized
+      case RelKind  => PropertyGraph(g.nodes, upd(g.edges)).materialized
+    }
+  }
+
+  private def execRemoveProp(g: PropertyGraph, binding: DataFrame, v: String,
+      key: String): PropertyGraph = {
+    if (!kinds.contains(v)) return g
+    val ids = boundIds(binding, v)
+    def upd(df: DataFrame): DataFrame =
+      df.join(ids, col("id") === col("__tid"), "left")
+        .withColumn("properties",
+          when(col("__tid").isNotNull, map_filter(col("properties"), (k, _) => k =!= key))
+            .otherwise(col("properties")))
+        .drop("__tid")
+    kinds(v) match {
+      case NodeKind => PropertyGraph(upd(g.nodes), g.edges).materialized
+      case RelKind  => PropertyGraph(g.nodes, upd(g.edges)).materialized
+    }
+  }
+
+  private def execDelete(g: PropertyGraph, binding: DataFrame, vars: Seq[String],
+      detach: Boolean): PropertyGraph = {
+    val relVars = vars.filter(v => kinds.get(v).contains(RelKind))
+    val nodeVars = vars.filter(v => kinds.get(v).contains(NodeKind))
+    val relIds =
+      if (relVars.isEmpty) null
+      else relVars.map(boundIds(binding, _)).reduce(_ unionByName _).distinct()
+        .localCheckpoint(true)
+    val nodeIds =
+      if (nodeVars.isEmpty) null
+      else nodeVars.map(boundIds(binding, _)).reduce(_ unionByName _).distinct()
+        .localCheckpoint(true)
+
+    if (!detach && nodeIds != null) {
+      // constraint check against the PRE-delete edge set
+      // (cypher_spec.rs:1234-1240)
+      val incident = g.edges.join(nodeIds,
+        col("src") === col("__tid") || col("dst") === col("__tid"), "left_semi")
+      if (incident.limit(1).count() > 0) {
+        val nid = g.edges.join(nodeIds,
+          col("src") === col("__tid") || col("dst") === col("__tid"))
+          .select("__tid").head().getString(0)
+        throw ParseException(
+          s"Cannot DELETE node $nid with existing relationships; use DETACH DELETE")
+      }
+    }
+
+    var edges = g.edges
+    if (relIds != null)
+      edges = edges.join(relIds, col("id") === col("__tid"), "left_anti")
+    if (nodeIds != null && detach) {
+      edges = edges.join(nodeIds, col("src") === col("__tid"), "left_anti")
+      edges = edges.join(nodeIds, col("dst") === col("__tid"), "left_anti")
+    }
+    var nodes = g.nodes
+    if (nodeIds != null)
+      nodes = nodes.join(nodeIds, col("id") === col("__tid"), "left_anti")
+    PropertyGraph(nodes, edges).materialized
+  }
+
+  // -------------------------------------------------------------- RETURN
+
+  private def applyOrder(g: PropertyGraph, binding0: DataFrame,
+      orderBy: Seq[OrderKey]): (DataFrame, Seq[String]) = {
+    if (orderBy.isEmpty) return (binding0, Seq.empty)
+    var b = binding0
+    val keyCols = mutable.Buffer.empty[String]
+    orderBy.zipWithIndex.foreach { case (OrderKey(e, _), i) =>
+      val kc = s"__ok$i"
+      e match {
+        case Expr.Var(v) if kinds.contains(v) => b = b.withColumn(kc, col(v))
+        case Expr.Id(v) if kinds.contains(v) => b = b.withColumn(kc, col(v))
+        case Expr.Prop(v, key) if kinds.get(v).contains(NodeKind) =>
+          b = withProps(g, b, v)
+          b = b.withColumn(kc, coalesce(col(s"${v}__props")(key), lit("")))
+        case Expr.StrLit(s) => b = b.withColumn(kc, lit(s))
+        case _ => b = b.withColumn(kc, lit(""))
+      }
+      keyCols += kc
+    }
+    // numeric-when-both-parse else string (O1, cypher_spec.rs:1478-1497):
+    // approximated with a (numeric, string) two-level key per ORDER key
+    val sortExprs = orderBy.zipWithIndex.flatMap { case (OrderKey(_, asc), i) =>
+      val num = col(s"__ok$i").try_cast("double")
+      val str = col(s"__ok$i")
+      if (asc) Seq(num.asc_nulls_last, str.asc) else Seq(num.desc_nulls_last, str.desc)
+    }
+    (b.orderBy(sortExprs: _*), keyCols.toSeq)
+  }
+
+  private def execReturn(g: PropertyGraph, binding0: DataFrame, items: Seq[Expr],
+      distinct: Boolean, orderBy: Seq[OrderKey], skip: Option[Int],
+      limit: Option[Int]): Seq[ResultRow] = {
+    val singleItem = items.size == 1
+    var b = binding0
+
+    // per-item projection columns (left joins; null = item yields nothing)
+    items.zipWithIndex.foreach { case (it, i) =>
+      it match {
+        case Expr.Var(v) if kinds.contains(v) =>
+          kinds(v) match {
+            case NodeKind =>
+              b = b.join(g.nodes.select(col("id").as(s"__it${i}_id"),
+                col("label").as(s"__it${i}_label"),
+                col("properties").as(s"__it${i}_props")),
+                col(v) === col(s"__it${i}_id"), "left")
+            case RelKind =>
+              b = b.join(g.edges.select(col("id").as(s"__it${i}_id"),
+                col("src").as(s"__it${i}_src"), col("dst").as(s"__it${i}_dst"),
+                col("label").as(s"__it${i}_label"),
+                col("properties").as(s"__it${i}_props")),
+                col(v) === col(s"__it${i}_id"), "left")
+          }
+        case Expr.Prop(v, key) if kinds.get(v).contains(NodeKind) =>
+          // node vars only; missing property → row dropped for this item
+          // (P2, cypher_spec.rs:1409-1419)
+          b = withProps(g, b, v)
+          b = b.withColumn(s"__it${i}_info", col(s"${v}__props")(key))
+        case Expr.Prop(_, _) =>
+          b = b.withColumn(s"__it${i}_info", lit(null).cast("string"))
+        case Expr.Id(v) if kinds.contains(v) =>
+          b = b.withColumn(s"__it${i}_info", col(v))
+        case Expr.Id(_) =>
+          b = b.withColumn(s"__it${i}_info", lit(null).cast("string"))
+        case Expr.StrLit(s) =>
+          b = b.withColumn(s"__it${i}_info", lit(s))
+        case Expr.Var(_) =>
+          b = b.withColumn(s"__it${i}_info", lit(null).cast("string"))
+      }
+    }
+
+    if (singleItem) {
+      // the single projected value drives DISTINCT / ORDER / SKIP / LIMIT
+      val valueCol: Column = items.head match {
+        case Expr.Var(v) if kinds.contains(v) => col("__it0_id")
+        case _ => col("__it0_info")
+      }
+      b = b.withColumn("__val", valueCol).filter(col("__val").isNotNull)
+      if (distinct) b = b.dropDuplicates("__val")
+      val (sorted, _) = applyOrder(g, b, orderBy)
+      b = sorted
+      skip.foreach(n => b = b.offset(n))
+      limit.foreach(n => b = b.limit(n))
+    }
+
+    val collected = b.collect()
+    val rows = mutable.Buffer.empty[ResultRow]
+    collected.foreach { row =>
+      items.zipWithIndex.foreach { case (it, i) =>
+        it match {
+          case Expr.Var(v) if kinds.contains(v) =>
+            if (row.getAs[String](s"__it${i}_id") != null) {
+              if (kinds(v) == NodeKind)
+                rows += ResultRow.node(row.getAs[String](s"__it${i}_id"),
+                  row.getAs[String](s"__it${i}_label"),
+                  Option(row.getAs[Map[String, String]](s"__it${i}_props")).getOrElse(Map.empty))
+              else
+                rows += ResultRow.rel(row.getAs[String](s"__it${i}_id"),
+                  row.getAs[String](s"__it${i}_src"), row.getAs[String](s"__it${i}_dst"),
+                  row.getAs[String](s"__it${i}_label"),
+                  Option(row.getAs[Map[String, String]](s"__it${i}_props")).getOrElse(Map.empty))
+            }
+          case _ =>
+            val s = row.getAs[String](s"__it${i}_info")
+            if (s != null) rows += ResultRow.info(s)
+        }
+      }
+    }
+    rows.toSeq
+  }
+}

@@ -1,0 +1,482 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{GraphSession, ResultRow}
+import graft.cypher.Parser.ParseException
+
+/** Port of the reference's full conformance suite
+  * (/root/reference/tests/unittests.rs, 23 tests) against the Spark
+  * engine. Test names match the reference test functions 1:1.
+  */
+class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def newSession(): GraphSession = new GraphSession(spark)
+
+  def idsFromRows(rows: Seq[ResultRow]): Seq[String] =
+    rows.filter(r => r.kind == "node" || r.kind == "relationship").map(_.id)
+
+  // ---- unittests.rs:23-59 ----
+  test("cypher_params_in_pattern_and_where") {
+    val s = newSession()
+    s.execute("CREATE (:Person {name: 'Neo'});")
+    s.execute("CREATE (:Movie {title: 'The Matrix', released: 1999});")
+    s.execute("CREATE (:Movie {title: 'The Matrix Reloaded', released: 2003});")
+
+    val rows = s.executeWithParams("MATCH (p:Person {name: $name}) RETURN p",
+      Map("name" -> "Neo"))
+    assert(rows.rows.length == 1)
+    val n = rows.rows.head
+    assert(n.kind == "node" && n.label == "Person" && n.properties("name") == "Neo")
+
+    val out = s.executeWithParams(
+      """
+        MATCH (m:Movie)
+        WHERE m.released > $year AND m.title CONTAINS $substr
+        RETURN m.title
+      """, Map("year" -> "2000", "substr" -> "Matrix"))
+    assert(out.rows.length == 1)
+    assert(out.rows.head.kind == "info" && out.rows.head.info == "The Matrix Reloaded")
+  }
+
+  // ---- unittests.rs:61-78 ----
+  test("cypher_match_dot_label_and_where_property") {
+    val s = newSession()
+    s.execute("CREATE (:Keyword {keyword: 'theory'})")
+    s.execute("CREATE (:Keyword {keyword: 'practice'})")
+    val out = s.execute(
+      """
+        MATCH (n.Keyword)
+        WHERE n.keyword = "theory"
+        RETURN n
+      """)
+    assert(idsFromRows(out.rows).length == 1)
+  }
+
+  // ---- unittests.rs:80-93 (storage API → legacy dialect rendering) ----
+  test("graphdb_add_node_relationship_and_cascade_delete") {
+    val s = newSession()
+    val a = s.execute("CREATE NODE Person;").rows.head.id
+    val b = s.execute("CREATE NODE Company;").rows.head.id
+    val rid = s.execute(s"CREATE REL from=$a to=$b label=WORKS_AT;").rows.head.id
+    assert(s.execute("MATCH REL WORKS_AT;").rows.exists(_.id == rid))
+    val d = s.execute(s"DELETE NODE $a;")
+    assert(d.affectedNodes == 1)
+    assert(s.execute("MATCH REL WORKS_AT;").rows.isEmpty) // cascade
+  }
+
+  // ---- unittests.rs:95-105 (metadata upsert/remove via SET/REMOVE) ----
+  test("graphdb_metadata_upsert_and_remove") {
+    val s = newSession()
+    s.execute("CREATE NODE Person;")
+    s.execute("MATCH (n:Person) SET n.name = 'Ada', n.role = 'Engineer'")
+    val r1 = s.execute("MATCH NODE Person;").rows.head
+    assert(r1.properties == Map("name" -> "Ada", "role" -> "Engineer"))
+    s.execute("MATCH (n:Person) REMOVE n.role")
+    val r2 = s.execute("MATCH NODE Person;").rows.head
+    assert(r2.properties == Map("name" -> "Ada"))
+    // removing a non-existent key is a no-op
+    s.execute("MATCH (n:Person) REMOVE n.role")
+    assert(s.execute("MATCH NODE Person;").rows.head.properties == Map("name" -> "Ada"))
+  }
+
+  // ---- unittests.rs:107-115 ----
+  test("graphdb_add_relationship_missing_endpoints_fails") {
+    val s = newSession()
+    val u1 = graft.core.IdGen.next()
+    val u2 = graft.core.IdGen.next()
+    intercept[ParseException] {
+      s.execute(s"CREATE REL from=$u1 to=$u2 label=KNOWS;")
+    }
+  }
+
+  // ---- unittests.rs:117-160 ----
+  test("gql_create_match_where_delete_node_flow") {
+    val s = newSession()
+    val out = s.execute(
+      """
+        CREATE NODE Person {name:"Ada", role:"Engineer"};
+        CREATE NODE Person {name:"Bob", role:"Designer"};
+      """)
+    assert(out.mutated)
+    assert(out.affectedNodes == 2)
+    val adaId = out.rows(0).id
+    val bobId = out.rows(1).id
+
+    assert(s.execute("MATCH NODE Person;").rows.length == 2)
+    assert(s.execute("MATCH NODE Person {role:\"Engineer\"};").rows.length == 1)
+
+    val m3 = s.execute(
+      s"""MATCH NODE Person WHERE id=$adaId AND HAS(name) AND name="Ada" AND role!="Manager";""")
+    assert(m3.rows.length == 1)
+
+    val d = s.execute(s"DELETE NODE $bobId;")
+    assert(d.affectedNodes == 1)
+    assert(s.execute("MATCH NODE Person;").rows.length == 1)
+  }
+
+  // ---- unittests.rs:162-208 ----
+  test("gql_create_rel_match_where_delete_flow") {
+    val s = newSession()
+    val out = s.execute(
+      """
+        CREATE NODE Person {name:"Ada"};
+        CREATE NODE Company {name:"Acme"};
+      """)
+    val nodeIds = idsFromRows(out.rows)
+    assert(nodeIds.length == 2)
+    val ada = nodeIds(0)
+    val acme = nodeIds(1)
+
+    val c = s.execute(s"""CREATE REL from=$ada to=$acme label=WORKS_AT {since:"2021"};""")
+    assert(c.affectedRels == 1)
+
+    val mr = s.execute("MATCH REL WORKS_AT;")
+    assert(mr.rows.length == 1)
+
+    val w = s.execute(s"MATCH REL WORKS_AT WHERE from=$ada AND to=$acme;")
+    assert(w.rows.length == 1)
+
+    val relId = mr.rows.head.id
+    val dr = s.execute(s"DELETE REL $relId;")
+    assert(dr.affectedRels == 1)
+  }
+
+  // ---- unittests.rs:210-227 ----
+  test("gql_errors_and_edge_cases") {
+    val s = newSession()
+    intercept[Exception] { s.execute("UPDATE NODE Person SET name=\"X\";") }
+    intercept[Exception] { s.execute("MATCH NODE Person WHERE id=not-a-uuid;") }
+    val u1 = graft.core.IdGen.next()
+    val u2 = graft.core.IdGen.next()
+    intercept[Exception] { s.execute(s"CREATE REL from=$u1 to=$u2 label=LIKES;") }
+  }
+
+  // ---- unittests.rs:229-246 ----
+  test("gql_multi_statement_execution_aggregates_counts") {
+    val s = newSession()
+    val out = s.execute(
+      """
+        CREATE NODE A {k:"v"};
+        CREATE NODE B {x:"y"};
+        CREATE NODE B {x:"z"};
+      """)
+    assert(out.mutated)
+    assert(out.affectedNodes == 3)
+    assert(s.execute("MATCH NODE B {x:\"y\"};").rows.length == 1)
+  }
+
+  // ---- unittests.rs:248-274 ----
+  test("cypher_match_merge_pairwise_creation") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE NODE asdf {name:"n1"};
+        CREATE NODE asdf {name:"n2"};
+        CREATE NODE asdf {name:"n3"};
+      """)
+    assert(s.nodeCount == 3)
+    val q = "MATCH (a:asdf), (b:asdf) WHERE id(a) < id(b) MERGE (a)-[:RELATED_TO]->(b);"
+    val r1 = s.execute(q)
+    assert(r1.affectedRels == 3)
+    assert(s.relationshipCount == 3)
+    val r2 = s.execute(q)
+    assert(r2.affectedRels == 0)
+    assert(s.relationshipCount == 3)
+  }
+
+  // ---- unittests.rs:276-304 ----
+  test("cypher_delete_relationships_by_label") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE NODE asdf {name:"n1"};
+        CREATE NODE asdf {name:"n2"};
+        CREATE NODE asdf {name:"n3"};
+      """)
+    s.execute("MATCH (a:asdf), (b:asdf) WHERE id(a) < id(b) MERGE (a)-[:RELATED_TO]->(b);")
+    assert(s.relationshipCount == 3)
+    val del = "MATCH (a:asdf)-[r:RELATED_TO]-(b:asdf) DELETE r;"
+    s.execute(del)
+    assert(s.relationshipCount == 0)
+    s.execute(del)
+    assert(s.relationshipCount == 0)
+  }
+
+  // ---- unittests.rs:306-320 ----
+  test("cypher_match_node_with_props_and_return") {
+    val s = newSession()
+    s.execute("CREATE (:Person {name: 'Keanu Reeves'});")
+    val rows = s.execute("MATCH (p:Person {name: 'Keanu Reeves'}) RETURN p;")
+    assert(rows.rows.length == 1)
+    val n = rows.rows.head
+    assert(n.kind == "node" && n.label == "Person" && n.properties("name") == "Keanu Reeves")
+  }
+
+  // ---- unittests.rs:322-340 ----
+  test("cypher_match_rel_with_props_and_return_property") {
+    val s = newSession()
+    s.execute("CREATE (:Person {name: 'Tom Hanks'});")
+    s.execute("CREATE (:Movie {title: 'Forrest Gump'});")
+    s.execute(
+      """
+        MATCH (p:Person {name: 'Tom Hanks'}), (m:Movie {title: 'Forrest Gump'})
+        CREATE (p)-[:ACTED_IN {role: 'Forrest Gump'}]->(m);
+      """)
+    val rows = s.execute(
+      """
+        MATCH (:Person {name: 'Tom Hanks'})-[r:ACTED_IN {role: 'Forrest Gump'}]->(m:Movie)
+        RETURN m.title
+      """)
+    assert(rows.rows.length == 1)
+    assert(rows.rows.head.info == "Forrest Gump")
+  }
+
+  // ---- unittests.rs:342-359 ----
+  test("cypher_where_contains_and_numeric_compare") {
+    val s = newSession()
+    s.execute("CREATE (:Movie {title: 'The Matrix', released: 1999});")
+    s.execute("CREATE (:Movie {title: 'The Matrix Reloaded', released: 2003});")
+    s.execute("CREATE (:Movie {title: 'John Wick', released: 2014});")
+    val rows = s.execute(
+      """
+        MATCH (m:Movie)
+        WHERE m.released > 2000 AND m.title CONTAINS 'Matrix'
+        RETURN m.title
+      """)
+    assert(rows.rows.length == 1)
+    assert(rows.rows.head.info == "The Matrix Reloaded")
+  }
+
+  // ---- unittests.rs:361-382 ----
+  test("cypher_where_multiple_equals_clauses") {
+    val s = newSession()
+    s.execute("CREATE (:Person {name: 'Tom Hanks', born: 1956});")
+    s.execute("CREATE (:Person {name: 'Tom Hardy', born: 1977});")
+    val rows = s.execute(
+      """
+        MATCH (p:Person)
+        WHERE p.name = 'Tom Hanks' AND p.born = 1956
+        RETURN p
+      """)
+    assert(rows.rows.length == 1)
+    val n = rows.rows.head
+    assert(n.label == "Person")
+    assert(n.properties("name") == "Tom Hanks")
+    // numeric literal stored as STRING (graph.rs:8 value model)
+    assert(n.properties("born") == "1956")
+  }
+
+  // ---- unittests.rs:384-425 ----
+  test("cypher_variable_length_path_basic") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE (:X {name:'X1'});
+        CREATE (:X {name:'X2'});
+        CREATE (:X {name:'X3'});
+      """)
+    val all = s.execute("MATCH (n:X) RETURN n;")
+    val ids = idsFromRows(all.rows)
+    assert(ids.length == 3)
+    val sorted = ids.sorted
+    val (a, b, c) = (sorted(0), sorted(1), sorted(2))
+    s.execute(s"CREATE REL from=$a to=$b label=R;")
+    s.execute(s"CREATE REL from=$b to=$c label=R;")
+    val out = s.execute(
+      """
+        MATCH (s:X)-[:R*2]->(t:X)
+        RETURN t
+      """)
+    assert(out.rows.length == 1)
+    assert(out.rows.head.kind == "node")
+    assert(out.rows.head.label == "X")
+    assert(out.rows.head.id == c)
+  }
+
+  // ---- unittests.rs:427-451 ----
+  test("cypher_return_distinct_and_order_limit") {
+    val s = newSession()
+    s.execute("CREATE (:Movie {title: 'The Matrix'});")
+    s.execute("CREATE (:Movie {title: 'The Matrix'});")
+    s.execute("CREATE (:Movie {title: 'John Wick'});")
+    s.execute("CREATE (:Movie {title: 'Speed'});")
+    val rows = s.execute(
+      """
+        MATCH (m:Movie)
+        RETURN DISTINCT m.title ORDER BY m.title ASC LIMIT 2
+      """)
+    assert(rows.rows.length == 2)
+    assert(rows.rows(0).info == "John Wick")
+    assert(rows.rows(1).info == "Speed")
+  }
+
+  // ---- unittests.rs:453-494 ----
+  test("cypher_set_remove_properties_and_labels") {
+    val s = newSession()
+    s.execute("CREATE (:Person {name: 'Neo'});")
+    val rows = s.execute(
+      """
+        MATCH (p:Person {name:'Neo'})
+        SET p.role = 'The One', p:Hero
+        RETURN p
+      """)
+    assert(rows.rows.length == 1)
+    val n = rows.rows.head
+    // SET :Label REPLACES the single label (M5)
+    assert(n.label == "Hero")
+    assert(n.properties("name") == "Neo")
+    assert(n.properties("role") == "The One")
+    val nid = n.id
+
+    val rows2 = s.execute(
+      """
+        MATCH (p:Hero)
+        WHERE id(p) = id(p)
+        REMOVE p.role
+        RETURN p
+      """)
+    assert(rows2.rows.length == 1)
+    val n2 = rows2.rows.head
+    assert(n2.id == nid)
+    assert(n2.label == "Hero")
+    assert(!n2.properties.contains("role"))
+  }
+
+  // ---- unittests.rs:496-520 ----
+  test("cypher_multiline_match_delete") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE NODE asdf {name:"n1"};
+        CREATE NODE asdf {name:"n2"};
+      """)
+    s.execute("MATCH (a:asdf), (b:asdf) WHERE id(a) < id(b) MERGE (a)-[:RELATED_TO]->(b);")
+    assert(s.relationshipCount == 1)
+    s.execute(
+      """
+        MATCH (a:asdf)-[r:RELATED_TO]-(b:asdf)
+        DELETE r;
+      """)
+    assert(s.relationshipCount == 0)
+  }
+
+  // ---- unittests.rs:522-546 ----
+  test("cypher_multiline_match_where_merge") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE NODE asdf {name:"n1"};
+        CREATE NODE asdf {name:"n2"};
+        CREATE NODE asdf {name:"n3"};
+      """)
+    assert(s.nodeCount == 3)
+    val r = s.execute(
+      """
+        MATCH (a:asdf), (b:asdf)
+        WHERE id(a) < id(b)
+        MERGE (a)-[:RELATED_TO]->(b);
+      """)
+    assert(r.mutated)
+    assert(s.relationshipCount == 3)
+  }
+
+  // ---- unittests.rs:548-572 ----
+  test("cypher_match_where_create_relationships") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE NODE Text {name:"t1"};
+        CREATE NODE Text {name:"t2"};
+        CREATE NODE Text {name:"t3"};
+      """)
+    assert(s.nodeCount == 3)
+    s.execute(
+      """
+        MATCH (a:Text), (b:Text)
+        WHERE id(a) < id(b)
+        CREATE (a)-[:IS_IN]->(b);
+      """)
+    assert(s.relationshipCount == 3)
+  }
+
+  // ---- unittests.rs:574-604 ----
+  test("cypher_multiline_match_detach_delete_nodes") {
+    val s = newSession()
+    s.execute(
+      """
+        CREATE NODE Person {name:"Ada"};
+        CREATE NODE Person {name:"Bob"};
+      """)
+    s.execute(
+      """
+        MATCH (a:Person), (b:Person)
+        WHERE id(a) < id(b)
+        MERGE (a)-[:RELATED_TO]->(b);
+      """)
+    assert(s.nodeCount == 2)
+    assert(s.relationshipCount == 1)
+    s.execute(
+      """
+        MATCH (n:Person)
+        DETACH DELETE n
+      """)
+    assert(s.nodeCount == 0)
+    assert(s.relationshipCount == 0)
+  }
+
+  // ---- unittests.rs:606-633 ----
+  test("cypher_multiline_create_comma_delimited") {
+    val s = newSession()
+    val out = s.execute(
+      """
+    CREATE
+      (t1:T1 {name:'T1'}),
+      (t2:T2 {name:'T2'}),
+      (t3:T3 {name:'T3'}),
+      (t4:T4 {name:'T4'}),
+      (t5:T5 {name:'T5'}),
+      (t6:T6 {name:'T6'}),
+      (t7:T7 {name:'T7'}),
+      (t8:T8 {name:'T8'}),
+      (t9:T9 {name:'T9'}),
+      (t10:T10 {name:'T10'}),
+      """)
+    assert(out.mutated)
+    assert(s.nodeCount == 10)
+    val labels = s.execute("MATCH NODE;").rows.map(_.label)
+    assert(labels.contains("T1"))
+    assert(labels.contains("T10"))
+  }
+
+  // plain DELETE on a connected node must error (M7 constraint)
+  test("cypher_plain_delete_with_relationships_errors") {
+    val s = newSession()
+    s.execute("CREATE NODE Person {name:\"Ada\"};")
+    s.execute("CREATE NODE Person {name:\"Bob\"};")
+    s.execute("MATCH (a:Person), (b:Person) WHERE id(a) < id(b) MERGE (a)-[:KNOWS]->(b);")
+    intercept[Exception] {
+      s.execute("MATCH (n:Person) DELETE n")
+    }
+    assert(s.nodeCount == 2)
+  }
+}
+
+/** One shared local SparkSession for the whole test run. */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
