@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{GraphOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,11 @@ object SparkEntry {
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
     "q28_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q29_cosine_lsh"       -> ((s, d) => SimilarityOps.cosineLshBuckets(s, d)),
+    // --- graph analytics over the FK-derived property graph (§2.8) ---
+    "q30_graph_degree"     -> ((s, d) => GraphOps.graphDegree(s, d)),
+    "q31_lpa_communities"  -> ((s, d) => GraphOps.lpaCommunities(s, d)),
+    "q32_community_density" -> ((s, d) => GraphOps.communityDensity(s, d)),
+    "q33_schema_summary"   -> ((s, d) => GraphOps.schemaSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -227,5 +232,50 @@ object SparkEntry {
         |       FROM r)
         |SELECT qid, nid, sim, rk FROM rk WHERE rk <= 5
         |ORDER BY qid, rk""".stripMargin,
+    "q30_graph_degree" ->
+      """WITH e AS (
+        |  SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
+        |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+        |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
+        |n AS (
+        |  SELECT 'region:' || r_regionkey AS id FROM region
+        |  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
+        |  UNION ALL SELECT 'customer:' || c_custkey FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+        |  UNION ALL SELECT 'part:' || p_partkey FROM part
+        |  UNION ALL SELECT 'order:' || o_orderkey FROM orders),
+        |und AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+        |deg AS (SELECT id, COUNT(*) AS degree FROM und GROUP BY id)
+        |SELECT n.id, COALESCE(deg.degree, 0) AS degree
+        |FROM n LEFT JOIN deg USING (id) ORDER BY id""".stripMargin,
+    "q33_schema_summary" ->
+      """SELECT DISTINCT kind, value FROM (
+        |  SELECT 'node_label' AS kind, label AS value FROM (
+        |    SELECT 'Region' AS label FROM region
+        |    UNION ALL SELECT 'Nation' FROM nation
+        |    UNION ALL SELECT 'Customer' FROM customer
+        |    UNION ALL SELECT 'Supplier' FROM supplier
+        |    UNION ALL SELECT 'Part' FROM part
+        |    UNION ALL SELECT 'Order' FROM orders)
+        |  UNION ALL
+        |  SELECT 'rel_type', label FROM (
+        |    SELECT 'IN_REGION' AS label FROM nation
+        |    UNION ALL SELECT 'FROM_NATION' FROM customer
+        |    UNION ALL SELECT 'FROM_NATION' FROM supplier
+        |    UNION ALL SELECT 'PLACED' FROM orders
+        |    UNION ALL SELECT 'CONTAINS' FROM lineitem
+        |    UNION ALL SELECT 'SUPPLIES' FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'prop_key', k FROM (
+        |    SELECT unnest(['name']) AS k FROM region
+        |    UNION ALL SELECT unnest(['name']) FROM nation
+        |    UNION ALL SELECT unnest(['name','acctbal','mktsegment']) FROM customer
+        |    UNION ALL SELECT unnest(['name','acctbal']) FROM supplier
+        |    UNION ALL SELECT unnest(['name','brand','type','retailprice']) FROM part
+        |    UNION ALL SELECT unnest(['status','totalprice','priority']) FROM orders))
+        |ORDER BY kind, value""".stripMargin,
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.GraphAlgos
+import graft.core.GraphBuilder
+
+/** Graph-analytics queries over the FK-derived property graph
+  * (FIXTURES.md §3): the reference GUI's analytics (SURVEY §2.8)
+  * rendered as driver-checkable queries.
+  */
+object GraphOps {
+
+  /** GA3/A3: undirected degree of every node. Oracle-checked. */
+  def graphDegree(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.degrees(GraphBuilder.fromTables(s, d)).orderBy("id")
+
+  /** GA2: weighted label-propagation communities (iterative — pinned by
+    * determinism of the tie-break, rows-only driver check). */
+  def lpaCommunities(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.weightedLabelPropagation(GraphBuilder.fromTables(s, d))
+      .orderBy("id")
+
+  /** GA4: community density over the LPA assignment. */
+  def communityDensity(s: SparkSession, d: String): DataFrame = {
+    val g = GraphBuilder.fromTables(s, d)
+    GraphAlgos.communityDensity(g, GraphAlgos.weightedLabelPropagation(g))
+      .withColumn("density", round(col("density"), 6))
+      .orderBy("community")
+  }
+
+  /** A5: label / rel-type / property-key universe. Oracle-checked. */
+  def schemaSummary(s: SparkSession, d: String): DataFrame = {
+    val g = GraphBuilder.fromTables(s, d)
+    val (nl, el, pk) = GraphAlgos.schemaSummary(g)
+    nl.select(lit("node_label").as("kind"), col("label").as("value"))
+      .unionByName(el.select(lit("rel_type").as("kind"), col("label").as("value")))
+      .unionByName(pk.select(lit("prop_key").as("kind"), col("key").as("value")))
+      .distinct()
+      .orderBy("kind", "value")
+  }
+}
