@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,8 @@ object SparkEntry {
     "q31_lpa_communities"  -> ((s, d) => GraphOps.lpaCommunities(s, d)),
     "q32_community_density" -> ((s, d) => GraphOps.communityDensity(s, d)),
     "q33_schema_summary"   -> ((s, d) => GraphOps.schemaSummary(s, d)),
+    // --- multimodal pipeline plumbing (decode stages stubbed) ---
+    "q40_multimodal_pipeline" -> ((s, d) => MultimodalOps.pipelineSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

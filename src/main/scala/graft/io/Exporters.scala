@@ -1,0 +1,83 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.PropertyGraph
+
+/** JSON/CSV exporters matching the reference's export shapes
+  * (SURVEY §2.1 S7-S10, gui/frontend.rs:18-156).
+  *
+  * Every exporter is a distributed `df.write` (scales to any size); the
+  * reference writes one pretty-printed file from the GUI thread, so a
+  * `singleFile` option coalesces to one part for shape parity on small
+  * graphs.
+  */
+object Exporters {
+
+  private def maybeOne(df: DataFrame, singleFile: Boolean): DataFrame =
+    if (singleFile) df.coalesce(1) else df
+
+  /** S7: selected nodes → JSON `[{id,label,metadata}]`
+    * (frontend.rs:18-40). `ids` null = all nodes. */
+  def nodesToJson(g: PropertyGraph, ids: Option[DataFrame], path: String,
+      singleFile: Boolean = true): Unit = {
+    val sel = ids.map(i => g.nodes.join(i.withColumnRenamed(i.columns.head, "id"), "id"))
+      .getOrElse(g.nodes)
+    maybeOne(sel.select(col("id"), col("label"), col("properties").as("metadata")),
+      singleFile).write.mode("overwrite").json(path)
+  }
+
+  /** S8: selected nodes → CSV `id,label,metadata_json`
+    * (frontend.rs:42-55). */
+  def nodesToCsv(g: PropertyGraph, ids: Option[DataFrame], path: String,
+      singleFile: Boolean = true): Unit = {
+    val sel = ids.map(i => g.nodes.join(i.withColumnRenamed(i.columns.head, "id"), "id"))
+      .getOrElse(g.nodes)
+    maybeOne(sel.select(col("id"), col("label"),
+      to_json(col("properties")).as("metadata_json")), singleFile)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Adjacency lists for S9/S10: per node, outgoing and incoming rel
+    * summaries (frontend.rs:58-115 embeds both directions). */
+  private def withAdjacency(g: PropertyGraph): DataFrame = {
+    val outRels = g.edges
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("id").as("rel_id"), col("dst").as("to"),
+        col("label"), col("properties").as("metadata"))).as("out_rels"))
+      .withColumnRenamed("src", "id")
+    val inRels = g.edges
+      .groupBy(col("dst"))
+      .agg(collect_list(struct(col("id").as("rel_id"), col("src").as("from"),
+        col("label"), col("properties").as("metadata"))).as("in_rels"))
+      .withColumnRenamed("dst", "id")
+    g.nodes
+      .join(outRels, Seq("id"), "left")
+      .join(inRels, Seq("id"), "left")
+  }
+
+  /** S9: whole graph → JSON — nodes embedded with out/in adjacency plus
+    * a flat relationship list (two datasets under `path`). */
+  def graphToJson(g: PropertyGraph, path: String, singleFile: Boolean = true): Unit = {
+    maybeOne(withAdjacency(g).select(col("id"), col("label"),
+      col("properties").as("metadata"), col("out_rels"), col("in_rels")), singleFile)
+      .write.mode("overwrite").json(s"$path/nodes")
+    maybeOne(g.edges.select(col("id"), col("src").as("from"), col("dst").as("to"),
+      col("label"), col("properties").as("metadata")), singleFile)
+      .write.mode("overwrite").json(s"$path/relationships")
+  }
+
+  /** S10: whole graph → two CSVs `{stem}_nodes` / `{stem}_relationships`
+    * (frontend.rs:117-156), adjacency serialized as JSON strings. */
+  def graphToCsv(g: PropertyGraph, path: String, singleFile: Boolean = true): Unit = {
+    maybeOne(withAdjacency(g).select(col("id"), col("label"),
+      to_json(col("properties")).as("metadata_json"),
+      to_json(col("out_rels")).as("out_rels_json"),
+      to_json(col("in_rels")).as("in_rels_json")), singleFile)
+      .write.mode("overwrite").option("header", "true").csv(s"$path/nodes")
+    maybeOne(g.edges.select(col("id"), col("src").as("from"), col("dst").as("to"),
+      col("label"), to_json(col("properties")).as("metadata_json")), singleFile)
+      .write.mode("overwrite").option("header", "true").csv(s"$path/relationships")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraphBuilder, PropertyGraph}
+import graft.engine.GraphSession
+import graft.io.{Exporters, GraphStore}
+import graft.operators.{MultimodalOps, SimilarityOps, TextOps}
+
+/** Specs for persistence (S5/S6), exporters (S7-S10), multimodal
+  * plumbing, and the no-oracle similarity ops. */
+class IoAndOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("graphstore_save_load_versions_roundtrip") {
+    val s = new GraphSession(spark)
+    s.execute("CREATE (:Person {name: 'Ada'});")
+    s.execute("CREATE (:Company {name: 'Acme'});")
+    s.execute("MATCH (p:Person), (c:Company) CREATE (p)-[:WORKS_AT]->(c);")
+    val root = tmpDir("graft_store")
+    val v1 = GraphStore.save(s.graph, root)
+    s.execute("CREATE (:Person {name: 'Bob'});")
+    val v2 = GraphStore.save(s.graph, root)
+    assert(GraphStore.listVersions(root) == Seq(v1, v2).sorted)
+    val active = GraphStore.load(spark, root)
+    assert(active.nodeCount == 3 && active.relationshipCount == 1)
+    val old = GraphStore.load(spark, root, Some(v1))
+    assert(old.nodeCount == 2 && old.relationshipCount == 1)
+  }
+
+  test("exporters_shapes") {
+    val s = new GraphSession(spark)
+    s.execute("CREATE (:Person {name: 'Ada'});")
+    s.execute("CREATE (:Company {name: 'Acme'});")
+    s.execute("MATCH (p:Person), (c:Company) CREATE (p)-[:WORKS_AT {since: 2021}]->(c);")
+    val d1 = tmpDir("graft_json")
+    Exporters.nodesToJson(s.graph, None, s"$d1/nodes_json")
+    val back = spark.read.json(s"$d1/nodes_json")
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "label", "metadata"))
+
+    Exporters.nodesToCsv(s.graph, None, s"$d1/nodes_csv")
+    val csv = spark.read.option("header", "true").csv(s"$d1/nodes_csv")
+    assert(csv.columns.toSeq == Seq("id", "label", "metadata_json"))
+    assert(csv.count() == 2)
+
+    Exporters.graphToJson(s.graph, s"$d1/graph_json")
+    val gn = spark.read.json(s"$d1/graph_json/nodes")
+    assert(gn.count() == 2)
+    assert(gn.columns.contains("out_rels") && gn.columns.contains("in_rels"))
+    val gr = spark.read.json(s"$d1/graph_json/relationships")
+    assert(gr.count() == 1)
+    assert(gr.columns.sorted.toSeq == Seq("from", "id", "label", "metadata", "to"))
+
+    Exporters.graphToCsv(s.graph, s"$d1/graph_csv")
+    val cn = spark.read.option("header", "true").csv(s"$d1/graph_csv/nodes")
+    assert(cn.columns.toSeq ==
+      Seq("id", "label", "metadata_json", "out_rels_json", "in_rels_json"))
+  }
+
+  test("multimodal_pipeline_stub_shapes") {
+    val media = MultimodalOps.mediaTable(spark, sf)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "bytes", "meta"))
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).sorted
+    assert(kinds.toSeq == Seq("audio", "image", "video"))
+
+    val decoded = MultimodalOps.decodeImageStub(media)
+    val r = decoded.select(min("width"), max("width"), min("height")).head()
+    assert(r.getInt(0) >= 32 && r.getInt(1) < 1952 && r.getInt(2) >= 32)
+
+    val resized = MultimodalOps.resizeStub(decoded, 512, 512)
+    val bad = resized.filter(col("out_width") > 512 || col("out_height") > 512).count()
+    assert(bad == 0)
+
+    val frames = MultimodalOps.frameSampleStub(media)
+    assert(frames.filter(size(col("frame_offsets_ms")) =!= 8).count() == 0)
+
+    val feats = MultimodalOps.featureExtractStub(media)
+    assert(feats.filter(size(col("embedding")) =!= 64).count() == 0)
+    // deterministic across runs
+    val a = MultimodalOps.pipelineSummary(spark, sf).collect().toSeq
+    val b = MultimodalOps.pipelineSummary(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("minhash_lsh_finds_known_near_dups") {
+    // exact jaccard pairs are the ground truth for the LSH candidates
+    val exact = TextOps.ngramJaccardPairs(spark, "/root/testdata/sf0.01")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.minHashLsh(spark, "/root/testdata/sf0.01")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high recall on true near-dups (estimation noise allows few misses)
+    val recall = if (exact.isEmpty) 1.0
+      else exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash_pairs_deterministic_and_bounded") {
+    val p1 = SimilarityOps.simHashPairs(spark, sf).collect().toSeq
+    val p2 = SimilarityOps.simHashPairs(spark, sf).collect().toSeq
+    assert(p1 == p2)
+    assert(p1.forall(_.getInt(2) <= 3) || p1.forall(r => r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("graph_builder_fk_integrity") {
+    val g = GraphBuilder.fromTables(spark, sf)
+    assert(g.danglingEdges.limit(1).count() == 0)
+  }
+}
