@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest path for the `events` table — the
+  * beyond-parity streaming surface (the reference has none, SURVEY
+  * §2.9): event-time tumbling windows with watermarks, and custom
+  * per-key session state via mapGroupsWithState.
+  *
+  * Batch/stream parity: [[hourlyCounts]] over a stream with an
+  * availableNow trigger produces exactly the batch rollup of
+  * RelationalOps.eventsHourly — same plan shape, incremental execution.
+  */
+object StreamingOps {
+
+  /** File-stream source over the events parquet (nanos timestamps read
+    * as long, converted to a proper event-time column). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file-stream source requires a DIRECTORY; the testdata table is
+    // a single parquet file, so stage a symlink dir (read-only testdata)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  case class SessionInput(user_id: Long, event_time: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Int, closed: Boolean)
+
+  /** Custom per-user sessionization (30-min inactivity gap) with
+    * mapGroupsWithState — the KeyValueGroupedDataset stateful path a
+    * training pipeline uses for anything windowless. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_time"))
+      .as[SessionInput]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          val times = rows.map(_.event_time.getTime).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(times.head, times.head, 0))
+          var lastClosed: Option[SessionOut] = None
+          times.foreach { t =>
+            if (t - st.last > gapMs) {
+              lastClosed = Some(SessionOut(user, st.start, st.last, st.n, closed = true))
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          state.update(st)
+          lastClosed.getOrElse(SessionOut(user, st.start, st.last, st.n, closed = false))
+      }
+  }
+
+  /** Run a streaming DataFrame to completion (availableNow) into a
+    * memory sink; returns the result table. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

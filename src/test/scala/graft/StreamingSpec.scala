@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalOps
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming_hourly_counts_match_batch") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    // Complete mode: append would hold back windows newer than the
+    // final watermark (max event time - 2h) at end-of-stream
+    val result = StreamingOps.runToMemory(spark,
+      StreamingOps.hourlyCounts(stream), "hourly_test", OutputMode.Complete)
+    val streamed = result.select("hour", "event_type", "cnt", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = RelationalOps.eventsHourly(spark, sf)
+      .select("hour", "event_type", "cnt", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming_sessionize_produces_sessions") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val sessions = StreamingOps.runToMemory(spark,
+      StreamingOps.sessionize(stream).toDF(), "sessions_test", OutputMode.Update)
+    assert(sessions.count() > 0)
+    // session invariants: start <= end, n_events >= 1 for open sessions
+    assert(sessions.filter(col("session_start") > col("session_end")).count() == 0)
+  }
+}
