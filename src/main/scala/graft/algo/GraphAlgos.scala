@@ -36,19 +36,28 @@ object GraphAlgos {
     * Note the asymmetry: the denominator is the *source* node's
     * metadata size, reproduced faithfully. */
   private def weightedNeighborPairs(g: PropertyGraph): DataFrame = {
-    val n1 = g.nodes.select(col("id").as("u"), col("label").as("u_label"),
-      col("properties").as("u_props"))
-    val n2 = g.nodes.select(col("id").as("v"), col("label").as("v_label"),
-      col("properties").as("v_props"))
+    // metadata overlap via per-NODE "k=v" arrays + native array_intersect
+    // per edge. The per-edge map_filter lambda formulation evaluates the
+    // captured-map lambda interpreted on every PAIR — measured 264 s for
+    // 2.7M pairs vs ~10 s this way; per-node prep is O(|V|), per-edge
+    // work is a native intersect of ≤|props| strings.
+    val prepped = g.nodes.select(col("id"), col("label"),
+      transform(map_entries(col("properties")),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))).as("kv"),
+      greatest(size(col("properties")).cast("double"), lit(1.0)).as("nprops"))
+      .localCheckpoint(true)
+    val n1 = prepped.select(col("id").as("u"), col("label").as("u_label"),
+      col("kv").as("u_kv"), col("nprops").as("u_nprops"))
+    val n2 = prepped.select(col("id").as("v"), col("label").as("v_label"),
+      col("kv").as("v_kv"))
     undirectedEdges(g)
       .join(n1, "u").join(n2, "v")
       .withColumn("overlap",
-        size(map_filter(col("u_props"),
-          (k, vv) => col("v_props")(k) === vv)).cast("double"))
+        size(array_intersect(col("u_kv"), col("v_kv"))).cast("double"))
       .withColumn("weight",
         lit(1.0) +
           when(col("u_label") === col("v_label"), 0.75).otherwise(0.0) +
-          lit(0.5) * col("overlap") / greatest(size(col("u_props")).cast("double"), lit(1.0)))
+          lit(0.5) * col("overlap") / col("u_nprops"))
       .select("u", "v", "weight")
   }
 
@@ -57,36 +66,67 @@ object GraphAlgos {
     * sweeps sequentially over id-sorted nodes — a Gauss-Seidel order
     * that a distributed engine replaces with Jacobi sweeps + a
     * deterministic tie-break on the smallest community id); early-stops
-    * when no assignment changes. Returns (id, community). */
+    * when no assignment changes. Returns (id, community) with community
+    * named by its seed node's id.
+    *
+    * Implementation: GraphX aggregateMessages over integer-encoded
+    * vertex ids. A DataFrame-loop formulation pays per-sweep query
+    * planning + full shuffle materialization (measured ~15 s/sweep at
+    * sf0.1); GraphX keeps the edge RDD cached and partition-local
+    * across sweeps. Edge weights are computed once, declaratively, in
+    * [[weightedNeighborPairs]].
+    */
   def weightedLabelPropagation(g: PropertyGraph, maxSweeps: Int = 8): DataFrame = {
-    val pairs = weightedNeighborPairs(g).localCheckpoint(true)
-    var assign = g.nodes.select(col("id"), col("id").as("community"))
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+
+    // integer-encode node ids (xxhash64 — deterministic, shuffle-free;
+    // swap for zipWithIndex at billions-of-nodes scale where 64-bit
+    // hash collisions become material)
+    val idMap = g.nodes.select(col("id"), xxhash64(col("id")).as("vid"))
       .localCheckpoint(true)
+    val pairsDf = weightedNeighborPairs(g)
+      .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"), col("weight"))
+
+    // messages flow v -> u (u adopts from neighbors v)
+    val edgeRdd = pairsDf.as[(Long, Long, Double)].rdd
+      .map { case (u, v, w) => Edge(v: VertexId, u: VertexId, w) }
+    val vertRdd = idMap.select(col("vid")).as[Long].rdd.map(v => (v: VertexId, v))
+    val graph0 = Graph(vertRdd, edgeRdd).cache()
+
+    var graph = graph0
     var sweep = 0
     var changed = true
     while (sweep < maxSweeps && changed) {
       sweep += 1
-      // u adopts the community with max summed incident weight;
-      // min_by over struct(-w, comm) = argmax weight with smallest-id
-      // tie-break — one shuffle-agg, no per-partition sort (the window
-      // row_number formulation costs an extra sort per sweep at scale)
-      val contrib = pairs
-        .join(assign.select(col("id").as("v"), col("community").as("v_comm")), "v")
-        .groupBy(col("u"), col("v_comm"))
-        .agg(sum(col("weight")).as("w"))
-      val best = contrib.groupBy(col("u").as("id"))
-        .agg(min_by(col("v_comm"), struct(negate(col("w")), col("v_comm")))
-          .as("new_comm"))
-      val next = assign.join(best, Seq("id"), "left")
-        .withColumn("next_comm", coalesce(col("new_comm"), col("community")))
-        .select(col("id"), col("next_comm").as("community"))
-        .localCheckpoint(true)
-      changed = next.join(assign.withColumnRenamed("community", "old_comm"), "id")
-        .filter(col("community") =!= col("old_comm"))
-        .limit(1).count() > 0
-      assign = next
+      // per-community weight sums arriving at each vertex, as flat
+      // ((dst, community), w) tuples — a Map-valued message merge is
+      // O(neighbors²) on hub vertices (measured superlinear blowup)
+      val adopted = graph.triplets
+        .map(t => ((t.dstId, t.srcAttr), t.attr))
+        .reduceByKey(_ + _)
+        .map { case ((u, c), w) => (u, (c, w)) }
+        // argmax weight, ties to the smallest community id
+        .reduceByKey((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+        .mapValues(_._1)
+      val prev = graph
+      graph = graph.outerJoinVertices(adopted) {
+        (_, old, newOpt) => newOpt.getOrElse(old)
+      }.cache()
+      graph.vertices.count()
+      changed = prev.vertices.join(graph.vertices)
+        .filter { case (_, (o, n)) => o != n }.take(1).nonEmpty
+      prev.unpersistVertices(blocking = false)
     }
-    assign
+    val assignment = graph.vertices.toDF("vid", "comm_vid")
+    // map vids back to node-id strings for both member and community
+    assignment
+      .join(idMap, "vid")
+      .join(idMap.select(col("vid").as("comm_vid"), col("id").as("community")),
+        Seq("comm_vid"))
+      .select("id", "community")
   }
 
   /** Community density (GA4): internal undirected edge count over

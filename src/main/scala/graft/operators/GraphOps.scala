@@ -17,14 +17,16 @@ object GraphOps {
     GraphAlgos.degrees(GraphBuilder.fromTables(s, d)).orderBy("id")
 
   /** GA2: weighted label-propagation communities (iterative — pinned by
-    * determinism of the tie-break, rows-only driver check). */
+    * determinism of the tie-break, rows-only driver check). The derived
+    * graph is materialized once up front: the iterative consumer would
+    * otherwise re-derive the 6-table union per sweep. */
   def lpaCommunities(s: SparkSession, d: String): DataFrame =
-    GraphAlgos.weightedLabelPropagation(GraphBuilder.fromTables(s, d))
+    GraphAlgos.weightedLabelPropagation(GraphBuilder.fromTables(s, d).materialized)
       .orderBy("id")
 
   /** GA4: community density over the LPA assignment. */
   def communityDensity(s: SparkSession, d: String): DataFrame = {
-    val g = GraphBuilder.fromTables(s, d)
+    val g = GraphBuilder.fromTables(s, d).materialized
     GraphAlgos.communityDensity(g, GraphAlgos.weightedLabelPropagation(g))
       .withColumn("density", round(col("density"), 6))
       .orderBy("community")
