@@ -52,11 +52,13 @@ object SparkEntry {
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
     "q28_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q29_cosine_lsh"       -> ((s, d) => SimilarityOps.cosineLshBuckets(s, d)),
+    "q41_ivf_topk"         -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // --- graph analytics over the FK-derived property graph (§2.8) ---
     "q30_graph_degree"     -> ((s, d) => GraphOps.graphDegree(s, d)),
     "q31_lpa_communities"  -> ((s, d) => GraphOps.lpaCommunities(s, d)),
     "q32_community_density" -> ((s, d) => GraphOps.communityDensity(s, d)),
     "q33_schema_summary"   -> ((s, d) => GraphOps.schemaSummary(s, d)),
+    "q34_label_groups"     -> ((s, d) => GraphOps.labelGroups(s, d)),
     // --- multimodal pipeline plumbing (decode stages stubbed) ---
     "q40_multimodal_pipeline" -> ((s, d) => MultimodalOps.pipelineSummary(s, d)),
   )
@@ -253,6 +255,27 @@ object SparkEntry {
         |deg AS (SELECT id, COUNT(*) AS degree FROM und GROUP BY id)
         |SELECT n.id, COALESCE(deg.degree, 0) AS degree
         |FROM n LEFT JOIN deg USING (id) ORDER BY id""".stripMargin,
+    "q34_label_groups" ->
+      """WITH e AS (
+        |  SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
+        |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+        |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
+        |n AS (
+        |  SELECT 'region:' || r_regionkey AS id, 'Region' AS label FROM region
+        |  UNION ALL SELECT 'nation:' || n_nationkey, 'Nation' FROM nation
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'Customer' FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'part:' || p_partkey, 'Part' FROM part
+        |  UNION ALL SELECT 'order:' || o_orderkey, 'Order' FROM orders),
+        |und AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+        |deg AS (SELECT id, COUNT(*) AS degree FROM und GROUP BY id),
+        |nd AS (SELECT n.id, n.label, COALESCE(deg.degree, 0) AS degree
+        |       FROM n LEFT JOIN deg USING (id))
+        |SELECT label, COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS total_degree
+        |FROM nd GROUP BY label ORDER BY label""".stripMargin,
     "q33_schema_summary" ->
       """SELECT DISTINCT kind, value FROM (
         |  SELECT 'node_label' AS kind, label AS value FROM (

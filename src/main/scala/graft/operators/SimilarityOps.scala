@@ -81,6 +81,58 @@ object SimilarityOps {
       .orderBy("bucket")
   }
 
+  /** IVF (inverted-file) ANN: MLlib KMeans coarse quantizer over the
+    * corpus (nlist cells, fixed seed — deterministic), queries probe
+    * their nprobe nearest cells, exact cosine only within probed cells.
+    * The 100 TB path: the corpus is partitioned by cell id, a query
+    * touches nprobe/nlist of the data; recall vs brute force is pinned
+    * by `IoAndOpsSpec`. */
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+      .localCheckpoint(true)
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint(true)
+
+    // centroid table is tiny — compute each query's nprobe nearest cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+    val probed = broadcast(q).crossJoin(broadcast(centDf))
+      .withColumn("cdist",
+        aggregate(zip_with(col("qe"), col("centroid"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+
+    // exact cosine only within probed cells
+    val cand = probed.join(assigned, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim",
+        round(dot(col("qe"), col("embedding")) /
+          (norm(col("qe")) * norm(col("embedding"))), 6))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(wTop).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** MinHash + LSH banding near-dup detection on documents:
     * word-3-gram shingles → k=32 minhash signature → 8 bands × 4 rows →
     * band-bucket equi-join for candidates → signature-estimated Jaccard

@@ -1,0 +1,61 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.HttpApi
+import graft.engine.GraphSession
+
+/** Drives the reference's POST /api/query contract over a real socket
+  * (api/server.rs:60-177 shapes). */
+class HttpApiSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  def post(port: Int, body: String, key: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/api/query"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    key.foreach(k => b.header("X-API-Key", k))
+    HttpClient.newHttpClient().send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("http_query_roundtrip_and_errors") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft_api_logs").toString
+    val api = new HttpApi(new GraphSession(spark), logDir = Some(logDir))
+    val port = api.start()
+    try {
+      val c1 = post(port, """{"query": "CREATE NODE Person {name:\"Ada\"};"}""")
+      assert(c1.statusCode() == 200)
+      assert(c1.body().contains(""""kind":"node""""))
+      assert(c1.body().contains(""""affected_nodes":1"""))
+      assert(c1.body().contains(""""mutated":true"""))
+
+      val m = post(port, """{"query": "MATCH (p:Person {name: $who}) RETURN p", "params": {"who": "Ada"}}""")
+      assert(m.statusCode() == 200)
+      assert(m.body().contains(""""name":"Ada""""))
+
+      val bad = post(port, """{"query": "UPDATE NODE x SET y=1"}""")
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("unrecognized statement"))
+
+      val malformed = post(port, """{"nope": true}""")
+      assert(malformed.statusCode() == 400)
+
+      // logs written (S11/S12 parity)
+      val logs = new java.io.File(logDir).listFiles().map(_.getName).toSeq
+      assert(logs.exists(_.startsWith("api_")))
+      assert(logs.exists(_.startsWith("queries_")))
+    } finally api.stop()
+  }
+
+  test("http_api_key_enforced") {
+    val api = new HttpApi(new GraphSession(spark), apiKey = Some("sekret"))
+    val port = api.start()
+    try {
+      assert(post(port, """{"query": "MATCH NODE Person;"}""").statusCode() == 401)
+      assert(post(port, """{"query": "MATCH NODE Person;"}""",
+        key = Some("sekret")).statusCode() == 200)
+    } finally api.stop()
+  }
+}

@@ -109,6 +109,15 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(p1.forall(_.getInt(2) <= 3) || p1.forall(r => r.getAs[Int]("hamming") <= 3))
   }
 
+  test("ivf_topk_recall_vs_brute_force") {
+    val brute = SimilarityOps.cosineTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall (nprobe=4/nlist=16)")
+  }
+
   test("graph_builder_fk_integrity") {
     val g = GraphBuilder.fromTables(spark, sf)
     assert(g.danglingEdges.limit(1).count() == 0)
