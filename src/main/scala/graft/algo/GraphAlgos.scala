@@ -35,7 +35,7 @@ object GraphAlgos {
     * + 0.5·(shared k=v metadata pairs / max(|meta_a|, 1)).
     * Note the asymmetry: the denominator is the *source* node's
     * metadata size, reproduced faithfully. */
-  private def weightedNeighborPairs(g: PropertyGraph): DataFrame = {
+  private[graft] def weightedNeighborPairs(g: PropertyGraph): DataFrame = {
     // metadata overlap via per-NODE "k=v" arrays + native array_intersect
     // per edge. The per-edge map_filter lambda formulation evaluates the
     // captured-map lambda interpreted on every PAIR — measured 264 s for
@@ -56,7 +56,10 @@ object GraphAlgos {
         size(array_intersect(col("u_kv"), col("v_kv"))).cast("double"))
       .withColumn("weight",
         lit(1.0) +
-          when(col("u_label") === col("v_label"), 0.75).otherwise(0.0) +
+          // same-label bonus requires a NON-EMPTY label (frontend.rs:546
+          // `la == lb && !la.is_empty()`): two unlabeled nodes get no bonus
+          when(col("u_label") === col("v_label") && col("u_label") =!= lit(""), 0.75)
+            .otherwise(0.0) +
           lit(0.5) * col("overlap") / col("u_nprops"))
       .select("u", "v", "weight")
   }
@@ -69,64 +72,97 @@ object GraphAlgos {
     * when no assignment changes. Returns (id, community) with community
     * named by its seed node's id.
     *
-    * Implementation: GraphX aggregateMessages over integer-encoded
-    * vertex ids. A DataFrame-loop formulation pays per-sweep query
-    * planning + full shuffle materialization (measured ~15 s/sweep at
-    * sf0.1); GraphX keeps the edge RDD cached and partition-local
-    * across sweeps. Edge weights are computed once, declaratively, in
-    * [[weightedNeighborPairs]].
+    * Implementation: a co-partitioned RDD loop. The edge list is
+    * hash-partitioned ONCE by message source and cached; the community
+    * RDD uses the same partitioner, so the per-sweep `edges.join(comm)`
+    * and the final `comm.leftOuterJoin(best)` are both narrow (zero
+    * shuffle). The only shuffle per sweep is the message aggregation —
+    * `aggregateByKey` with a mutable per-destination community→weight
+    * map, which map-side-combines so one map per (partition,
+    * destination) crosses the wire. Convergence is counted by a
+    * LongAccumulator inside the update pass — no separate diff join.
+    * (The previous GraphX formulation paid uncopartitioned vertex joins
+    * — "Diffing two VertexPartitions with different indexes is slow" —
+    * plus a full triplets shuffle and a convergence join per sweep:
+    * 1113 s at sf0.1 vs ~25 s for this loop.)
     */
   def weightedLabelPropagation(g: PropertyGraph, maxSweeps: Int = 8): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import scala.collection.mutable
     val spark = g.nodes.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
 
     // integer-encode node ids (xxhash64 — deterministic, shuffle-free;
     // swap for zipWithIndex at billions-of-nodes scale where 64-bit
     // hash collisions become material)
     val idMap = g.nodes.select(col("id"), xxhash64(col("id")).as("vid"))
       .localCheckpoint(true)
-    val pairsDf = weightedNeighborPairs(g)
-      .select(xxhash64(col("u")).as("u"), xxhash64(col("v")).as("v"), col("weight"))
+    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
 
-    // messages flow v -> u (u adopts from neighbors v)
-    val edgeRdd = pairsDf.as[(Long, Long, Double)].rdd
-      .map { case (u, v, w) => Edge(v: VertexId, u: VertexId, w) }
-    val vertRdd = idMap.select(col("vid")).as[Long].rdd.map(v => (v: VertexId, v))
-    val graph0 = Graph(vertRdd, edgeRdd).cache()
+    // messages flow v -> u (u adopts from neighbors v); key by v so the
+    // per-sweep community lookup is a narrow co-partitioned join
+    val edges: RDD[(Long, (Long, Double))] = weightedNeighborPairs(g)
+      .select(xxhash64(col("v")).as("v"), xxhash64(col("u")).as("u"), col("weight"))
+      .as[(Long, Long, Double)].rdd
+      .map { case (v, u, w) => (v, (u, w)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var graph = graph0
+    var comm: RDD[(Long, Long)] = idMap.select(col("vid")).as[Long].rdd
+      .map(v => (v, v)).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    comm.count()
+
     var sweep = 0
     var changed = true
     while (sweep < maxSweeps && changed) {
       sweep += 1
-      // per-community weight sums arriving at each vertex, as flat
-      // ((dst, community), w) tuples — a Map-valued message merge is
-      // O(neighbors²) on hub vertices (measured superlinear blowup)
-      val adopted = graph.triplets
-        .map(t => ((t.dstId, t.srcAttr), t.attr))
-        .reduceByKey(_ + _)
-        .map { case ((u, c), w) => (u, (c, w)) }
-        // argmax weight, ties to the smallest community id
-        .reduceByKey((a, b) =>
-          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
-        .mapValues(_._1)
-      val prev = graph
-      graph = graph.outerJoinVertices(adopted) {
-        (_, old, newOpt) => newOpt.getOrElse(old)
-      }.cache()
-      graph.vertices.count()
-      changed = prev.vertices.join(graph.vertices)
-        .filter { case (_, (o, n)) => o != n }.take(1).nonEmpty
-      prev.unpersistVertices(blocking = false)
+      val changedAcc = sc.longAccumulator(s"lpaChanged$sweep")
+      // per-destination community→summed-weight map; argmax with ties
+      // to the smallest community id (the deterministic Jacobi stand-in
+      // for the reference's sequential id-sorted sweep)
+      val best: RDD[(Long, Long)] = edges.join(comm) // narrow
+        .map { case (_, ((u, w), cv)) => (u, (cv, w)) }
+        .aggregateByKey(mutable.LongMap.empty[Double], part)( // the sweep's one shuffle
+          (m, cw) => { m(cw._1) = m.getOrElse(cw._1, 0.0) + cw._2; m },
+          (m1, m2) => {
+            val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+            small.foreach { case (c, w) => big(c) = big.getOrElse(c, 0.0) + w }
+            big
+          })
+        .mapValues { m =>
+          var bc = Long.MaxValue; var bw = Double.NegativeInfinity
+          m.foreach { case (c, w) =>
+            if (w > bw || (w == bw && c < bc)) { bw = w; bc = c }
+          }
+          bc
+        }
+      val prev = comm
+      comm = prev.leftOuterJoin(best, part) // narrow (shared partitioner)
+        .mapValues { case (old, upd) =>
+          val next = upd.getOrElse(old)
+          if (next != old) changedAcc.add(1L)
+          next
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      comm.count() // materialize → accumulator is final
+      prev.unpersist(blocking = false)
+      changed = changedAcc.value > 0L
     }
-    val assignment = graph.vertices.toDF("vid", "comm_vid")
+    val assignment = comm.toDF("vid", "comm_vid")
     // map vids back to node-id strings for both member and community
-    assignment
+    val out = assignment
       .join(idMap, "vid")
       .join(idMap.select(col("vid").as("comm_vid"), col("id").as("community")),
         Seq("comm_vid"))
       .select("id", "community")
+      .localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    comm.unpersist(blocking = false)
+    out
   }
 
   /** Community density (GA4): internal undirected edge count over

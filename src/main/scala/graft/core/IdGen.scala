@@ -41,11 +41,26 @@ object IdGen {
   def next(): String =
     fmt(System.currentTimeMillis(), counter.getAndIncrement() | (1L << 59))
 
-  /** Distributed UUIDv7-format id column: statement timestamp (constant
-    * per mutation batch — preserves cross-statement creation order) +
-    * `monotonically_increasing_id()` uniqueness bits. */
+  /** Last timestamp handed to a [[distributedExpr]] batch. Each batch
+    * claims a STRICTLY GREATER millisecond than every previous batch
+    * (`max(now, prev+1)`): `monotonically_increasing_id()` is
+    * deterministic for a given partitioning, so two edge-creating
+    * batches in one statement (e.g. `CREATE (a)-[:X]->(b) CREATE
+    * (a)-[:Y]->(b)`, multi-hop CREATE paths, MERGE-then-CREATE) would
+    * otherwise reuse identical (time, seq) pairs and emit duplicate
+    * ids — corrupting DELETE-by-rel-var, MERGE's min(id) dedup, and
+    * RETURN joins. The time field only drifts ahead of wall-clock under
+    * a sustained >1000 batches/sec, and stays creation-ordered (the
+    * UUIDv7 property `id(a) < id(b)` queries rely on). */
+  private val lastBatchMs = new AtomicLong(0L)
+
+  /** Distributed UUIDv7-format id column: per-batch unique timestamp
+    * (see [[lastBatchMs]] — preserves cross-batch creation order AND
+    * cross-batch uniqueness) + `monotonically_increasing_id()`
+    * uniqueness bits within the batch. */
   def distributedExpr(statementMs: Long): Column = {
-    val timeHex = f"${statementMs & 0xffffffffffffL}%012x"
+    val batchMs = lastBatchMs.updateAndGet(prev => math.max(statementMs, prev + 1L))
+    val timeHex = f"${batchMs & 0xffffffffffffL}%012x"
     val seq = monotonically_increasing_id()
     concat(
       lit(timeHex.substring(0, 8)), lit("-"), lit(timeHex.substring(8)), lit("-7"),

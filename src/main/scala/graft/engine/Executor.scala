@@ -141,6 +141,15 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         val nr = filterNodes(g.nodes, npR.label, npR.props).select(col("id").as("__r"))
         eo = eo.join(nr, "__r")
       }
+      // shared-variable collisions WITHIN the pattern (the reference
+      // inserts the left binding, then checks the right endpoint
+      // against it, cypher_spec.rs:925-936): the same unbound variable
+      // on both endpoints matches self-loops only; a node-var/rel-var
+      // name collision can never match (node and rel ids are disjoint
+      // namespaces, so the consistency check always fails)
+      if (lv == rv && !kinds.contains(lv)) eo = eo.filter(col("__l") === col("__r"))
+      if (relv == lv && !kinds.contains(relv)) eo = eo.filter(col("__rid") === col("__l"))
+      if (relv == rv && !kinds.contains(relv)) eo = eo.filter(col("__rid") === col("__r"))
       val conds = mutable.Buffer.empty[Column]
       if (kinds.contains(lv)) conds += col(lv) === col("__l")
       if (kinds.contains(rv)) conds += col(rv) === col("__r")
@@ -150,8 +159,9 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         else b.join(eo, conds.reduce(_ && _))
       var out = joined
       if (!kinds.contains(lv)) out = out.withColumn(lv, col("__l"))
-      if (!kinds.contains(rv)) out = out.withColumn(rv, col("__r"))
-      if (!kinds.contains(relv)) out = out.withColumn(relv, col("__rid"))
+      if (!kinds.contains(rv) && rv != lv) out = out.withColumn(rv, col("__r"))
+      if (!kinds.contains(relv) && relv != lv && relv != rv)
+        out = out.withColumn(relv, col("__rid"))
       out.drop("__rid", "__l", "__r")
     }
 
@@ -174,7 +184,10 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     if (rp.props.nonEmpty)
       throw ParseException("variable-length relationships with properties not supported yet")
     val cap = 8
-    val mn = math.max(mn0, 1)
+    // *0..n is honored: min_hops=0 matches the source node itself at
+    // depth 0 (cypher_spec.rs:833-838 seeds the BFS result set with the
+    // source when min==0)
+    val mn = math.max(mn0, 0)
     val mx = math.min(mx0, cap)
     val lv = npL.variable.getOrElse { val a = freshAnon(); hidden += a; a }
     val rv = npR.variable.getOrElse { val a = freshAnon(); hidden += a; a }
@@ -202,14 +215,24 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       }
     }
 
+    // bound left endpoints are still re-filtered by the left node
+    // pattern (the reference applies node_ok over left_ids before the
+    // BFS, cypher_spec.rs:818-831): rows whose bound node fails the
+    // pattern are dropped by the final inner join on the pairs
     val sources: DataFrame =
-      (if (kinds.contains(lv)) binding.select(col(lv).as("__s")).distinct()
-       else filterNodesRaw(npL.label, npL.props).select(col("id").as("__s")))
+      (if (kinds.contains(lv)) {
+        val b0 = binding.select(col(lv).as("__s")).distinct()
+        if (npL.label.nonEmpty || npL.props.nonEmpty)
+          b0.join(filterNodesRaw(npL.label, npL.props).select(col("id").as("__s")),
+            Seq("__s"), "left_semi")
+        else b0
+      } else filterNodesRaw(npL.label, npL.props).select(col("id").as("__s")))
         .localCheckpoint(true)
 
     var frontier = sources.select(col("__s"), col("__s").as("__c"))
     var visited = frontier
-    var results: DataFrame = null
+    // depth-0 (source, source) pairs when zero hops are allowed
+    var results: DataFrame = if (mn == 0) frontier else null
     var depth = 0
     while (depth < mx) {
       depth += 1
@@ -230,6 +253,9 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       val nr = filterNodesRaw(npR.label, npR.props).select(col("id").as("__r"))
       pairs = pairs.join(nr, "__r")
     }
+    // same unbound variable on both endpoints: cycles back to the
+    // source only (see matchRelStep's shared-variable handling)
+    if (lv == rv && !kinds.contains(lv)) pairs = pairs.filter(col("__l") === col("__r"))
     val conds = mutable.Buffer.empty[Column]
     if (kinds.contains(lv)) conds += col(lv) === col("__l")
     if (kinds.contains(rv)) conds += col(rv) === col("__r")
@@ -238,7 +264,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       else binding.join(pairs, conds.reduce(_ && _))
     var out = joined
     if (!kinds.contains(lv)) out = out.withColumn(lv, col("__l"))
-    if (!kinds.contains(rv)) out = out.withColumn(rv, col("__r"))
+    if (!kinds.contains(rv) && rv != lv) out = out.withColumn(rv, col("__r"))
     out = out.drop("__l", "__r")
     if (!kinds.contains(lv)) kinds(lv) = NodeKind
     if (!kinds.contains(rv)) kinds(rv) = NodeKind
@@ -253,6 +279,21 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     else b.join(
       g.nodes.select(col("id").as(s"${v}__pid"), col("properties").as(s"${v}__props")),
       col(v) === col(s"${v}__pid"), "left").drop(s"${v}__pid")
+  }
+
+  /** Driver-result guard: the reference materializes every result row
+    * in memory (its OLTP-sized contract); at Spark scale an unbounded
+    * `MATCH (n) RETURN n` is a driver OOM. Results are fetched through
+    * a configurable cap (`spark.graft.maxResultRows`, default 1M) with
+    * a clear error past it — bounded driver memory, single job. */
+  private def collectCapped(b: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val cap = spark.conf.getOption("spark.graft.maxResultRows")
+      .map(_.toInt).getOrElse(1000000)
+    val rows = b.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw ParseException(
+        s"Result exceeds spark.graft.maxResultRows=$cap rows; add LIMIT or raise the cap")
+    rows
   }
 
   private def strCmp(l: Column, r: Column, op: String): Column = op match {
@@ -331,7 +372,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
           col("dst").as(s"${v}__dst"), col("label").as(s"${v}__label"),
           col("properties").as(s"${v}__props")), col(v) === col(s"${v}__id"), "left")
       }
-      val collected = b.collect()
+      val collected = collectCapped(b)
       collected.foreach { row =>
         visibleVars.foreach { v =>
           if (row.getAs[String](s"${v}__id") != null) {
@@ -678,7 +719,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       limit.foreach(n => b = b.limit(n))
     }
 
-    val collected = b.collect()
+    val collected = collectCapped(b)
     val rows = mutable.Buffer.empty[ResultRow]
     collected.foreach { row =>
       items.zipWithIndex.foreach { case (it, i) =>

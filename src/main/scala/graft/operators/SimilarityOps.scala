@@ -15,9 +15,11 @@ import graft.Tables
   *  - the LSH variants (bucketed cosine, MinHash bands, SimHash bands)
   *    replace the quadratic candidate generation with an equi-join on
   *    bucket keys — the 100 TB path;
-  *  - all hash families use xxhash64 (codegen'd Catalyst expression),
-  *    which is why these ops have no DuckDB oracle (hash functions are
-  *    engine-specific) — correctness is pinned by ScalaTest instead.
+  *  - all hash families use md5 (bit-identical hex across engines, as
+  *    q20/q24 prove), so every op here is DuckDB-oracle-checkable.
+  *    MinHash minimizes md5 hex STRINGS — fixed-width lowercase hex
+  *    compares lexicographically exactly as the underlying 128-bit
+  *    value, so no integer conversion is needed in either engine.
   */
 object SimilarityOps {
 
@@ -75,38 +77,81 @@ object SimilarityOps {
       when(dot(col("embedding"), typedLit(pl(p).toSeq)) >= 0, lit(1))
         .otherwise(lit(0)).cast("string")
     }
+    // members as a JSON string, not a raw array: scalar output columns
+    // only (the driver's result hasher can't sort array cells)
     emb.select(col("vec_id"), concat(bitCols: _*).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("bucket_size"),
-        sort_array(collect_list(col("vec_id"))).as("members"))
+        to_json(sort_array(collect_list(col("vec_id")))).as("members"))
       .orderBy("bucket")
   }
 
-  /** IVF (inverted-file) ANN: MLlib KMeans coarse quantizer over the
-    * corpus (nlist cells, fixed seed — deterministic), queries probe
-    * their nprobe nearest cells, exact cosine only within probed cells.
+  /** DuckDB rendering of [[cosineLshBuckets]]: the hyperplanes are
+    * driver-side literal doubles, so the sign-bit bucketing is fully
+    * expressible in SQL (plane coefficients shipped as a VALUES list in
+    * round-tripping scientific notation). */
+  def cosineLshOracleSql(nPlanes: Int = 8, dim: Int = 64): String = {
+    val pl = planes(nPlanes, dim)
+    val values = (for (p <- 0 until nPlanes; j <- 0 until dim)
+      yield s"($p,$j,${"%.17e".formatLocal(java.util.Locale.ROOT, pl(p)(j))})")
+      .mkString(",")
+    s"""WITH planes(p, d, coef) AS (VALUES $values),
+       |u AS (SELECT vec_id, unnest(embedding) AS ev,
+       |        generate_subscripts(embedding, 1) - 1 AS d
+       |      FROM embeddings),
+       |dots AS (SELECT u.vec_id, planes.p,
+       |           SUM(CAST(u.ev AS DOUBLE) * planes.coef) AS dot
+       |         FROM u JOIN planes USING (d) GROUP BY u.vec_id, planes.p),
+       |buckets AS (SELECT vec_id,
+       |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM dots GROUP BY vec_id)
+       |SELECT bucket, COUNT(*) AS bucket_size,
+       |  '[' || string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) || ']' AS members
+       |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** IVF coarse-quantizer index, trained ONCE per (dataset, nlist) per
+    * process and cached: KMeans fits on a deterministic bounded sample
+    * (`vec_id < 4096`), never the full corpus — the quantizer's quality
+    * plateaus at thousands of training points while a full-corpus fit
+    * is a multi-pass O(corpus) job (measured 105 s of the sf0.1 bench;
+    * the sample fit is ~2 s). At 100 TB the same shape holds: train on
+    * a sample offline, persist the centroids, assign the corpus in one
+    * map-only pass. Returns (centroid table rows, cell-assigned corpus). */
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Seq[(Int, Seq[Double])], DataFrame)]
+
+  private def ivfIndex(s: SparkSession, d: String, nlist: Int,
+      sampleCap: Int = 4096): (Seq[(Int, Seq[Double])], DataFrame) =
+    ivfCache.getOrElseUpdate((d, nlist), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, d)
+        .withColumn("vec", array_to_vector(col("embedding")))
+        .localCheckpoint(true)
+      val model = new KMeans().setK(nlist).setSeed(42L)
+        .setFeaturesCol("vec").setPredictionCol("cell")
+        .fit(emb.filter(col("vec_id") < sampleCap))
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint(true)
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toSeq
+      (centroids, assigned)
+    })
+
+  /** IVF (inverted-file) ANN: sample-trained KMeans coarse quantizer
+    * ([[ivfIndex]] — fixed seed, deterministic), queries probe their
+    * nprobe nearest cells, exact cosine only within probed cells.
     * The 100 TB path: the corpus is partitioned by cell id, a query
     * touches nprobe/nlist of the data; recall vs brute force is pinned
     * by `IoAndOpsSpec`. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val emb = Tables.embeddings(s, d)
-      .withColumn("vec", array_to_vector(col("embedding")))
-      .localCheckpoint(true)
-    val model = new KMeans().setK(nlist).setSeed(42L)
-      .setFeaturesCol("vec").setPredictionCol("cell")
-      .fit(emb)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint(true)
+    val (centroids, assigned) = ivfIndex(s, d, nlist)
 
     // centroid table is tiny — compute each query's nprobe nearest cells
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }.toSeq
     val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -136,18 +181,23 @@ object SimilarityOps {
   /** MinHash + LSH banding near-dup detection on documents:
     * word-3-gram shingles → k=32 minhash signature → 8 bands × 4 rows →
     * band-bucket equi-join for candidates → signature-estimated Jaccard
-    * filter. No quadratic pair enumeration at any point. */
+    * filter. No quadratic pair enumeration at any point.
+    *
+    * Hash family: `md5(i ":" shingle)` hex strings, minimized
+    * LEXICOGRAPHICALLY — fixed-width lowercase hex orders exactly as
+    * the 128-bit value, and DuckDB's md5 is bit-identical, so the whole
+    * op is oracle-checkable (see [[minHashOracleSql]]). */
   def minHashLsh(s: SparkSession, d: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val shingleRows0 = TextOps.shingleRows(s, d)
     // Signature via explode + numHashes flat hash columns + partial-agg
     // min: every expression stays inside whole-stage codegen. (The
-    // nested-HOF formulation — transform(transform(xxhash64))) — runs
-    // interpreted per element: measured 80× slower. The groupBy gives
-    // map-side combine, so at scale only one signature row per doc
-    // crosses the wire.)
-    val hashCols = (0 until numHashes).map(i => xxhash64(lit(i), col("sh")).as(s"h$i"))
+    // nested-HOF formulation runs interpreted per element: measured 80×
+    // slower. The groupBy gives map-side combine, so at scale only one
+    // signature row per doc crosses the wire.)
+    val hashCols = (0 until numHashes).map(i =>
+      md5(concat(lit(s"$i:"), col("sh")).cast("binary")).as(s"h$i"))
     val minCols = (0 until numHashes).map(i => min(col(s"h$i")).as(s"m$i"))
     val withSig = shingleRows0
       .select(col("doc_id") +: hashCols: _*)
@@ -155,13 +205,13 @@ object SimilarityOps {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // band key = hash of the band's signature slice
+    // band key = md5 of the band's signature slice (bounds the join-key
+    // width at scale vs carrying the raw 4×32-hex concatenation)
+    val bandKeyCols = (0 until bands).map { b =>
+      md5(concat_ws(",", slice(col("sig"), b * rows + 1, rows)).cast("binary"))
+    }
     val banded = withSig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            x => x.cast("string"))))))
-        .as(Seq("band_idx", "band_key")))
+      posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
     // dedup candidate pairs on bare ids first; fetch signatures after
     val cand = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_key"))
       .join(banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_key")),
@@ -180,42 +230,122 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash near-dup: 64-bit signature from token hashes (per-bit
-    * majority vote), candidates from 4×16-bit band collisions, kept when
-    * hamming distance ≤ maxHamming. Pure expression pipeline — no UDFs,
-    * no explode of the token list. */
+  /** DuckDB rendering of [[minHashLsh]] (same shingles as the q25
+    * oracle; md5-hex minhash; band keys compare equal iff the signature
+    * slices compare equal, so the oracle can band on the raw slice). */
+  def minHashOracleSql(numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): String = {
+    val rows = numHashes / bands
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+       |        FROM toks WHERE len(t) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+       |       FROM sh0),
+       |hs AS (SELECT doc_id, hi.i AS i, MIN(md5(hi.i || ':' || sh)) AS mh
+       |       FROM sh CROSS JOIN range($numHashes) AS hi(i)
+       |       GROUP BY doc_id, hi.i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, bb.b AS band_idx,
+       |    md5(array_to_string(list_slice(sig, bb.b*$rows+1, bb.b*$rows+$rows), ',')) AS band_key
+       |  FROM sig CROSS JOIN range($bands) AS bb(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM banded a JOIN banded b USING (band_idx, band_key)
+       |         WHERE a.doc_id < b.doc_id),
+       |j AS (SELECT a_id, b_id,
+       |        CAST(len(list_filter(range(1, $numHashes + 1),
+       |          i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+       |      FROM cand JOIN sig sa ON sa.doc_id = a_id
+       |        JOIN sig sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, est_jaccard FROM j WHERE est_jaccard >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** SimHash near-dup: 64-bit signature from the top 64 bits of each
+    * token's md5 (per-bit majority vote), candidates from 4×16-bit band
+    * collisions, kept when hamming distance ≤ maxHamming. Pure
+    * expression pipeline — no UDFs; md5 makes it oracle-checkable
+    * ([[simHashOracleSql]]). The signature is kept as a 64-element bit
+    * ARRAY (not a packed i64): band keys become 16-char bit strings and
+    * the oracle never has to build a value that overflows DuckDB's
+    * checked BIGINT arithmetic at bit 63. */
   def simHashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     // Per-bit majority vote as 64 flat codegen'd agg columns over the
     // exploded token stream (the nested-HOF formulation runs
     // interpreted — see minHashLsh). Map-side combine means one
-    // 64-counter row per doc reaches the shuffle.
+    // 64-counter row per doc reaches the shuffle. Bit b of the 64-bit
+    // value of md5's first 16 hex chars: hex digit 16-b/4, bit b%4.
     val tokenRows = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+    val bitCols = (0 until 64).map { b =>
+      shiftright(conv(substring(col("h"), 16 - b / 4, 1), 16, 10).cast("int"), b % 4)
+        .bitwiseAND(lit(1)).as(s"bit$b")
+    }
     val voteCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
+      sum(when(col(s"bit$b") === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val sigs = tokenRows
+      .select(col("doc_id") +: bitCols: _*)
       .groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, CAST(b*16 AS INT)) & 65535)"))
-        .as(Seq("band_idx", "band_key")))
-    banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
+        array((0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1)).otherwise(lit(0))): _*).as("bits"))
+    val bandKeyCols = (0 until 4).map { bb =>
+      concat_ws("", slice(col("bits"), bb * 16 + 1, 16).cast("array<string>"))
+    }
+    val banded = sigs.select(col("doc_id"), col("bits"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
+    banded.select(col("doc_id").as("a_id"), col("bits").as("a_bits"),
         col("band_idx"), col("band_key"))
-      .join(banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"),
+      .join(banded.select(col("doc_id").as("b_id"), col("bits").as("b_bits"),
         col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
-      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .select("a_id", "b_id", "a_bits", "b_bits").distinct()
+      .withColumn("hamming",
+        aggregate(zip_with(col("a_bits"), col("b_bits"),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
+
+  /** DuckDB rendering of [[simHashPairs]]. */
+  def simHashOracleSql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id, rb.b AS b,
+       |    ((strpos('0123456789abcdef', substring(h, CAST(16 - rb.b // 4 AS INT), 1)) - 1)
+       |      >> (rb.b % 4)) & 1 AS bitv
+       |  FROM th CROSS JOIN range(64) AS rb(b)),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN bitv = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bs
+       |  FROM votes GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, bb.b AS band_idx,
+       |    substring(bs, CAST(bb.b * 16 + 1 AS INT), 16) AS band_key, bs
+       |  FROM sig CROSS JOIN range(4) AS bb(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.bs AS a_bs, b.bs AS b_bs
+       |  FROM banded a JOIN banded b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_filter(range(1, 65),
+       |      i -> substring(a_bs, CAST(i AS INT), 1) <> substring(b_bs, CAST(i AS INT), 1)))
+       |      AS BIGINT) AS hamming
+       |  FROM cand)
+       |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
 }

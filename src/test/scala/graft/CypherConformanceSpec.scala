@@ -464,6 +464,78 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(s.nodeCount == 2)
   }
+
+  // shared unbound variable on both endpoints matches self-loops only
+  // (reference inserts the left binding then checks the right endpoint)
+  test("cypher_shared_var_pattern_matches_self_loops_only") {
+    val s = newSession()
+    s.execute("CREATE (:N {name:'loop'})")
+    s.execute("CREATE (:N {name:'plain'})")
+    s.execute("MATCH (a:N {name:'loop'}) CREATE (a)-[:L]->(a)")
+    s.execute("MATCH (a:N {name:'loop'}), (b:N {name:'plain'}) CREATE (a)-[:L]->(b)")
+    val out = s.execute("MATCH (x)-[r:L]->(x) RETURN x")
+    assert(out.rows.length == 1)
+    assert(out.rows.head.properties("name") == "loop")
+    // var-length flavor: the BFS visited set is seeded with the source
+    // (reference `seen.insert(lid)` at depth 0), so a node can never
+    // re-reach itself at depth >= 1 — shared-var var-length is empty
+    val vl = s.execute("MATCH (x:N)-[:L*1..1]->(x) RETURN x")
+    assert(vl.rows.isEmpty)
+    // at depth 0 (*0..) every source trivially matches itself
+    val vl0 = s.execute("MATCH (x:N)-[:L*0..1]->(x) RETURN x")
+    assert(vl0.rows.length == 2)
+  }
+
+  // *0..n matches the source node itself at depth 0 (cypher_spec.rs
+  // seeds the BFS with (source, 0) and emits when d >= min_hops)
+  test("cypher_varlength_zero_hop") {
+    val s = newSession()
+    s.execute("CREATE (:Z {name:'src'})")
+    s.execute("CREATE (:Z {name:'dst'})")
+    s.execute("MATCH (a:Z {name:'src'}), (b:Z {name:'dst'}) CREATE (a)-[:R]->(b)")
+    val out = s.execute("MATCH (a:Z {name:'src'})-[:R*0..1]->(b) RETURN b.name")
+    val names = out.rows.map(_.info).sorted
+    assert(names == Seq("dst", "src"))
+  }
+
+  // a bound left endpoint is re-filtered by the var-length pattern's
+  // label (reference applies node_ok over left_ids before the BFS)
+  test("cypher_varlength_bound_left_refiltered") {
+    val s = newSession()
+    s.execute("CREATE (:Good {name:'g'})")
+    s.execute("CREATE (:Bad {name:'b'})")
+    s.execute("CREATE (:Tgt {name:'t'})")
+    s.execute("MATCH (a:Good), (t:Tgt) CREATE (a)-[:E]->(t)")
+    s.execute("MATCH (a:Bad), (t:Tgt) CREATE (a)-[:E]->(t)")
+    // first MATCH binds a to every node; the var-length step must keep
+    // only rows whose bound a satisfies (:Good)
+    val out = s.execute("MATCH (a) MATCH (a:Good)-[:E*1..1]->(b) RETURN a")
+    assert(out.rows.length == 1 && out.rows.head.label == "Good")
+  }
+
+  // multi-batch edge creation in one statement must emit distinct ids
+  // (the reference allocates a fresh Uuid::now_v7 per relationship)
+  test("cypher_multi_create_edge_ids_unique") {
+    val s = newSession()
+    s.execute("CREATE (:A {name:'a1'}) CREATE (:A {name:'a2'})")
+    s.execute("CREATE (:B {name:'b1'}) CREATE (:B {name:'b2'})")
+    s.execute("MATCH (a:A), (b:B) CREATE (a)-[:X]->(b) CREATE (a)-[:Y]->(b)")
+    val rels = s.execute("MATCH (a)-[r]->(b) RETURN r").rows.filter(_.kind == "relationship")
+    assert(rels.length == 8) // 4 pairs x 2 CREATE clauses
+    assert(rels.map(_.id).distinct.length == 8, "duplicate relationship ids")
+  }
+
+  // driver-result guard: unbounded RETURN past the cap errors clearly
+  test("cypher_result_cap_guard") {
+    val s = newSession()
+    (1 to 8).foreach(i => s.execute(s"CREATE (:Cap {i:'$i'})"))
+    spark.conf.set("spark.graft.maxResultRows", "5")
+    try {
+      val e = intercept[Exception] { s.execute("MATCH (n:Cap) RETURN n") }
+      assert(e.getMessage.contains("maxResultRows"))
+    } finally spark.conf.unset("spark.graft.maxResultRows")
+    assert(s.execute("MATCH (n:Cap) RETURN n").rows.length == 8)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

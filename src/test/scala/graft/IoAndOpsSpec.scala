@@ -106,7 +106,7 @@ class IoAndOpsSpec extends AnyFunSuite {
     val p1 = SimilarityOps.simHashPairs(spark, sf).collect().toSeq
     val p2 = SimilarityOps.simHashPairs(spark, sf).collect().toSeq
     assert(p1 == p2)
-    assert(p1.forall(_.getInt(2) <= 3) || p1.forall(r => r.getAs[Int]("hamming") <= 3))
+    assert(p1.forall(_.getLong(2) <= 3L))
   }
 
   test("ivf_topk_recall_vs_brute_force") {
@@ -121,5 +121,22 @@ class IoAndOpsSpec extends AnyFunSuite {
   test("graph_builder_fk_integrity") {
     val g = GraphBuilder.fromTables(spark, sf)
     assert(g.danglingEdges.limit(1).count() == 0)
+  }
+
+  // frontend.rs:546 requires `la == lb && !la.is_empty()` — two nodes
+  // with EMPTY labels must not get the 0.75 same-label bonus
+  test("lpa_weight_no_bonus_for_empty_labels") {
+    val nodes = PropertyGraph.nodesDf(spark, Seq(
+      ("u", "", Map.empty[String, String]),
+      ("v", "", Map.empty[String, String]),
+      ("x", "L", Map.empty[String, String]),
+      ("y", "L", Map.empty[String, String])))
+    val edges = PropertyGraph.edgesDf(spark, Seq(
+      ("e1", "u", "v", "E", Map.empty[String, String]),
+      ("e2", "x", "y", "E", Map.empty[String, String])))
+    val w = graft.algo.GraphAlgos.weightedNeighborPairs(PropertyGraph(nodes, edges))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(w(("u", "v")) == 1.0, "empty-label pair must not get the same-label bonus")
+    assert(w(("x", "y")) == 1.75, "non-empty same-label pair gets the bonus")
   }
 }
