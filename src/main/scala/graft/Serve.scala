@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.api.{EngineBroker, HttpApi, WsRepl}
+import graft.engine.GraphSession
+import graft.io.GraphStore
+
+/** Headless daemon — parity with the reference's `--background` mode
+  * (src/main.rs:214-289): load the active snapshot if one exists, start
+  * the HTTP API and the WebSocket REPL on ONE shared engine broker,
+  * then run the dirty-flag autosave loop (save when a mutation has
+  * happened AND >5 s since the last save, main.rs:250-265).
+  *
+  * This is also the durable commit policy for cluster deployments: the
+  * in-session `localCheckpoint` commit (PropertyGraph.materialized)
+  * does not survive executor loss, so the daemon periodically persists
+  * the graph through GraphStore's atomic versioned snapshots and can
+  * reload from the active snapshot on restart.
+  *
+  * Usage: graft.Serve --data DIR [--port 8786] [--ws-port 8787]
+  *        [--api-key K] [--log-dir D] [--autosave-secs 5]
+  */
+object Serve {
+
+  /** Wires broker + servers + autosave; returns a handle for tests. */
+  final class Daemon(session: GraphSession, dataDir: String,
+      port: Int = 0, wsPort: Int = 0, apiKey: Option[String] = None,
+      logDir: Option[String] = None, autosaveSecs: Long = 5,
+      pollMs: Long = 100) {
+
+    if (GraphStore.listVersions(dataDir).nonEmpty)
+      session.graph = GraphStore.load(session.spark, dataDir)
+
+    val broker = new EngineBroker(session, logDir)
+    val http = new HttpApi(session, port, apiKey, logDir, Some(broker))
+    val ws = new WsRepl(broker, wsPort, apiKey)
+
+    private val dirty = new AtomicBoolean(false)
+    @volatile private var lastSaveNs = System.nanoTime()
+    @volatile private var running = false
+    broker.onMutation = () => dirty.set(true)
+
+    private val autosaveThread = new Thread(() => {
+      while (running) {
+        try {
+          if (dirty.get() && (System.nanoTime() - lastSaveNs) / 1e9 >= autosaveSecs) {
+            // clear BEFORE saving: a mutation landing mid-save re-marks
+            // dirty and is picked up by the next cycle
+            dirty.set(false)
+            GraphStore.save(session.graph, dataDir)
+            lastSaveNs = System.nanoTime()
+          }
+          Thread.sleep(pollMs)
+        } catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case e: Exception => System.err.println(s"[graft] autosave failed: ${e.getMessage}")
+        }
+      }
+    }, "graft-autosave")
+    autosaveThread.setDaemon(true)
+
+    def start(): (Int, Int) = {
+      running = true
+      val hp = http.start()
+      val wp = ws.start()
+      autosaveThread.start()
+      (hp, wp)
+    }
+
+    def stop(): Unit = {
+      running = false
+      autosaveThread.interrupt()
+      ws.stop()
+      http.stop()
+      broker.stop()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    var dataDir = "graft-data"
+    var port = 8786
+    var wsPort = 8787
+    var apiKey: Option[String] = None
+    var logDir: Option[String] = None
+    var autosaveSecs = 5L
+    var argv = args.toList
+    while (argv.nonEmpty) argv = argv match {
+      case "--data" :: d :: t => dataDir = d; t
+      case "--port" :: p :: t => port = p.toInt; t
+      case "--ws-port" :: p :: t => wsPort = p.toInt; t
+      case "--api-key" :: k :: t => apiKey = Some(k); t
+      case "--log-dir" :: d :: t => logDir = Some(d); t
+      case "--autosave-secs" :: s :: t => autosaveSecs = s.toLong; t
+      case _ :: t => t
+      case Nil => Nil
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val daemon = new Daemon(new GraphSession(spark), dataDir, port, wsPort,
+      apiKey, logDir, autosaveSecs)
+    val (hp, wp) = daemon.start()
+    System.err.println(s"[graft] daemon up: http=$hp ws=$wp data=$dataDir " +
+      s"autosave=${autosaveSecs}s (Ctrl+C to stop)")
+    Thread.currentThread().join() // serve until killed
+  }
+}

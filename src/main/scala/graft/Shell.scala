@@ -6,11 +6,53 @@ import scala.io.StdIn
 import graft.engine.GraphSession
 
 /** Interactive console REPL — capability parity with the reference's
-  * `glsh` client (src/bin/glsh.rs: banner, line-per-query, `:quit`),
-  * speaking directly to the engine instead of a WebSocket. Supports
-  * `-e "<query>"` one-shot evaluation like `glsh -e`. */
+  * `glsh` client (src/bin/glsh.rs): banner, line-per-query, `:quit`,
+  * `-e "<query>"` one-shot evaluation.
+  *
+  * Two transports, like glsh vs the GUI console:
+  *  - default: speaks directly to an in-process engine;
+  *  - `--ws <host> <port> [--api-key K] [-e QUERY]`: connects to a
+  *    running `graft.Serve` daemon's WebSocket REPL (`/api/repl`),
+  *    exactly as glsh connects to the reference server
+  *    (glsh.rs:57-230 — banner consumed, text frame per query,
+  *    pretty-JSON responses printed). */
 object Shell {
+
+  private def wsMain(rest: List[String]): Unit = {
+    var host = "127.0.0.1"; var port = 8787
+    var apiKey: Option[String] = None; var eval: Option[String] = None
+    var argv = rest
+    if (argv.nonEmpty && !argv.head.startsWith("-")) { host = argv.head; argv = argv.tail }
+    if (argv.nonEmpty && argv.head.forall(_.isDigit)) { port = argv.head.toInt; argv = argv.tail }
+    while (argv.nonEmpty) argv = argv match {
+      case "--api-key" :: k :: t => apiKey = Some(k); t
+      case "-e" :: q :: t => eval = Some(q); t
+      case _ :: t => t
+      case Nil => Nil
+    }
+    val client = new graft.api.WsClient(host, port, apiKey = apiKey)
+    client.recvText(5000).foreach(println) // banner
+    def roundTrip(q: String): Unit = {
+      client.sendText(q)
+      println(client.recvText().getOrElse("(connection closed)"))
+    }
+    eval match {
+      case Some(q) => roundTrip(q)
+      case None =>
+        var line = StdIn.readLine("graft> ")
+        while (line != null && line.trim != ":quit") {
+          if (line.trim.nonEmpty) roundTrip(line)
+          line = StdIn.readLine("graft> ")
+        }
+    }
+    client.close()
+  }
+
   def main(args: Array[String]): Unit = {
+    args.toList match {
+      case "--ws" :: rest => wsMain(rest); return
+      case _ =>
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

@@ -124,9 +124,13 @@ object GraphAlgos {
       // per-destination community→summed-weight map; argmax with ties
       // to the smallest community id (the deterministic Jacobi stand-in
       // for the reference's sequential id-sorted sweep)
+      // plain mutable.HashMap, NOT LongMap: aggregateByKey round-trips
+      // its zero value through the configured serializer, and Kryo
+      // (chill) rebuilds Scala maps as HashMap — a LongMap zero comes
+      // back as the wrong class and the seqOp cast explodes
       val best: RDD[(Long, Long)] = edges.join(comm) // narrow
         .map { case (_, ((u, w), cv)) => (u, (cv, w)) }
-        .aggregateByKey(mutable.LongMap.empty[Double], part)( // the sweep's one shuffle
+        .aggregateByKey(mutable.HashMap.empty[Long, Double], part)( // the sweep's one shuffle
           (m, cw) => { m(cw._1) = m.getOrElse(cw._1, 0.0) + cw._2; m },
           (m1, m2) => {
             val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)

@@ -1,0 +1,72 @@
+package graft.api
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.control.NonFatal
+
+import graft.engine.{GraphSession, QueryOutcome}
+import graft.io.QueryLog
+
+/** The single-engine-thread request broker (reference api/mod.rs:8-32 +
+  * the drain loops at frontend.rs:1226-1250 / main.rs:268-288): every
+  * API transport (HTTP, WebSocket REPL, headless daemon) enqueues
+  * requests here; ONE engine thread executes them against the
+  * GraphSession, so mutations are linearized exactly like the
+  * reference's engine thread while Spark parallelizes each query
+  * internally.
+  */
+class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
+
+  private case class Req(rid: String, query: String, params: Map[String, String],
+      respond: Either[String, QueryOutcome] => Unit)
+
+  private val queue = new LinkedBlockingQueue[Req]()
+  private val ridCounter = new AtomicLong(0)
+  val apiLog: Option[QueryLog] = logDir.map(d => new QueryLog(d, "api"))
+  private val queryLog = logDir.map(d => new QueryLog(d, "queries"))
+
+  /** Mutation hook — the daemon's dirty flag (main.rs:250-265). Fired on
+    * the engine thread after a statement reports `mutated`. */
+  @volatile var onMutation: () => Unit = () => ()
+
+  private val engineThread = new Thread(() => {
+    while (!Thread.currentThread().isInterrupted) {
+      try {
+        val req = queue.take()
+        val result =
+          try {
+            val out = session.executeWithParams(req.query, req.params)
+            queryLog.foreach(_.logQuery(req.query, ok = true,
+              out.affectedNodes, out.affectedRels, out.mutated))
+            if (out.mutated) onMutation()
+            Right(out)
+          } catch {
+            case NonFatal(e) =>
+              queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
+                mutated = false, error = Some(e.getMessage)))
+              Left(Option(e.getMessage).getOrElse(e.toString))
+          }
+        req.respond(result)
+      } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
+  }, "graft-engine")
+  engineThread.setDaemon(true)
+
+  def nextRid(): String = s"${System.nanoTime()}-${ridCounter.getAndIncrement()}"
+
+  /** Enqueue and block up to `timeoutSec`; None = timeout (the request
+    * still completes on the engine thread, matching the reference's
+    * recv_timeout semantics). */
+  def execute(query: String, params: Map[String, String],
+      timeoutSec: Long): Option[Either[String, QueryOutcome]] = {
+    val resultQ = new LinkedBlockingQueue[Either[String, QueryOutcome]](1)
+    queue.put(Req(nextRid(), query, params, r => resultQ.put(r)))
+    Option(resultQ.poll(timeoutSec, TimeUnit.SECONDS))
+  }
+
+  def start(): Unit = synchronized {
+    if (!engineThread.isAlive) engineThread.start()
+  }
+
+  def stop(): Unit = engineThread.interrupt()
+}

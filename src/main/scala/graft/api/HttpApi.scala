@@ -3,12 +3,10 @@ package graft.api
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.{Executors, LinkedBlockingQueue, TimeUnit}
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.Executors
 import scala.util.control.NonFatal
 
-import graft.engine.{GraphSession, QueryOutcome, ResultRow}
-import graft.io.QueryLog
+import graft.engine.GraphSession
 
 /** HTTP query API — the reference's `POST /api/query` contract
   * (api/server.rs:60-177): JSON `{query, params?, log?}` in, DTO rows +
@@ -17,44 +15,16 @@ import graft.io.QueryLog
   * string on failure; 504 on timeout (30 s); per-request RID + latency
   * log lines.
   *
-  * Mirrors the reference's broker architecture (SURVEY §3/API4): HTTP
-  * worker threads enqueue requests onto a single-consumer queue; ONE
-  * engine thread executes against the GraphSession — mutations are
-  * serialized exactly like the reference's engine thread, while Spark
-  * parallelizes each query internally.
+  * Transport only: execution goes through the shared [[EngineBroker]]
+  * (the reference's single-engine-thread architecture, SURVEY §3/API4),
+  * so HTTP requests serialize with the WebSocket REPL and the headless
+  * daemon against one engine thread.
   */
 class HttpApi(session: GraphSession, port: Int = 0,
-    apiKey: Option[String] = None, logDir: Option[String] = None) {
+    apiKey: Option[String] = None, logDir: Option[String] = None,
+    broker0: Option[EngineBroker] = None) {
 
-  private case class Req(rid: String, query: String, params: Map[String, String],
-      respond: Either[String, QueryOutcome] => Unit)
-
-  private val queue = new LinkedBlockingQueue[Req]()
-  private val ridCounter = new AtomicLong(0)
-  private val apiLog = logDir.map(d => new QueryLog(d, "api"))
-  private val queryLog = logDir.map(d => new QueryLog(d, "queries"))
-
-  private val engineThread = new Thread(() => {
-    while (!Thread.currentThread().isInterrupted) {
-      try {
-        val req = queue.take()
-        val result =
-          try {
-            val out = session.executeWithParams(req.query, req.params)
-            queryLog.foreach(_.logQuery(req.query, ok = true,
-              out.affectedNodes, out.affectedRels, out.mutated))
-            Right(out)
-          } catch {
-            case NonFatal(e) =>
-              queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
-                mutated = false, error = Some(e.getMessage)))
-              Left(Option(e.getMessage).getOrElse(e.toString))
-          }
-        req.respond(result)
-      } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
-    }
-  }, "graft-engine")
-  engineThread.setDaemon(true)
+  val broker: EngineBroker = broker0.getOrElse(new EngineBroker(session, logDir))
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4))
@@ -71,19 +41,17 @@ class HttpApi(session: GraphSession, port: Int = 0,
           case Some(qp) => qp
           case None => respond(ex, 400, "malformed request body"); return
         }
-        val rid = s"${System.nanoTime()}-${ridCounter.getAndIncrement()}"
+        val rid = broker.nextRid()
         val t0 = System.nanoTime()
-        val resultQ = new LinkedBlockingQueue[Either[String, QueryOutcome]](1)
-        queue.put(Req(rid, query, params, r => resultQ.put(r)))
-        Option(resultQ.poll(30, TimeUnit.SECONDS)) match {
+        broker.execute(query, params, timeoutSec = 30) match {
           case Some(Right(out)) =>
-            apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 200))
-            respondJson(ex, 200, outcomeJson(out))
+            broker.apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 200))
+            respondJson(ex, 200, Dto.outcomeJson(out))
           case Some(Left(err)) =>
-            apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 400))
+            broker.apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 400))
             respond(ex, 400, err)
           case None =>
-            apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 504))
+            broker.apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 504))
             respond(ex, 504, "query timeout")
         }
       } catch {
@@ -93,49 +61,15 @@ class HttpApi(session: GraphSession, port: Int = 0,
   })
 
   def start(): Int = {
-    engineThread.start()
+    broker.start()
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = {
     server.stop(0)
-    engineThread.interrupt()
+    if (broker0.isEmpty) broker.stop()
   }
-
-  // ------------------------------ JSON ----------------------------------
-  // Minimal hand-rolled JSON (no extra deps allowed): enough for the
-  // flat request/response shapes of this contract.
-
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
-  private def q(s: String): String = "\"" + jsonEscape(s) + "\""
-
-  private def rowJson(r: ResultRow): String = r.kind match {
-    case "node" =>
-      s"""{"kind":"node","id":${q(r.id)},"label":${q(r.label)},"metadata":${mapJson(r.properties)}}"""
-    case "relationship" =>
-      s"""{"kind":"relationship","id":${q(r.id)},"label":${q(r.label)},"from":${q(r.src)},"to":${q(r.dst)},"metadata":${mapJson(r.properties)}}"""
-    case _ =>
-      s"""{"kind":"info","id":"","info":${q(r.info)}}"""
-  }
-
-  private def mapJson(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }
-      .mkString("{", ",", "}")
-
-  private def outcomeJson(o: QueryOutcome): String =
-    s"""{"rows":[${o.rows.map(rowJson).mkString(",")}],""" +
-      s""""affected_nodes":${o.affectedNodes},""" +
-      s""""affected_relationships":${o.affectedRels},"mutated":${o.mutated}}"""
 
   /** Parse `{"query": "...", "params": {...}, "log": bool}`. */
   private def parseBody(body: String): Option[(String, Map[String, String])] = {
