@@ -2,13 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object QBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args; r <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"$name run$r: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
     }
   }

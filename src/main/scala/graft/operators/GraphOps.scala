@@ -12,9 +12,19 @@ import graft.core.GraphBuilder
   */
 object GraphOps {
 
+  /** One FK-derived graph per dataset per process: every graph query
+    * (q30-q34) consumes the same materialized snapshot instead of
+    * re-deriving the 6-table union — the shared-scan shape a warehouse
+    * deployment gets from a materialized graph table. */
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.core.PropertyGraph]
+
+  private def builtGraph(s: SparkSession, d: String): graft.core.PropertyGraph =
+    graphCache.getOrElseUpdate(d, GraphBuilder.fromTables(s, d).materialized)
+
   /** GA3/A3: undirected degree of every node. Oracle-checked. */
   def graphDegree(s: SparkSession, d: String): DataFrame =
-    GraphAlgos.degrees(GraphBuilder.fromTables(s, d)).orderBy("id")
+    GraphAlgos.degrees(builtGraph(s, d)).orderBy("id")
 
   /** One LPA assignment per dataset per process: q31 and q32 share it
     * (the assignment is the expensive iterative piece; density on top
@@ -26,7 +36,7 @@ object GraphOps {
 
   private def lpaAssignment(s: SparkSession, d: String): DataFrame =
     lpaCache.getOrElseUpdate(d,
-      GraphAlgos.weightedLabelPropagation(GraphBuilder.fromTables(s, d).materialized))
+      GraphAlgos.weightedLabelPropagation(builtGraph(s, d)))
 
   /** GA2: weighted label-propagation communities (iterative — pinned by
     * determinism of the tie-break, rows-only driver check). The derived
@@ -36,17 +46,15 @@ object GraphOps {
     lpaAssignment(s, d).orderBy("id")
 
   /** GA4: community density over the (shared) full LPA assignment. */
-  def communityDensity(s: SparkSession, d: String): DataFrame = {
-    val g = GraphBuilder.fromTables(s, d).materialized
-    GraphAlgos.communityDensity(g, lpaAssignment(s, d))
+  def communityDensity(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.communityDensity(builtGraph(s, d), lpaAssignment(s, d))
       .withColumn("density", round(col("density"), 6))
       .orderBy("community")
-  }
 
   /** GA5/GA6: grouping sizes — per-label node groups (the label-centric
     * layout grouping) with per-group mean degree. Oracle-checked. */
   def labelGroups(s: SparkSession, d: String): DataFrame = {
-    val g = GraphBuilder.fromTables(s, d)
+    val g = builtGraph(s, d)
     val deg = GraphAlgos.degrees(g)
     g.nodes.select(col("id"), col("label"))
       .join(deg, "id")
@@ -57,7 +65,7 @@ object GraphOps {
 
   /** A5: label / rel-type / property-key universe. Oracle-checked. */
   def schemaSummary(s: SparkSession, d: String): DataFrame = {
-    val g = GraphBuilder.fromTables(s, d)
+    val g = builtGraph(s, d)
     val (nl, el, pk) = GraphAlgos.schemaSummary(g)
     nl.select(lit("node_label").as("kind"), col("label").as("value"))
       .unionByName(el.select(lit("rel_type").as("kind"), col("label").as("value")))
