@@ -79,11 +79,17 @@ object Serve {
   }
 
   def main(args: Array[String]): Unit = {
-    var dataDir = "graft-data"
-    var port = 8786
-    var wsPort = 8787
-    var apiKey: Option[String] = None
-    var logDir: Option[String] = None
+    // settings file first (persistence/settings.rs parity: the daemon
+    // reads the persisted config), CLI flags override. The reference
+    // serves HTTP and WS on ONE actix port (api_port, default 8787,
+    // glsh's default); with separate servers the WS REPL takes
+    // api_port and HTTP sits just below it.
+    val settings = graft.io.AppSettings.load()
+    var dataDir = settings.autosaveOverride.getOrElse("graft-data")
+    var wsPort = settings.apiPort
+    var port = settings.apiPort - 1
+    var apiKey: Option[String] = settings.apiKey
+    var logDir: Option[String] = settings.apiLogOverride
     var autosaveSecs = 5L
     var argv = args.toList
     while (argv.nonEmpty) argv = argv match {

@@ -109,6 +109,80 @@ object SimilarityOps {
        |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-family member
+    * over vectors: multi-table random-hyperplane LSH candidates + exact
+    * cosine threshold. One table of b sign bits has collision
+    * probability (1−θ/π)^b, useless at moderate similarity; nTables
+    * independent small tables (banding, like MinHash) push recall to
+    * 1−(1−(1−θ/π)^b)^T while candidates stay bucket-bounded — the
+    * 100 TB path (no all-pairs step; candidate ids only in the band
+    * join, embeddings fetched after dedup). The hyperplanes are
+    * deterministic literals, so the whole op — bucketing included — is
+    * DuckDB-reproducible ([[cosineNearDupOracleSql]]); recall vs true
+    * all-pairs is pinned in IoAndOpsSpec. */
+  def cosineNearDupPairs(s: SparkSession, d: String, nTables: Int = 16,
+      planesPerTable: Int = 4, dim: Int = 64, threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pl = planes(nTables * planesPerTable, dim)
+    val keyCols = (0 until nTables).map { t =>
+      concat((0 until planesPerTable).map { j =>
+        when(dot(col("embedding"), typedLit(pl(t * planesPerTable + j).toSeq)) >= 0,
+          lit("1")).otherwise(lit("0"))
+      }: _*)
+    }
+    val banded = emb.select(col("vec_id"),
+      posexplode(array(keyCols: _*)).as(Seq("table_idx", "band_key")))
+    val cand = banded.select(col("vec_id").as("a_id"), col("table_idx"), col("band_key"))
+      .join(banded.select(col("vec_id").as("b_id"), col("table_idx"), col("band_key")),
+        Seq("table_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    cand.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("sim",
+        round(dot(col("a_e"), col("b_e")) / (norm(col("a_e")) * norm(col("b_e"))), 6))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB rendering of [[cosineNearDupPairs]] (same literal planes,
+    * same bucketing, same exact-cosine filter). */
+  def cosineNearDupOracleSql(nTables: Int = 16, planesPerTable: Int = 4,
+      dim: Int = 64, threshold: Double = 0.4): String = {
+    val pl = planes(nTables * planesPerTable, dim)
+    val values = (for (p <- 0 until nTables * planesPerTable; j <- 0 until dim)
+      yield s"($p,$j,${"%.17e".formatLocal(java.util.Locale.ROOT, pl(p)(j))})")
+      .mkString(",")
+    s"""WITH planes(p, d, coef) AS (VALUES $values),
+       |u AS (SELECT vec_id, unnest(embedding) AS ev,
+       |        generate_subscripts(embedding, 1) - 1 AS d
+       |      FROM embeddings),
+       |dots AS (SELECT u.vec_id, planes.p,
+       |           SUM(CAST(u.ev AS DOUBLE) * planes.coef) AS dot
+       |         FROM u JOIN planes USING (d) GROUP BY u.vec_id, planes.p),
+       |keys AS (SELECT vec_id, p // $planesPerTable AS table_idx,
+       |           string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
+       |         FROM dots GROUP BY vec_id, p // $planesPerTable),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM keys a JOIN keys b USING (table_idx, band_key)
+       |         WHERE a.vec_id < b.vec_id),
+       |pz AS (SELECT a_id, b_id, ea.embedding AS a_e, eb.embedding AS b_e
+       |       FROM cand JOIN embeddings ea ON ea.vec_id = a_id
+       |         JOIN embeddings eb ON eb.vec_id = b_id),
+       |pu AS (SELECT a_id, b_id, unnest(a_e) AS av, unnest(b_e) AS bv FROM pz),
+       |ps AS (SELECT a_id, b_id,
+       |         SUM(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)) AS dot,
+       |         SUM(CAST(av AS DOUBLE) * CAST(av AS DOUBLE)) AS na,
+       |         SUM(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)) AS nb
+       |       FROM pu GROUP BY a_id, b_id),
+       |sims AS (SELECT a_id, b_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |         FROM ps)
+       |SELECT a_id, b_id, sim FROM sims WHERE sim >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** IVF coarse-quantizer index, trained ONCE per (dataset, nlist) per
     * process and cached: KMeans fits on a deterministic bounded sample
     * (`vec_id < 4096`), never the full corpus — the quantizer's quality

@@ -109,6 +109,28 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(p1.forall(_.getLong(2) <= 3L))
   }
 
+  test("cosine_neardup_recall_vs_all_pairs") {
+    // true threshold pairs by brute force (small sf), vs the multi-table
+    // LSH candidate path — 16 tables x 4 bits should recover nearly all
+    val emb = graft.Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val thr = 0.4
+    val truth = (for {
+      (ia, va) <- emb; (ib, vb) <- emb if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      if BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= thr
+    } yield (ia, ib)).toSet
+    val got = SimilarityOps.cosineNearDupPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "LSH candidates passing the exact filter must be true pairs")
+    if (truth.nonEmpty) {
+      val recall = truth.count(got.contains).toDouble / truth.size
+      assert(recall >= 0.8, s"near-dup recall $recall over ${truth.size} true pairs")
+    }
+  }
+
   test("ivf_topk_recall_vs_brute_force") {
     val brute = SimilarityOps.cosineTopK(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
