@@ -119,7 +119,15 @@ object SimilarityOps {
     * join, embeddings fetched after dedup). The hyperplanes are
     * deterministic literals, so the whole op — bucketing included — is
     * DuckDB-reproducible ([[cosineNearDupOracleSql]]); recall vs true
-    * all-pairs is pinned in IoAndOpsSpec. */
+    * all-pairs is pinned in IoAndOpsSpec.
+    *
+    * Scaling knob: per-bucket candidate count is ~n²/2^b per table, so
+    * planesPerTable must grow with the corpus (b ≈ log2(n/targetBucket))
+    * to keep buckets constant-sized. The defaults (4 bits, threshold
+    * 0.4) fit the synthetic random embeddings, whose max similarity is
+    * ~0.5; real near-dup corpora operate at sim ≥ 0.9 where the
+    * per-plane collision probability 1−θ/π ≈ 0.9 keeps banding recall
+    * high even at 8-16 bits per table. */
   def cosineNearDupPairs(s: SparkSession, d: String, nTables: Int = 16,
       planesPerTable: Int = 4, dim: Int = 64, threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)

@@ -83,4 +83,43 @@ class EnginePropertySpec extends AnyFunSuite {
       assert(r2.properties == Map("keep" -> "x"))
     }
   }
+
+  // every relationship created across an n-statement, m-pair fan-out
+  // gets a distinct id (the reference allocates Uuid::now_v7 per rel;
+  // distributedExpr must not reuse (timestamp, partition-offset) pairs
+  // across batches)
+  test("edge_ids_unique_across_multi_batch_creates") {
+    forAll(Gen.choose(2, 4)) { n =>
+      val s = new GraphSession(spark)
+      (1 to n).foreach(i => s.execute(s"CREATE (:L {i:'$i'}) CREATE (:R {i:'$i'})"))
+      // three edge-creating clauses in ONE statement → three batches
+      s.execute("MATCH (a:L), (b:R) CREATE (a)-[:E1]->(b) CREATE (a)-[:E2]->(b) CREATE (a)-[:E3]->(b)")
+      val ids = s.execute("MATCH (x)-[r]->(y) RETURN r").rows
+        .filter(_.kind == "relationship").map(_.id)
+      assert(ids.length == 3 * n * n)
+      assert(ids.distinct.length == ids.length, "duplicate edge ids")
+    }
+  }
+
+  // WS frame codec round-trip across the 7-bit / 16-bit / 64-bit
+  // payload-length encodings, masked and unmasked
+  test("ws_frame_codec_roundtrip_all_length_encodings") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import graft.api.WsFrames
+    for {
+      size <- Seq(0, 1, 125, 126, 127, 65535, 65536, 70000)
+      masked <- Seq(false, true)
+    } {
+      val payload = Array.tabulate[Byte](size)(i => (i * 31 + size).toByte)
+      val bos = new ByteArrayOutputStream()
+      val mask = if (masked) Some(Array[Byte](1, -2, 3, -4)) else None
+      WsFrames.writeFrame(new DataOutputStream(bos), WsFrames.OpText, payload, mask)
+      val back = WsFrames.readFrame(
+        new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+      assert(back.isDefined, s"size=$size masked=$masked")
+      val (op, p) = back.get
+      assert(op == WsFrames.OpText)
+      assert(java.util.Arrays.equals(p, payload), s"payload size=$size masked=$masked")
+    }
+  }
 }
