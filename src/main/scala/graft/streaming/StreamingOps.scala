@@ -41,6 +41,19 @@ object StreamingOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental counterpart of the batch
+    * md5-groupBy dedup (TextOps.dedupExact / q20): keep the first
+    * arrival of each key, drop later duplicates.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    * watermark horizon — at pipeline scale the state store holds only
+    * the horizon's keys, not the full corpus history, which is what
+    * makes continuous dedup of an unbounded ingest feasible. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class SessionInput(user_id: Long, event_time: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

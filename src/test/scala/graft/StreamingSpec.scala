@@ -25,6 +25,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming_dedup_matches_batch_distinct") {
+    // self-union doubles every event; watermarked dedup must restore
+    // exactly the batch-distinct key set
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val doubled = stream.union(StreamingOps.eventsStream(spark, sf))
+    val deduped = StreamingOps.dedupStream(doubled, Seq("event_id"))
+      .select("event_id")
+    val out = StreamingOps.runToMemory(spark, deduped, "dedup_test")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDistinct = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().count()
+    assert(out.count() == batchDistinct)
+    assert(out.select("event_id").distinct().count() == batchDistinct)
+  }
+
   test("streaming_sessionize_produces_sessions") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val sessions = StreamingOps.runToMemory(spark,
