@@ -444,21 +444,42 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       paths: Seq[PathPattern], statementMs: Long): (DataFrame, PropertyGraph) = {
     var g = g0
     var binding = binding0
+    // consecutive node-only patterns commit as ONE batch append (a
+    // comma-delimited CREATE of n nodes is one union + one
+    // materialization instead of n) — safe because each pattern creates
+    // exactly one driver-id'd node, and batching only CONSECUTIVE runs
+    // preserves the reference's textual-order binding visibility for
+    // any interleaved relationship path
+    val grouped = mutable.Buffer.empty[Either[Seq[PathPattern], PathPattern]]
     paths.foreach { p =>
-      if (p.rels.isEmpty) {
-        // node pattern: ONE new node per statement evaluation, bound
-        // into all current rows (M1, cypher_spec.rs:1320-1330)
-        val np = p.nodes.head
-        val id = IdGen.next()
-        val label = np.label.getOrElse("_")
-        val props = np.props.map { case (k, v) => k -> resolve(v) }
-        val newNode = PropertyGraph.nodesDf(spark, Seq((id, label, props)))
-        g = PropertyGraph(g.nodes.unionByName(newNode), g.edges).materialized
-        np.variable.foreach { v =>
-          binding = binding.withColumn(v, lit(id))
-          kinds(v) = NodeKind
+      if (p.rels.isEmpty) grouped.lastOption match {
+        case Some(Left(_)) =>
+          grouped(grouped.size - 1) =
+            Left(grouped.last.left.toOption.get :+ p)
+        case _ => grouped += Left(Seq(p))
+      }
+      else grouped += Right(p)
+    }
+    grouped.foreach {
+      case Left(nodePaths) =>
+        // node patterns: ONE new node each per statement evaluation,
+        // bound into all current rows (M1, cypher_spec.rs:1320-1330)
+        val rows = nodePaths.map { p =>
+          val np = p.nodes.head
+          val id = IdGen.next()
+          (np, id, np.label.getOrElse("_"),
+            np.props.map { case (k, v) => k -> resolve(v) })
         }
-      } else {
+        val newNodes = PropertyGraph.nodesDf(spark,
+          rows.map { case (_, id, label, props) => (id, label, props) })
+        g = PropertyGraph(g.nodes.unionByName(newNodes), g.edges).materialized
+        rows.foreach { case (np, id, _, _) =>
+          np.variable.foreach { v =>
+            binding = binding.withColumn(v, lit(id))
+            kinds(v) = NodeKind
+          }
+        }
+      case Right(p) => {
         // path pattern: one edge per binding row; endpoints must be
         // bound node vars, else rows are skipped (M2, cypher_spec.rs:1331-1348)
         p.rels.indices.foreach { i =>
