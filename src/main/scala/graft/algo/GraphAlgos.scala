@@ -77,14 +77,19 @@ object GraphAlgos {
     * RDD uses the same partitioner, so the per-sweep `edges.join(comm)`
     * and the final `comm.leftOuterJoin(best)` are both narrow (zero
     * shuffle). The only shuffle per sweep is the message aggregation —
-    * `aggregateByKey` with a mutable per-destination community→weight
-    * map, which map-side-combines so one map per (partition,
-    * destination) crosses the wire. Convergence is counted by a
+    * `reduceByKey` over flat `((dst, comm), weight)` tuples (map-side
+    * combined; primitives only, so cost is independent of the
+    * configured serializer), partitioned by `dst` alone so the
+    * per-destination argmax runs partition-locally and the result stays
+    * co-partitioned with the community RDD. Convergence is counted by a
     * LongAccumulator inside the update pass — no separate diff join.
-    * (The previous GraphX formulation paid uncopartitioned vertex joins
-    * — "Diffing two VertexPartitions with different indexes is slow" —
-    * plus a full triplets shuffle and a convergence join per sweep:
-    * 1113 s at sf0.1 vs ~25 s for this loop.)
+    * (Two prior formulations were measured and rejected: GraphX paid
+    * uncopartitioned vertex joins plus a full triplets shuffle and a
+    * convergence join per sweep — 1113 s at sf0.1; an `aggregateByKey`
+    * with a per-destination mutable.HashMap round-tripped a boxed map
+    * per node through the serializer every sweep — 90 s Java / 153 s
+    * Kryo for 8 sweeps at sf0.1, and 511 s under bench memory
+    * pressure.)
     */
   def weightedLabelPropagation(g: PropertyGraph, maxSweeps: Int = 8): DataFrame = {
     import org.apache.spark.HashPartitioner
@@ -100,7 +105,18 @@ object GraphAlgos {
     // hash collisions become material)
     val idMap = g.nodes.select(col("id"), xxhash64(col("id")).as("vid"))
       .localCheckpoint(true)
-    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
+    // Hashes tuple keys by their FIRST element and scalar keys as-is, so
+    // a `((dst, comm), w)` reduceByKey lands every row for `dst` in the
+    // partition a plain `(dst, …)` RDD would use. Inherits
+    // HashPartitioner.equals (numPartitions only), so RDDs keyed by dst
+    // and RDDs keyed by (dst, comm) co-partition and join narrowly.
+    class FirstElemHashPartitioner(n: Int) extends HashPartitioner(n) {
+      override def getPartition(key: Any): Int = key match {
+        case (a, _) => super.getPartition(a)
+        case _      => super.getPartition(key)
+      }
+    }
+    val part = new FirstElemHashPartitioner(math.max(sc.defaultParallelism, 16))
 
     // messages flow v -> u (u adopts from neighbors v); key by v so the
     // per-sweep community lookup is a narrow co-partitioned join
@@ -116,34 +132,35 @@ object GraphAlgos {
       .persist(StorageLevel.MEMORY_AND_DISK)
     comm.count()
 
+    val verbose = spark.conf.getOption("spark.graft.lpa.verbose").contains("true")
     var sweep = 0
     var changed = true
     while (sweep < maxSweeps && changed) {
       sweep += 1
+      val tSweep = System.nanoTime()
       val changedAcc = sc.longAccumulator(s"lpaChanged$sweep")
-      // per-destination community→summed-weight map; argmax with ties
-      // to the smallest community id (the deterministic Jacobi stand-in
-      // for the reference's sequential id-sorted sweep)
-      // plain mutable.HashMap, NOT LongMap: aggregateByKey round-trips
-      // its zero value through the configured serializer, and Kryo
-      // (chill) rebuilds Scala maps as HashMap — a LongMap zero comes
-      // back as the wrong class and the seqOp cast explodes
+      // sum weight per (destination, candidate community) as flat
+      // primitive tuples — map-side combined, serializer-independent —
+      // then argmax per destination with ties to the smallest community
+      // id (the deterministic Jacobi stand-in for the reference's
+      // sequential id-sorted sweep). `part` hashes (dst, comm) by dst
+      // only, so the argmax is partition-local and `best` stays
+      // co-partitioned with `comm` for a narrow join below.
       val best: RDD[(Long, Long)] = edges.join(comm) // narrow
-        .map { case (_, ((u, w), cv)) => (u, (cv, w)) }
-        .aggregateByKey(mutable.HashMap.empty[Long, Double], part)( // the sweep's one shuffle
-          (m, cw) => { m(cw._1) = m.getOrElse(cw._1, 0.0) + cw._2; m },
-          (m1, m2) => {
-            val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
-            small.foreach { case (c, w) => big(c) = big.getOrElse(c, 0.0) + w }
-            big
-          })
-        .mapValues { m =>
-          var bc = Long.MaxValue; var bw = Double.NegativeInfinity
-          m.foreach { case (c, w) =>
-            if (w > bw || (w == bw && c < bc)) { bw = w; bc = c }
+        .map { case (_, ((u, w), cv)) => ((u, cv), w) }
+        .reduceByKey(part, _ + _) // the sweep's one shuffle
+        .mapPartitions({ it =>
+          val bestOf = mutable.HashMap.empty[Long, (Long, Double)]
+          it.foreach { case ((u, c), w) =>
+            bestOf.get(u) match {
+              case Some((bc, bw)) if w > bw || (w == bw && c < bc) =>
+                bestOf(u) = (c, w)
+              case None => bestOf(u) = (c, w)
+              case _    => ()
+            }
           }
-          bc
-        }
+          bestOf.iterator.map { case (u, (c, _)) => (u, c) }
+        }, preservesPartitioning = true)
       val prev = comm
       comm = prev.leftOuterJoin(best, part) // narrow (shared partitioner)
         .mapValues { case (old, upd) =>
@@ -155,6 +172,7 @@ object GraphAlgos {
       comm.count() // materialize → accumulator is final
       prev.unpersist(blocking = false)
       changed = changedAcc.value > 0L
+      if (verbose) println(f"[lpa] sweep $sweep: ${(System.nanoTime() - tSweep) / 1e9}%.1f s, changed=${changedAcc.value}")
     }
     val assignment = comm.toDF("vid", "comm_vid")
     // map vids back to node-id strings for both member and community
