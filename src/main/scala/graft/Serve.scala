@@ -20,7 +20,8 @@ import graft.io.GraphStore
   * reload from the active snapshot on restart.
   *
   * Usage: graft.Serve --data DIR [--port 8786] [--ws-port 8787]
-  *        [--api-key K] [--log-dir D] [--autosave-secs 5]
+  *        [--bind 127.0.0.1] [--api-key K] [--log-dir D]
+  *        [--autosave-secs 5]
   */
 object Serve {
 
@@ -28,14 +29,14 @@ object Serve {
   final class Daemon(session: GraphSession, dataDir: String,
       port: Int = 0, wsPort: Int = 0, apiKey: Option[String] = None,
       logDir: Option[String] = None, autosaveSecs: Long = 5,
-      pollMs: Long = 100) {
+      pollMs: Long = 100, bindAddr: String = "127.0.0.1") {
 
     if (GraphStore.listVersions(dataDir).nonEmpty)
       session.graph = GraphStore.load(session.spark, dataDir)
 
     val broker = new EngineBroker(session, logDir)
-    val http = new HttpApi(session, port, apiKey, logDir, Some(broker))
-    val ws = new WsRepl(broker, wsPort, apiKey)
+    val http = new HttpApi(session, port, apiKey, logDir, Some(broker), bindAddr)
+    val ws = new WsRepl(broker, wsPort, apiKey, bindAddr = bindAddr)
 
     private val dirty = new AtomicBoolean(false)
     @volatile private var lastSaveNs = System.nanoTime()
@@ -46,11 +47,20 @@ object Serve {
       while (running) {
         try {
           if (dirty.get() && (System.nanoTime() - lastSaveNs) / 1e9 >= autosaveSecs) {
-            // clear BEFORE saving: a mutation landing mid-save re-marks
-            // dirty and is picked up by the next cycle
+            // clear BEFORE saving so a mutation landing mid-save re-marks
+            // dirty; on a FAILED save re-mark ourselves, so the mutation
+            // is retried next cycle instead of sitting unpersisted until
+            // another mutation arrives (main.rs run_background clears
+            // only after a successful save)
             dirty.set(false)
-            GraphStore.save(session.graph, dataDir)
-            lastSaveNs = System.nanoTime()
+            try {
+              GraphStore.save(session.graph, dataDir)
+              lastSaveNs = System.nanoTime()
+            } catch {
+              case e: Exception =>
+                dirty.set(true)
+                System.err.println(s"[graft] autosave failed (will retry): ${e.getMessage}")
+            }
           }
           Thread.sleep(pollMs)
         } catch {
@@ -91,11 +101,13 @@ object Serve {
     var apiKey: Option[String] = settings.apiKey
     var logDir: Option[String] = settings.apiLogOverride
     var autosaveSecs = 5L
+    var bindAddr = settings.apiBindAddr
     var argv = args.toList
     while (argv.nonEmpty) argv = argv match {
       case "--data" :: d :: t => dataDir = d; t
       case "--port" :: p :: t => port = p.toInt; t
       case "--ws-port" :: p :: t => wsPort = p.toInt; t
+      case "--bind" :: a :: t => bindAddr = a; t
       case "--api-key" :: k :: t => apiKey = Some(k); t
       case "--log-dir" :: d :: t => logDir = Some(d); t
       case "--autosave-secs" :: s :: t => autosaveSecs = s.toLong; t
@@ -110,7 +122,7 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val daemon = new Daemon(new GraphSession(spark), dataDir, port, wsPort,
-      apiKey, logDir, autosaveSecs)
+      apiKey, logDir, autosaveSecs, bindAddr = bindAddr)
     val (hp, wp) = daemon.start()
     System.err.println(s"[graft] daemon up: http=$hp ws=$wp data=$dataDir " +
       s"autosave=${autosaveSecs}s (Ctrl+C to stop)")

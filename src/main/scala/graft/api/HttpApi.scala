@@ -22,11 +22,13 @@ import graft.engine.GraphSession
   */
 class HttpApi(session: GraphSession, port: Int = 0,
     apiKey: Option[String] = None, logDir: Option[String] = None,
-    broker0: Option[EngineBroker] = None) {
+    broker0: Option[EngineBroker] = None, bindAddr: String = "127.0.0.1") {
 
   val broker: EngineBroker = broker0.getOrElse(new EngineBroker(session, logDir))
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // bind the configured address only (settings.rs api_bind_addr
+  // default loopback; server.rs:233-259) — not the wildcard
+  private val server = HttpServer.create(new InetSocketAddress(bindAddr, port), 0)
   server.setExecutor(Executors.newFixedThreadPool(4))
 
   server.createContext("/api/query", new HttpHandler {

@@ -19,11 +19,17 @@ import scala.util.control.NonFatal
   * traffic exactly like the reference's broker (api/mod.rs:8-32).
   */
 class WsRepl(broker: EngineBroker, port: Int = 0,
-    apiKey: Option[String] = None, timeoutSec: Long = 60) {
+    apiKey: Option[String] = None, timeoutSec: Long = 60,
+    bindAddr: String = "127.0.0.1") {
 
   val banner = "graft REPL ready. Send queries as text.\n"
   private val wsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
-  private val server = new ServerSocket(port)
+  // bind the CONFIGURED address (settings.rs api_bind_addr, default
+  // loopback — server.rs:233-259 binds api_bind_addr:api_port); the
+  // previous wildcard bind exposed a mutation-capable endpoint on all
+  // interfaces
+  private val server = new ServerSocket(port, 50,
+    java.net.InetAddress.getByName(bindAddr))
   @volatile private var running = false
 
   private val acceptThread = new Thread(() => {
@@ -158,17 +164,25 @@ object WsFrames {
   val OpPing = 9
   val OpPong = 10
 
-  /** Read one frame; None on EOF/oversize. Unmasks if masked. */
+  /** Read one frame; None on EOF/oversize/fragmentation (FIN=0 or a
+    * continuation opcode closes the connection rather than silently
+    * treating the first fragment as a whole message). Unmasks if
+    * masked. */
   def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
+    val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0f
+    if (!fin || opcode == 0) return None // single-frame messages only
     val b1 = in.read()
     if (b1 < 0) return None
     val masked = (b1 & 0x80) != 0
     var len: Long = (b1 & 0x7f).toLong
-    if (len == 126) len = ((in.read() & 0xff) << 8 | (in.read() & 0xff)).toLong
-    else if (len == 127) len = in.readLong()
+    if (len == 126) {
+      val hi = in.read(); val lo = in.read()
+      if (hi < 0 || lo < 0) return None // truncated extended length
+      len = ((hi & 0xff) << 8 | (lo & 0xff)).toLong
+    } else if (len == 127) len = in.readLong()
     if (len < 0 || len > 64L * 1024 * 1024) return None
     val mask = if (masked) { val m = new Array[Byte](4); in.readFully(m); m } else null
     val payload = new Array[Byte](len.toInt)

@@ -87,9 +87,31 @@ object AppSettings {
 
   /** Flat-JSON field extraction (the settings shape has no nesting). */
   private[graft] def parse(json: String): AppSettings = {
+    // values may contain escapes that save() itself produces (quotes,
+    // backslashes in paths) — match them and unescape, so save→load
+    // round-trips instead of silently dropping to defaults
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     def str(key: String): Option[String] =
-      (("\"" + key + "\"\\s*:\\s*\"([^\"\\\\]*)\"").r)
-        .findFirstMatchIn(json).map(_.group(1))
+      (("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r)
+        .findFirstMatchIn(json).map(m => unescape(m.group(1)))
     def num(key: String): Option[Double] =
       (("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r)
         .findFirstMatchIn(json).map(_.group(1).toDouble)

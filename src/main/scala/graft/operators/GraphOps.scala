@@ -16,11 +16,15 @@ object GraphOps {
     * (q30-q34) consumes the same materialized snapshot instead of
     * re-deriving the 6-table union — the shared-scan shape a warehouse
     * deployment gets from a materialized graph table. */
+  // keyed by (session applicationId, dataset path): a cached DataFrame
+  // is bound to the session that built it — a second session in the
+  // same JVM must not receive one bound to a stopped/stale session
   private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.core.PropertyGraph]
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.core.PropertyGraph]
 
   private def builtGraph(s: SparkSession, d: String): graft.core.PropertyGraph =
-    graphCache.getOrElseUpdate(d, GraphBuilder.fromTables(s, d).materialized)
+    graphCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      GraphBuilder.fromTables(s, d).materialized)
 
   /** GA3/A3: undirected degree of every node. Oracle-checked. */
   def graphDegree(s: SparkSession, d: String): DataFrame =
@@ -32,10 +36,10 @@ object GraphOps {
     * localCheckpointed inside [[GraphAlgos.weightedLabelPropagation]],
     * so reuse costs no recomputation. */
   private val lpaCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def lpaAssignment(s: SparkSession, d: String): DataFrame =
-    lpaCache.getOrElseUpdate(d,
+    lpaCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       GraphAlgos.weightedLabelPropagation(builtGraph(s, d)))
 
   /** GA2: weighted label-propagation communities (iterative — pinned by

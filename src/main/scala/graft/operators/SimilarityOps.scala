@@ -23,11 +23,14 @@ import graft.Tables
   */
 object SimilarityOps {
 
-  /** Elementwise-exact cosine: cast each float to double, sequential
-    * fold — deterministic and reproducible in the DuckDB oracle. */
+  /** Elementwise-exact dot: each element widened to double, sequential
+    * fold — deterministic and reproducible in the DuckDB oracle.
+    * Compiled ([[graft.functions.DotProduct]], whole-stage codegen);
+    * the `aggregate(zip_with(...))` HOF formulation computes the same
+    * fold interpreted per element — measured 122.6 s vs ~2 s verifying
+    * q42's candidates at sf0.1. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -38,12 +41,16 @@ object SimilarityOps {
   def cosineTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
+    // norms computed once per vector BELOW the join (per corpus row /
+    // per query row), not per (query, corpus) pair
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
     val sim = broadcast(q).join(c, col("qid") =!= col("nid"))
       .withColumn("sim",
-        round(dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce"))), 6))
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     sim.withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
@@ -122,19 +129,37 @@ object SimilarityOps {
     * all-pairs is pinned in IoAndOpsSpec.
     *
     * Scaling knob: per-bucket candidate count is ~n²/2^b per table, so
-    * planesPerTable must grow with the corpus (b ≈ log2(n/targetBucket))
-    * to keep buckets constant-sized. The defaults (4 bits, threshold
-    * 0.4) fit the synthetic random embeddings, whose max similarity is
-    * ~0.5; real near-dup corpora operate at sim ≥ 0.9 where the
-    * per-plane collision probability 1−θ/π ≈ 0.9 keeps banding recall
-    * high even at 8-16 bits per table. */
+    * bits-per-table GROWS with the corpus: b = clamp(4, bMax,
+    * bits(⌈n/targetBucket⌉)) keeps buckets ~targetBucket-sized and
+    * candidate volume ~n·targetBucket·T/2 — linear in n. The same b is
+    * derived (exact integer arithmetic on count(*), no float log) inside
+    * the oracle SQL. Planes are laid out with stride bMax per table so
+    * any b ≤ bMax selects the same plane for (table, bit) on both
+    * sides. The synthetic random embeddings max out near sim 0.5; real
+    * near-dup corpora operate at sim ≥ 0.9 where the per-plane collision
+    * probability 1−θ/π ≈ 0.9 keeps banding recall high even at 8+ bits
+    * per table (at billions of rows, raise bMax ~log2(n) and ship the
+    * planes as a table, not literals). */
+  val neardupBandMax = 8
+
+  /** Smallest b in [4, bMax] with 2^b ≥ ⌈n/target⌉ — exact integer
+    * thresholds, mirrored verbatim as a CASE in the oracle SQL. */
+  private[graft] def autoBand(n: Long, target: Int = 32,
+      bMax: Int = neardupBandMax): Int = {
+    val bn = (math.max(n, 1L) + target - 1) / target
+    if (bn <= 16) 4 else if (bn <= 32) 5 else if (bn <= 64) 6
+    else if (bn <= 128) 7 else bMax
+  }
+
   def cosineNearDupPairs(s: SparkSession, d: String, nTables: Int = 16,
-      planesPerTable: Int = 4, dim: Int = 64, threshold: Double = 0.4): DataFrame = {
+      dim: Int = 64, threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val pl = planes(nTables * planesPerTable, dim)
+    val bMax = neardupBandMax
+    val b = autoBand(emb.count())
+    val pl = planes(nTables * bMax, dim)
     val keyCols = (0 until nTables).map { t =>
-      concat((0 until planesPerTable).map { j =>
-        when(dot(col("embedding"), typedLit(pl(t * planesPerTable + j).toSeq)) >= 0,
+      concat((0 until b).map { j =>
+        when(dot(col("embedding"), typedLit(pl(t * bMax + j).toSeq)) >= 0,
           lit("1")).otherwise(lit("0"))
       }: _*)
     }
@@ -145,34 +170,47 @@ object SimilarityOps {
         Seq("table_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
-    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    if (s.conf.getOption("spark.graft.lsh.verbose").contains("true"))
+      println(s"[lsh] cosineNearDup b=$b candidates=${cand.count()}")
+    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+      norm(col("embedding")).as("a_n"))
+    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+      norm(col("embedding")).as("b_n"))
     cand.join(ea, "a_id").join(eb, "b_id")
       .withColumn("sim",
-        round(dot(col("a_e"), col("b_e")) / (norm(col("a_e")) * norm(col("b_e"))), 6))
+        round(dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")), 6))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")
   }
 
-  /** DuckDB rendering of [[cosineNearDupPairs]] (same literal planes,
-    * same bucketing, same exact-cosine filter). */
-  def cosineNearDupOracleSql(nTables: Int = 16, planesPerTable: Int = 4,
+  /** DuckDB rendering of [[cosineNearDupPairs]] (same literal planes
+    * with stride bMax per table, same self-sized b via the identical
+    * integer CASE thresholds, same exact-cosine filter). */
+  def cosineNearDupOracleSql(nTables: Int = 16,
       dim: Int = 64, threshold: Double = 0.4): String = {
-    val pl = planes(nTables * planesPerTable, dim)
-    val values = (for (p <- 0 until nTables * planesPerTable; j <- 0 until dim)
+    val bMax = neardupBandMax
+    val pl = planes(nTables * bMax, dim)
+    val values = (for (p <- 0 until nTables * bMax; j <- 0 until dim)
       yield s"($p,$j,${"%.17e".formatLocal(java.util.Locale.ROOT, pl(p)(j))})")
       .mkString(",")
-    s"""WITH planes(p, d, coef) AS (VALUES $values),
+    s"""WITH params AS (
+       |  SELECT CASE WHEN bn <= 16 THEN 4 WHEN bn <= 32 THEN 5
+       |              WHEN bn <= 64 THEN 6 WHEN bn <= 128 THEN 7
+       |              ELSE $bMax END AS b
+       |  FROM (SELECT (GREATEST(COUNT(*), 1) + 31) // 32 AS bn FROM embeddings)),
+       |planes(p, d, coef) AS (VALUES $values),
        |u AS (SELECT vec_id, unnest(embedding) AS ev,
        |        generate_subscripts(embedding, 1) - 1 AS d
        |      FROM embeddings),
        |dots AS (SELECT u.vec_id, planes.p,
        |           SUM(CAST(u.ev AS DOUBLE) * planes.coef) AS dot
-       |         FROM u JOIN planes USING (d) GROUP BY u.vec_id, planes.p),
-       |keys AS (SELECT vec_id, p // $planesPerTable AS table_idx,
+       |         FROM u JOIN planes USING (d)
+       |         WHERE planes.p % $bMax < (SELECT b FROM params)
+       |         GROUP BY u.vec_id, planes.p),
+       |keys AS (SELECT vec_id, p // $bMax AS table_idx,
        |           string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
-       |         FROM dots GROUP BY vec_id, p // $planesPerTable),
+       |         FROM dots GROUP BY vec_id, p // $bMax),
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |         FROM keys a JOIN keys b USING (table_idx, band_key)
        |         WHERE a.vec_id < b.vec_id),
@@ -199,12 +237,14 @@ object SimilarityOps {
     * the sample fit is ~2 s). At 100 TB the same shape holds: train on
     * a sample offline, persist the centroids, assign the corpus in one
     * map-only pass. Returns (centroid table rows, cell-assigned corpus). */
+  // keyed by (session applicationId, dataset, nlist): cached DataFrames
+  // are session-bound (see GraphOps.graphCache)
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), (Seq[(Int, Seq[Double])], DataFrame)]
+    .empty[(String, String, Int), (Seq[(Int, Seq[Double])], DataFrame)]
 
   private def ivfIndex(s: SparkSession, d: String, nlist: Int,
       sampleCap: Int = 4096): (Seq[(Int, Seq[Double])], DataFrame) =
-    ivfCache.getOrElseUpdate((d, nlist), {
+    ivfCache.getOrElseUpdate((s.sparkContext.applicationId, d, nlist), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, d)
@@ -240,19 +280,19 @@ object SimilarityOps {
     val wProbe = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
     val probed = broadcast(q).crossJoin(broadcast(centDf))
       .withColumn("cdist",
-        aggregate(zip_with(col("qe"), col("centroid"),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v))
+        graft.functions.VectorFunctions.squaredL2(col("qe"), col("centroid")))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nprobe)
       .select(col("qid"), col("qe"), col("cell"))
 
-    // exact cosine only within probed cells
-    val cand = probed.join(assigned, "cell")
+    // exact cosine only within probed cells; norms once per side,
+    // below the join
+    val corp = assigned.withColumn("cn", norm(col("embedding")))
+    val cand = probed.withColumn("qn", norm(col("qe")))
+      .join(corp, "cell")
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim",
-        round(dot(col("qe"), col("embedding")) /
-          (norm(col("qe")) * norm(col("embedding"))), 6))
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("cn")), 6))
     val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(wTop).cast("bigint"))
       .filter(col("rk") <= k)
@@ -260,28 +300,54 @@ object SimilarityOps {
       .orderBy("qid", "rk")
   }
 
+  /** Deterministic per-function coefficients for the one-md5 MinHash
+    * family: 29-bit odd values from a fixed-seed LCG (cf. [[planes]]),
+    * emitted as literals on both the Spark and oracle sides. 29 bits
+    * keeps aᵢ·x₁ + bᵢ·x₂ < 2^63 for 32-bit x — no overflow in DuckDB's
+    * checked BIGINT arithmetic. */
+  private def minHashCoefs(n: Int): IndexedSeq[(Long, Long)] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 35) | 1L
+    }
+    IndexedSeq.fill(n)((next(), next()))
+  }
+  private val minHashPrime = 4294967311L // smallest prime > 2^32
+
   /** MinHash + LSH banding near-dup detection on documents:
     * word-3-gram shingles → k=32 minhash signature → 8 bands × 4 rows →
     * band-bucket equi-join for candidates → signature-estimated Jaccard
     * filter. No quadratic pair enumeration at any point.
     *
-    * Hash family: `md5(i ":" shingle)` hex strings, minimized
-    * LEXICOGRAPHICALLY — fixed-width lowercase hex orders exactly as
-    * the 128-bit value, and DuckDB's md5 is bit-identical, so the whole
-    * op is oracle-checkable (see [[minHashOracleSql]]). */
+    * Hash family: ONE md5 per shingle; the k functions are affine
+    * derivations hᵢ = (aᵢ·x₁ + bᵢ·x₂ + i) mod p over the digest's two
+    * 32-bit hex slices (x₁, x₂) with literal coefficients — 30 of the
+    * 32 digests the previous family computed per shingle were pure
+    * waste (measured 104.8 s for 5,000 docs). Distinct shingles only
+    * produce identical hᵢ-vectors on a 64-bit (x₁, x₂) collision.
+    * Every step is DuckDB-expressible, so the op stays oracle-checkable
+    * (see [[minHashOracleSql]]). */
   def minHashLsh(s: SparkSession, d: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val shingleRows0 = TextOps.shingleRows(s, d)
+    val coefs = minHashCoefs(numHashes)
     // Signature via explode + numHashes flat hash columns + partial-agg
     // min: every expression stays inside whole-stage codegen. (The
     // nested-HOF formulation runs interpreted per element: measured 80×
     // slower. The groupBy gives map-side combine, so at scale only one
     // signature row per doc crosses the wire.)
-    val hashCols = (0 until numHashes).map(i =>
-      md5(concat(lit(s"$i:"), col("sh")).cast("binary")).as(s"h$i"))
+    val hashCols = (0 until numHashes).map { i =>
+      val (a, b) = coefs(i)
+      ((lit(a) * col("x1") + lit(b) * col("x2") + lit(i.toLong)) % lit(minHashPrime))
+        .as(s"h$i")
+    }
     val minCols = (0 until numHashes).map(i => min(col(s"h$i")).as(s"m$i"))
     val withSig = shingleRows0
+      .withColumn("mh", md5(col("sh").cast("binary")))
+      .withColumn("x1", conv(substring(col("mh"), 1, 8), 16, 10).cast("long"))
+      .withColumn("x2", conv(substring(col("mh"), 9, 8), 16, 10).cast("long"))
       .select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
@@ -290,7 +356,8 @@ object SimilarityOps {
     // band key = md5 of the band's signature slice (bounds the join-key
     // width at scale vs carrying the raw 4×32-hex concatenation)
     val bandKeyCols = (0 until bands).map { b =>
-      md5(concat_ws(",", slice(col("sig"), b * rows + 1, rows)).cast("binary"))
+      md5(concat_ws(",",
+        slice(col("sig"), b * rows + 1, rows).cast("array<string>")).cast("binary"))
     }
     val banded = withSig.select(col("doc_id"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
@@ -313,11 +380,19 @@ object SimilarityOps {
   }
 
   /** DuckDB rendering of [[minHashLsh]] (same shingles as the q25
-    * oracle; md5-hex minhash; band keys compare equal iff the signature
-    * slices compare equal, so the oracle can band on the raw slice). */
+    * oracle; same one-md5 affine hash family with the same literal
+    * coefficients; x₁/x₂ recovered from the hex digest via a strpos
+    * polynomial — DuckDB's conv-equivalent). */
   def minHashOracleSql(numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): String = {
     val rows = numHashes / bands
+    val coefValues = minHashCoefs(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    def hexSlice(start: Int): String =
+      (0 until 8).map { j =>
+        val scale = 1L << (4 * (7 - j))
+        s"CAST(strpos('0123456789abcdef', substring(mh,${start + j},1)) - 1 AS BIGINT)*$scale"
+      }.mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),
@@ -325,9 +400,12 @@ object SimilarityOps {
        |        FROM toks WHERE len(t) >= 3),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
        |       FROM sh0),
-       |hs AS (SELECT doc_id, hi.i AS i, MIN(md5(hi.i || ':' || sh)) AS mh
-       |       FROM sh CROSS JOIN range($numHashes) AS hi(i)
-       |       GROUP BY doc_id, hi.i),
+       |shx AS (SELECT doc_id, ${hexSlice(1)} AS x1, ${hexSlice(9)} AS x2
+       |        FROM (SELECT doc_id, md5(sh) AS mh FROM sh)),
+       |coefs(i, a, b) AS (VALUES $coefValues),
+       |hs AS (SELECT doc_id, coefs.i AS i,
+       |         MIN((coefs.a * x1 + coefs.b * x2 + coefs.i) % $minHashPrime) AS mh
+       |       FROM shx CROSS JOIN coefs GROUP BY doc_id, coefs.i),
        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hs GROUP BY doc_id),
        |banded AS (
        |  SELECT doc_id, bb.b AS band_idx,
