@@ -161,4 +161,72 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(w(("u", "v")) == 1.0, "empty-label pair must not get the same-label bonus")
     assert(w(("x", "y")) == 1.75, "non-empty same-label pair gets the bonus")
   }
+
+  // Semantic pin for the distributed LPA: a 50-node fixture whose full
+  // Jacobi + smallest-community-id-tie-break fixpoint is computed by an
+  // INDEPENDENT in-memory reference implementation right here, and the
+  // complete assignment asserted. Weights use the label bonus only (no
+  // properties), so every per-community sum is an exact multiple of
+  // 0.25 — no float-summation-order ambiguity between the two sides.
+  // (The reference GUI sweeps sequentially over id-sorted nodes — a
+  // Gauss-Seidel order whose fixpoints can differ; the engine's
+  // documented stand-in is synchronous Jacobi sweeps, which on cyclic
+  // ties can oscillate rather than converge — bounded by maxSweeps.)
+  test("lpa_assignment_matches_inmemory_reference") {
+    // two 20-node labeled blocks (ring + chords), two bridges, a
+    // 6-node unlabeled path, 4 isolated nodes
+    val n = 50
+    val ids = (0 until n).map(i => f"n$i%02d")
+    def labelOf(i: Int): String = if (i < 20) "A" else if (i < 40) "B" else ""
+    val nodes = PropertyGraph.nodesDf(spark,
+      ids.zipWithIndex.map { case (id, i) => (id, labelOf(i), Map.empty[String, String]) })
+    val edgePairs =
+      (0 until 20).map(i => (i, (i + 1) % 20)) ++
+      (0 until 20).filter(_ % 3 == 0).map(i => (i, (i + 5) % 20)) ++
+      (20 until 40).map(i => (i, 20 + (i + 1) % 20)) ++
+      (20 until 40).filter(_ % 4 == 0).map(i => (i, 20 + (i + 7) % 20)) ++
+      Seq((5, 25), (10, 30)) ++
+      (40 until 45).map(i => (i, i + 1))
+    val edges = PropertyGraph.edgesDf(spark,
+      edgePairs.zipWithIndex.map { case ((a, b), k) =>
+        (s"e$k", ids(a), ids(b), "E", Map.empty[String, String])
+      })
+    val g = PropertyGraph(nodes, edges)
+
+    // community identity in the engine is xxhash64(id) — fetch the same
+    // hash for the reference simulation, everything else is plain Scala
+    val vidOf = nodes.select(col("id"), xxhash64(col("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idOfVid = vidOf.map(_.swap)
+    val w = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)] // (dst, src, w)
+    for ((a, b) <- edgePairs; (u, v) <- Seq((a, b), (b, a))) {
+      val weight = 1.0 + (if (labelOf(u) == labelOf(v) && labelOf(u).nonEmpty) 0.75 else 0.0)
+      w += ((vidOf(ids(u)), vidOf(ids(v)), weight)) // v -> u message
+    }
+    var comm = ids.map(id => vidOf(id) -> vidOf(id)).toMap
+    var sweep = 0
+    var changed = true
+    while (sweep < 8 && changed) {
+      sweep += 1
+      val scores = collection.mutable.Map.empty[(Long, Long), Double]
+      for ((dst, src, weight) <- w) {
+        val c = comm(src)
+        scores((dst, c)) = scores.getOrElse((dst, c), 0.0) + weight
+      }
+      val best = scores.toSeq.groupBy(_._1._1).map { case (dst, entries) =>
+        dst -> entries.map { case ((_, c), s) => (c, s) }
+          .minBy { case (c, s) => (-s, c) }._1
+      }
+      val next = comm.map { case (u, old) => u -> best.getOrElse(u, old) }
+      changed = next != comm
+      comm = next
+    }
+    val expected = comm.map { case (u, c) => idOfVid(u) -> idOfVid(c) }
+    val got = graft.algo.GraphAlgos.weightedLabelPropagation(g)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected, "full LPA assignment must match the in-memory reference")
+    assert(got.size == n)
+    // isolated nodes never receive a message: they stay their own seed
+    (46 until 50).foreach(i => assert(got(ids(i)) == ids(i)))
+  }
 }
