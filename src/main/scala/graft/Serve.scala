@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.AtomicBoolean
 
-import graft.api.{EngineBroker, HttpApi, WsRepl}
+import graft.api.{EngineBroker, GrpcApi, HttpApi, WsRepl}
 import graft.engine.GraphSession
 import graft.io.GraphStore
 
@@ -20,8 +20,8 @@ import graft.io.GraphStore
   * reload from the active snapshot on restart.
   *
   * Usage: graft.Serve --data DIR [--port 8786] [--ws-port 8787]
-  *        [--bind 127.0.0.1] [--api-key K] [--log-dir D]
-  *        [--autosave-secs 5]
+  *        [--grpc-port 50051] [--bind 127.0.0.1] [--api-key K]
+  *        [--log-dir D] [--autosave-secs 5]
   */
 object Serve {
 
@@ -29,7 +29,8 @@ object Serve {
   final class Daemon(session: GraphSession, dataDir: String,
       port: Int = 0, wsPort: Int = 0, apiKey: Option[String] = None,
       logDir: Option[String] = None, autosaveSecs: Long = 5,
-      pollMs: Long = 100, bindAddr: String = "127.0.0.1") {
+      pollMs: Long = 100, bindAddr: String = "127.0.0.1",
+      grpcPort: Option[Int] = None) {
 
     if (GraphStore.listVersions(dataDir).nonEmpty)
       session.graph = GraphStore.load(session.spark, dataDir)
@@ -37,6 +38,8 @@ object Serve {
     val broker = new EngineBroker(session, logDir)
     val http = new HttpApi(session, port, apiKey, logDir, Some(broker), bindAddr)
     val ws = new WsRepl(broker, wsPort, apiKey, bindAddr = bindAddr)
+    val grpc: Option[GrpcApi] =
+      grpcPort.map(p => new GrpcApi(broker, p, apiKey, bindAddr))
 
     private val dirty = new AtomicBoolean(false)
     @volatile private var lastSaveNs = System.nanoTime()
@@ -75,6 +78,7 @@ object Serve {
       running = true
       val hp = http.start()
       val wp = ws.start()
+      grpc.foreach(_.start())
       autosaveThread.start()
       (hp, wp)
     }
@@ -82,6 +86,7 @@ object Serve {
     def stop(): Unit = {
       running = false
       autosaveThread.interrupt()
+      grpc.foreach(_.stop())
       ws.stop()
       http.stop()
       broker.stop()
@@ -102,11 +107,16 @@ object Serve {
     var logDir: Option[String] = settings.apiLogOverride
     var autosaveSecs = 5L
     var bindAddr = settings.apiBindAddr
+    // gRPC starts when the settings enable it (settings.rs grpc_enabled/
+    // grpc_port, main.rs parity) or --grpc-port is passed explicitly
+    var grpcPort: Option[Int] =
+      if (settings.grpcEnabled) Some(settings.grpcPort) else None
     var argv = args.toList
     while (argv.nonEmpty) argv = argv match {
       case "--data" :: d :: t => dataDir = d; t
       case "--port" :: p :: t => port = p.toInt; t
       case "--ws-port" :: p :: t => wsPort = p.toInt; t
+      case "--grpc-port" :: p :: t => grpcPort = Some(p.toInt); t
       case "--bind" :: a :: t => bindAddr = a; t
       case "--api-key" :: k :: t => apiKey = Some(k); t
       case "--log-dir" :: d :: t => logDir = Some(d); t
@@ -121,11 +131,15 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // honor the persisted driver-result cap (Executor.collectCapped)
+    settings.maxResultRows.foreach(v =>
+      spark.conf.set("spark.graft.maxResultRows", v.toString))
     val daemon = new Daemon(new GraphSession(spark), dataDir, port, wsPort,
-      apiKey, logDir, autosaveSecs, bindAddr = bindAddr)
+      apiKey, logDir, autosaveSecs, bindAddr = bindAddr, grpcPort = grpcPort)
     val (hp, wp) = daemon.start()
-    System.err.println(s"[graft] daemon up: http=$hp ws=$wp data=$dataDir " +
-      s"autosave=${autosaveSecs}s (Ctrl+C to stop)")
+    System.err.println(s"[graft] daemon up: http=$hp ws=$wp" +
+      grpcPort.map(p => s" grpc=$p").getOrElse("") +
+      s" data=$dataDir autosave=${autosaveSecs}s (Ctrl+C to stop)")
     Thread.currentThread().join() // serve until killed
   }
 }

@@ -24,7 +24,10 @@ case class AppSettings(
     apiKey: Option[String] = None,
     grpcEnabled: Boolean = false,
     grpcPort: Int = 50051,
-    backgroundOnClose: Boolean = false) {
+    backgroundOnClose: Boolean = false,
+    // engine extension (no reference counterpart): driver-side result
+    // cap applied by the daemon as spark.graft.maxResultRows
+    maxResultRows: Option[Long] = None) {
 
   def apiEndpoint: String = s"$apiBindAddr:$apiPort"
 
@@ -51,7 +54,8 @@ case class AppSettings(
        |  "api_key": ${opt(apiKey)},
        |  "grpc_enabled": $grpcEnabled,
        |  "grpc_port": $grpcPort,
-       |  "background_on_close": $backgroundOnClose
+       |  "background_on_close": $backgroundOnClose,
+       |  "max_result_rows": ${maxResultRows.map(_.toString).getOrElse("null")}
        |}""".stripMargin
   }
 }
@@ -133,6 +137,7 @@ object AppSettings {
       apiKey = str("api_key"),
       grpcEnabled = bool("grpc_enabled").getOrElse(d.grpcEnabled),
       grpcPort = num("grpc_port").map(_.toInt).getOrElse(d.grpcPort),
-      backgroundOnClose = bool("background_on_close").getOrElse(d.backgroundOnClose))
+      backgroundOnClose = bool("background_on_close").getOrElse(d.backgroundOnClose),
+      maxResultRows = num("max_result_rows").map(_.toLong))
   }
 }

@@ -35,6 +35,20 @@ class SettingsSpec extends AnyFunSuite {
     assert(s.apiBindAddr == "127.0.0.1" && s.grpcPort == 50051 && s.apiKey.isEmpty)
   }
 
+  test("escaped_strings_and_max_result_rows_roundtrip") {
+    val dir = Files.createTempDirectory("graft_settings3")
+    val p = dir.resolve("settings.json")
+    // values save() itself escapes: quotes, backslashes (e.g. win
+    // paths), control chars — plus the engine-extension result cap
+    val s = AppSettings(
+      autosaveOverride = Some("""C:\data\graft "prod" dir"""),
+      apiKey = Some("k\\ey\"quoted\ttab"),
+      maxResultRows = Some(50000L))
+    AppSettings.save(s, Some(p))
+    assert(AppSettings.load(Some(p)) == s)
+    assert(AppSettings.parse("""{"max_result_rows": null}""").maxResultRows.isEmpty)
+  }
+
   test("missing_or_corrupt_file_yields_defaults") {
     val dir = Files.createTempDirectory("graft_settings2")
     assert(AppSettings.load(Some(dir.resolve("nope.json"))) == AppSettings())
