@@ -260,6 +260,11 @@ object SparkEntry {
         |deg AS (SELECT id, COUNT(*) AS degree FROM und GROUP BY id)
         |SELECT n.id, COALESCE(deg.degree, 0) AS degree
         |FROM n LEFT JOIN deg USING (id) ORDER BY id""".stripMargin,
+    // full 8-sweep LPA + density, exactly expressible because every
+    // weight on this graph is 1.0 and early-stop only fires at a
+    // fixpoint (see GraphOps.lpaSqlPrefix)
+    "q31_lpa_communities" -> GraphOps.lpaOracleSql(),
+    "q32_community_density" -> GraphOps.communityDensityOracleSql(),
     "q34_label_groups" ->
       """WITH e AS (
         |  SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation

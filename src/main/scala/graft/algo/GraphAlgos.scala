@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,6 +17,15 @@ import graft.core.PropertyGraph
   * the iterative lineage.
   */
 object GraphAlgos {
+
+  /** 60-bit integer encoding of a node-id string: first 15 hex chars of
+    * its md5, as a positive long. Used as the LPA community identity
+    * (and tie-break order), chosen over xxhash64 because the identical
+    * value is computable in DuckDB — `('0x' || substring(md5(id), 1,
+    * 15))::BIGINT` — which makes the whole LPA chain oracle-checkable
+    * (see GraphOps.lpaOracleSql). */
+  private[graft] def vidExpr(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Undirected adjacency (GA1): both edge directions. */
   def undirectedEdges(g: PropertyGraph): DataFrame =
@@ -100,10 +109,10 @@ object GraphAlgos {
     import spark.implicits._
     val sc = spark.sparkContext
 
-    // integer-encode node ids (xxhash64 — deterministic, shuffle-free;
-    // swap for zipWithIndex at billions-of-nodes scale where 64-bit
-    // hash collisions become material)
-    val idMap = g.nodes.select(col("id"), xxhash64(col("id")).as("vid"))
+    // integer-encode node ids (deterministic, shuffle-free; swap for
+    // zipWithIndex at billions-of-nodes scale where ~60-bit hash
+    // collisions become material)
+    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
       .localCheckpoint(true)
     // Hashes tuple keys by their FIRST element and scalar keys as-is, so
     // a `((dst, comm), w)` reduceByKey lands every row for `dst` in the
@@ -121,7 +130,7 @@ object GraphAlgos {
     // messages flow v -> u (u adopts from neighbors v); key by v so the
     // per-sweep community lookup is a narrow co-partitioned join
     val edges: RDD[(Long, (Long, Double))] = weightedNeighborPairs(g)
-      .select(xxhash64(col("v")).as("v"), xxhash64(col("u")).as("u"), col("weight"))
+      .select(vidExpr(col("v")).as("v"), vidExpr(col("u")).as("u"), col("weight"))
       .as[(Long, Long, Double)].rdd
       .map { case (v, u, w) => (v, (u, w)) }
       .partitionBy(part)

@@ -67,6 +67,82 @@ object GraphOps {
       .orderBy("label")
   }
 
+  /** DuckDB rendering of the FK-derived graph + the full 8-sweep LPA
+    * (GraphBuilder.fromTables + GraphAlgos.weightedLabelPropagation),
+    * as unrolled CTE sweeps ending in `c<sweeps>` (vid, c).
+    *
+    * Two dataset facts make this exactly expressible:
+    * - every edge connects nodes of DIFFERENT types, whose labels never
+    *   match and whose property k=v sets never intersect, so every LPA
+    *   weight is exactly 1.0 (verified: 0 non-unit weights among 2.7M
+    *   pairs at sf0.1) — per-(dst,comm) weight sums become COUNT(*);
+    * - the engine's early-stop fires only at a true fixpoint, so
+    *   unconditionally running all `maxSweeps` sweeps produces the
+    *   identical assignment.
+    * Community identity/tie-break is GraphAlgos.vidExpr — the same
+    * md5-slice long on both sides. */
+  private[graft] def lpaSqlPrefix(sweeps: Int = 8): String = {
+    val base = """WITH e(src, dst) AS MATERIALIZED (
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
+      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
+      |n(id) AS MATERIALIZED (
+      |  SELECT 'region:' || r_regionkey FROM region
+      |  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+      |  UNION ALL SELECT 'part:' || p_partkey FROM part
+      |  UNION ALL SELECT 'order:' || o_orderkey FROM orders),
+      |v AS MATERIALIZED (SELECT id, ('0x' || substring(md5(id), 1, 15))::BIGINT AS vid FROM n),
+      |msg AS MATERIALIZED (
+      |  SELECT vu.vid AS u, vv.vid AS s
+      |  FROM (SELECT src AS a, dst AS b FROM e
+      |        UNION ALL SELECT dst, src FROM e) und
+      |    JOIN v vu ON vu.id = und.a
+      |    JOIN v vv ON vv.id = und.b),
+      |c0 AS MATERIALIZED (SELECT vid, vid AS c FROM v)""".stripMargin
+    val sweepCtes = (1 to sweeps).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT m.u AS vid, p.c AS c, COUNT(*) AS w
+         |  FROM msg m JOIN c${k - 1} p ON p.vid = m.s GROUP BY m.u, p.c),
+         |b$k AS MATERIALIZED (SELECT vid, c FROM (
+         |    SELECT vid, c, ROW_NUMBER() OVER (
+         |      PARTITION BY vid ORDER BY w DESC, c ASC) AS rn FROM s$k)
+         |  WHERE rn = 1),
+         |c$k AS MATERIALIZED (SELECT p.vid, COALESCE(b.c, p.c) AS c
+         |  FROM c${k - 1} p LEFT JOIN b$k b ON b.vid = p.vid)""".stripMargin
+    }
+    (base +: sweepCtes).mkString(",\n")
+  }
+
+  /** Oracle for [[lpaCommunities]] (q31). */
+  def lpaOracleSql(sweeps: Int = 8): String =
+    s"""${lpaSqlPrefix(sweeps)}
+       |SELECT vu.id AS id, vc.id AS community
+       |FROM c$sweeps JOIN v vu ON vu.vid = c$sweeps.vid
+       |  JOIN v vc ON vc.vid = c$sweeps.c
+       |ORDER BY id""".stripMargin
+
+  /** Oracle for [[communityDensity]] (q32). */
+  def communityDensityOracleSql(sweeps: Int = 8): String =
+    s"""${lpaSqlPrefix(sweeps)},
+       |asg AS MATERIALIZED (SELECT vu.id AS id, vc.id AS community
+       |  FROM c$sweeps JOIN v vu ON vu.vid = c$sweeps.vid
+       |    JOIN v vc ON vc.vid = c$sweeps.c),
+       |sizes AS MATERIALIZED (SELECT community, COUNT(*) AS n_nodes FROM asg GROUP BY community),
+       |internal AS MATERIALIZED (SELECT a1.community AS community, COUNT(*) AS internal_edges
+       |  FROM e JOIN asg a1 ON a1.id = e.src JOIN asg a2 ON a2.id = e.dst
+       |  WHERE a1.community = a2.community GROUP BY a1.community)
+       |SELECT s.community, s.n_nodes,
+       |  COALESCE(i.internal_edges, 0) AS internal_edges,
+       |  ROUND(CASE WHEN s.n_nodes > 1
+       |    THEN COALESCE(i.internal_edges, 0) / (s.n_nodes * (s.n_nodes - 1) / 2.0)
+       |    ELSE 0.0 END, 6) AS density
+       |FROM sizes s LEFT JOIN internal i USING (community)
+       |ORDER BY community""".stripMargin
+
   /** A5: label / rel-type / property-key universe. Oracle-checked. */
   def schemaSummary(s: SparkSession, d: String): DataFrame = {
     val g = builtGraph(s, d)

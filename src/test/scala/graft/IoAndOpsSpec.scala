@@ -193,9 +193,10 @@ class IoAndOpsSpec extends AnyFunSuite {
       })
     val g = PropertyGraph(nodes, edges)
 
-    // community identity in the engine is xxhash64(id) — fetch the same
-    // hash for the reference simulation, everything else is plain Scala
-    val vidOf = nodes.select(col("id"), xxhash64(col("id")))
+    // community identity in the engine is GraphAlgos.vidExpr (md5-slice
+    // long) — fetch the same hash for the reference simulation,
+    // everything else is plain Scala
+    val vidOf = nodes.select(col("id"), graft.algo.GraphAlgos.vidExpr(col("id")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idOfVid = vidOf.map(_.swap)
     val w = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)] // (dst, src, w)
