@@ -66,6 +66,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Oracles whose SQL embeds run-time-trained artifacts (q41's sampled
+    * KMeans centroids) and therefore needs the session + dataset dir.
+    * Verify merges these over [[oracleSql]] when dumping. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Map("q41_ivf_topk" -> SimilarityOps.ivfOracleSql(spark, sfDir))
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

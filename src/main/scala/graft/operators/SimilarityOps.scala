@@ -253,12 +253,24 @@ object SimilarityOps {
       val model = new KMeans().setK(nlist).setSeed(42L)
         .setFeaturesCol("vec").setPredictionCol("cell")
         .fit(emb.filter(col("vec_id") < sampleCap))
-      val assigned = model.transform(emb)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .localCheckpoint(true)
       val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.toSeq)
       }.toSeq
+      // Cell assignment by compiled sequential-fold squaredL2 argmin
+      // over the centroid LITERALS (ties → smallest cell), NOT
+      // model.transform: the ML transform's BLAS norm-shortcut distance
+      // can flip near-equidistant cells, and this exact map-only
+      // formulation is what [[ivfOracleSql]] reproduces in DuckDB.
+      val d2Cols = centroids.map { case (i, cvec) =>
+        struct(
+          graft.functions.VectorFunctions.squaredL2(
+            col("embedding"), typedLit(cvec)).as("d2"),
+          lit(i).as("cell"))
+      }
+      val assigned = emb
+        .select(col("vec_id"), col("embedding"),
+          least(d2Cols: _*).getField("cell").as("cell"))
+        .localCheckpoint(true)
       (centroids, assigned)
     })
 
@@ -314,6 +326,51 @@ object SimilarityOps {
     IndexedSeq.fill(n)((next(), next()))
   }
   private val minHashPrime = 4294967311L // smallest prime > 2^32
+
+  /** DuckDB rendering of [[ivfTopK]], generated AGAINST A DATASET: the
+    * sample-trained centroids are run-time artifacts, so they are
+    * fetched from [[ivfIndex]] (training if missing) and embedded as
+    * literals — the oracle then reproduces cell assignment (squaredL2
+    * argmin, ties → smallest cell), the nprobe probe, and the exact
+    * in-cell cosine top-k. Emitted by Verify via
+    * `SparkEntry.dynamicOracleSql(spark, sfDir)`. */
+  def ivfOracleSql(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4): String = {
+    val (centroids, _) = ivfIndex(s, d, nlist)
+    val values = (for ((cell, cvec) <- centroids; j <- cvec.indices)
+      yield s"($cell,$j,${"%.17e".formatLocal(java.util.Locale.ROOT, cvec(j))})")
+      .mkString(",")
+    s"""WITH cent(cell, d, coef) AS MATERIALIZED (VALUES $values),
+       |u AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
+       |       generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+       |d2 AS MATERIALIZED (SELECT u.vec_id, cent.cell,
+       |       SUM((u.ev - cent.coef) * (u.ev - cent.coef)) AS d2
+       |     FROM u JOIN cent USING (d) GROUP BY u.vec_id, cent.cell),
+       |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |probed AS MATERIALIZED (SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM d2 WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
+       |cand AS MATERIALIZED (SELECT p.qid, a.vec_id AS nid
+       |  FROM probed p JOIN assign a USING (cell) WHERE a.vec_id <> p.qid),
+       |pu AS MATERIALIZED (SELECT c.qid, c.nid,
+       |    CAST(unnest(eq.embedding) AS DOUBLE) AS qv,
+       |    CAST(unnest(en.embedding) AS DOUBLE) AS nv
+       |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+       |    JOIN embeddings en ON en.vec_id = c.nid),
+       |ps AS MATERIALIZED (SELECT qid, nid, SUM(qv * nv) AS dot,
+       |    SUM(qv * qv) AS nq, SUM(nv * nv) AS nn
+       |  FROM pu GROUP BY qid, nid),
+       |sims AS MATERIALIZED (SELECT qid, nid,
+       |    ROUND(dot / (sqrt(nq) * sqrt(nn)), 6) AS sim FROM ps)
+       |SELECT qid, nid, sim, rk FROM (
+       |  SELECT qid, nid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+       |  FROM sims) WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
 
   /** MinHash + LSH banding near-dup detection on documents:
     * word-3-gram shingles → k=32 minhash signature → 8 bands × 4 rows →
