@@ -47,6 +47,7 @@ object SparkEntry {
     "q23_lang_id"          -> ((s, d) => TextOps.langId(s, d)),
     "q24_fingerprint"      -> ((s, d) => TextOps.fingerprint(s, d)),
     "q25_ngram_jaccard"    -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
+    "q43_dedup_clusters"   -> ((s, d) => TextOps.dedupClusters(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
@@ -224,6 +225,7 @@ object SparkEntry {
         |  JOIN cnts cb ON cb.doc_id = b_id
         |WHERE common * 2 >= ca.n + cb.n - common
         |ORDER BY a_id, b_id""".stripMargin,
+    "q43_dedup_clusters" -> TextOps.dedupClustersOracleSql(),
     "q26_minhash_lsh" -> operators.SimilarityOps.minHashOracleSql(),
     "q27_simhash_pairs" -> operators.SimilarityOps.simHashOracleSql(),
     "q29_cosine_lsh" -> operators.SimilarityOps.cosineLshOracleSql(),

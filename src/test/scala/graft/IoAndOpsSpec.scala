@@ -162,6 +162,29 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(w(("x", "y")) == 1.75, "non-empty same-label pair gets the bonus")
   }
 
+  // Fixed-sweep min-label propagation must equal TRUE connected
+  // components on real near-dup data (tiny cluster diameters), with
+  // every document labeled and exactly one keeper per cluster.
+  test("dedup_clusters_match_union_find") {
+    val pairs = TextOps.ngramJaccardPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val parent = collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = docs.map(d0 => d0 -> find(d0)).toMap
+    val got = TextOps.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == docs.length, "every document gets a cluster")
+    got.foreach { case (d0, c, keep) =>
+      assert(c == expected(d0), s"doc $d0 cluster")
+      assert(keep == (c == d0))
+    }
+    val keepers = got.filter(_._3).map(_._2).toSet
+    assert(keepers == expected.values.toSet, "one keeper per cluster")
+  }
+
   // Semantic pin for the distributed LPA: a 50-node fixture whose full
   // Jacobi + smallest-community-id-tie-break fixpoint is computed by an
   // INDEPENDENT in-memory reference implementation right here, and the
