@@ -55,6 +55,7 @@ object SparkEntry {
     "q29_cosine_lsh"       -> ((s, d) => SimilarityOps.cosineLshBuckets(s, d)),
     "q41_ivf_topk"         -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q42_cosine_neardup"   -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
+    "q44_cosine_dedup_clusters" -> ((s, d) => SimilarityOps.cosineDedupClusters(s, d)),
     // --- graph analytics over the FK-derived property graph (§2.8) ---
     "q30_graph_degree"     -> ((s, d) => GraphOps.graphDegree(s, d)),
     "q31_lpa_communities"  -> ((s, d) => GraphOps.lpaCommunities(s, d)),
@@ -230,6 +231,7 @@ object SparkEntry {
     "q27_simhash_pairs" -> operators.SimilarityOps.simHashOracleSql(),
     "q29_cosine_lsh" -> operators.SimilarityOps.cosineLshOracleSql(),
     "q42_cosine_neardup" -> operators.SimilarityOps.cosineNearDupOracleSql(),
+    "q44_cosine_dedup_clusters" -> operators.SimilarityOps.cosineDedupClustersOracleSql(),
     "q28_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
         |           WHERE vec_id < 8),

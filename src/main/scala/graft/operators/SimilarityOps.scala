@@ -327,6 +327,44 @@ object SimilarityOps {
   }
   private val minHashPrime = 4294967311L // smallest prime > 2^32
 
+  /** Embedding-side dedup clustering — q43's step over vectors:
+    * connected components (fixed-sweep min-label propagation, see
+    * [[Components.minLabelClusters]]) over the [[cosineNearDupPairs]]
+    * near-dup graph, one canonical keeper per cluster. */
+  def cosineDedupClusters(s: SparkSession, d: String, sweeps: Int = 8): DataFrame =
+    Components.minLabelClusters(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        cosineNearDupPairs(s, d)
+          .select(col("a_id").as("a"), col("b_id").as("b")),
+        sweeps)
+      .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+      .orderBy("vec_id")
+
+  /** DuckDB rendering of [[cosineDedupClusters]]: the q42 pair query
+    * nested as a CTE + the same unrolled min-label sweeps. */
+  def cosineDedupClustersOracleSql(sweeps: Int = 8): String = {
+    val inner = cosineNearDupOracleSql().stripSuffix("\nORDER BY a_id, b_id")
+    val sweepCtes = (1 to sweeps).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
+         |    SELECT id, lbl FROM l${k - 1}
+         |    UNION ALL
+         |    SELECT und.u AS id, p.lbl FROM und JOIN l${k - 1} p ON p.id = und.v)
+         |  GROUP BY id)""".stripMargin
+    }
+    (Seq(
+      s"""WITH np AS MATERIALIZED (
+         |$inner
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT a_id AS u, b_id AS v FROM np
+         |  UNION ALL SELECT b_id, a_id FROM np),
+         |l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lbl FROM embeddings)""".stripMargin
+      ) ++ sweepCtes).mkString(",\n") +
+      s"""
+         |SELECT id AS vec_id, lbl AS cluster, lbl = id AS keep
+         |FROM l$sweeps ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB rendering of [[ivfTopK]], generated AGAINST A DATASET: the
     * sample-trained centroids are run-time artifacts, so they are
     * fetched from [[ivfIndex]] (training if missing) and embedded as

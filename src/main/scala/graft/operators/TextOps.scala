@@ -185,23 +185,14 @@ object TextOps {
     * groupBy, map-side combined) over the df-capped pair set — at
     * 100 TB the adjacency stays near-linear in the corpus and the loop
     * is the standard large/small-star iteration shape. */
-  def dedupClusters(s: SparkSession, d: String, sweeps: Int = 8): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d).select("a_id", "b_id")
-    val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-      .localCheckpoint(true)
-    var lbl = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-    for (_ <- 1 to sweeps) {
-      val nbr = und.join(lbl.withColumnRenamed("doc_id", "v"), "v")
-        .select(col("u").as("doc_id"), col("lbl"))
-      lbl = lbl.unionByName(nbr).groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-    }
-    lbl.select(col("doc_id"), col("lbl").as("cluster"),
-        (col("lbl") === col("doc_id")).as("keep"))
+  def dedupClusters(s: SparkSession, d: String, sweeps: Int = 8): DataFrame =
+    Components.minLabelClusters(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        ngramJaccardPairs(s, d)
+          .select(col("a_id").as("a"), col("b_id").as("b")),
+        sweeps)
+      .select(col("id").as("doc_id"), col("cluster"), col("keep"))
       .orderBy("doc_id")
-  }
 
   /** DuckDB rendering of [[dedupClusters]] — the q25 pair derivation +
     * the same fixed-sweep min-label propagation as unrolled CTEs. */

@@ -185,6 +185,23 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(keepers == expected.values.toSet, "one keeper per cluster")
   }
 
+  test("cosine_dedup_clusters_match_union_find") {
+    val pairs = SimilarityOps.cosineNearDupPairs(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    val parent = collection.mutable.Map(ids.map(d => d -> d): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val got = SimilarityOps.cosineDedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == ids.length)
+    got.foreach { case (v, c, keep) =>
+      assert(c == find(v), s"vec $v cluster")
+      assert(keep == (c == v))
+    }
+  }
+
   // Semantic pin for the distributed LPA: a 50-node fixture whose full
   // Jacobi + smallest-community-id-tie-break fixpoint is computed by an
   // INDEPENDENT in-memory reference implementation right here, and the
