@@ -51,14 +51,15 @@ object GraphAlgos {
     // 2.7M pairs vs ~10 s this way; per-node prep is O(|V|), per-edge
     // work is a native intersect of ≤|props| strings.
     val prepped = g.nodes.select(col("id"), col("label"),
+      vidExpr(col("id")).as("vid"), // hashed ONCE per node, not per pair
       transform(map_entries(col("properties")),
         e => concat(e.getField("key"), lit("="), e.getField("value"))).as("kv"),
       greatest(size(col("properties")).cast("double"), lit(1.0)).as("nprops"))
       .localCheckpoint(true)
     val n1 = prepped.select(col("id").as("u"), col("label").as("u_label"),
-      col("kv").as("u_kv"), col("nprops").as("u_nprops"))
+      col("vid").as("u_vid"), col("kv").as("u_kv"), col("nprops").as("u_nprops"))
     val n2 = prepped.select(col("id").as("v"), col("label").as("v_label"),
-      col("kv").as("v_kv"))
+      col("vid").as("v_vid"), col("kv").as("v_kv"))
     undirectedEdges(g)
       .join(n1, "u").join(n2, "v")
       .withColumn("overlap",
@@ -70,7 +71,7 @@ object GraphAlgos {
           when(col("u_label") === col("v_label") && col("u_label") =!= lit(""), 0.75)
             .otherwise(0.0) +
           lit(0.5) * col("overlap") / col("u_nprops"))
-      .select("u", "v", "weight")
+      .select("u", "v", "weight", "u_vid", "v_vid")
   }
 
   /** Weighted label propagation (GA2): every node starts as its own
@@ -130,7 +131,7 @@ object GraphAlgos {
     // messages flow v -> u (u adopts from neighbors v); key by v so the
     // per-sweep community lookup is a narrow co-partitioned join
     val edges: RDD[(Long, (Long, Double))] = weightedNeighborPairs(g)
-      .select(vidExpr(col("v")).as("v"), vidExpr(col("u")).as("u"), col("weight"))
+      .select(col("v_vid").as("v"), col("u_vid").as("u"), col("weight"))
       .as[(Long, Long, Double)].rdd
       .map { case (v, u, w) => (v, (u, w)) }
       .partitionBy(part)
