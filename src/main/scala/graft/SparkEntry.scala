@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,10 @@ object SparkEntry {
     "q24_fingerprint"      -> ((s, d) => TextOps.fingerprint(s, d)),
     "q25_ngram_jaccard"    -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
     "q43_dedup_clusters"   -> ((s, d) => TextOps.dedupClusters(s, d)),
+    "q46_contamination"    -> ((s, d) => TextOps.contamination(s, d)),
+    "q47_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    // --- training-data pipeline: temporal ---
+    "q45_asof_click"       -> ((s, d) => TemporalOps.lastClickBeforePurchase(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
@@ -227,6 +231,9 @@ object SparkEntry {
         |WHERE common * 2 >= ca.n + cb.n - common
         |ORDER BY a_id, b_id""".stripMargin,
     "q43_dedup_clusters" -> TextOps.dedupClustersOracleSql(),
+    "q45_asof_click" -> operators.TemporalOps.lastClickOracleSql(),
+    "q46_contamination" -> TextOps.contaminationOracleSql(),
+    "q47_stratified_sample" -> TextOps.stratifiedSampleOracleSql(),
     "q26_minhash_lsh" -> operators.SimilarityOps.minHashOracleSql(),
     "q27_simhash_pairs" -> operators.SimilarityOps.simHashOracleSql(),
     "q29_cosine_lsh" -> operators.SimilarityOps.cosineLshOracleSql(),

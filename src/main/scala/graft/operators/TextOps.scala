@@ -194,10 +194,11 @@ object TextOps {
       .select(col("id").as("doc_id"), col("cluster"), col("keep"))
       .orderBy("doc_id")
 
-  /** DuckDB rendering of [[dedupClusters]] — the q25 pair derivation +
-    * the same fixed-sweep min-label propagation as unrolled CTEs. */
-  def dedupClustersOracleSql(sweeps: Int = 8): String = {
-    val prefix = """WITH toks AS (
+  /** DuckDB CTEs deriving the distinct (doc_id, sh) shingle rows — the
+    * oracle-side twin of [[shingleRows]], shared by every
+    * shingle-consuming oracle below. */
+  private val shingleCtesSql: String =
+    """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents),
       |sh0 AS (
@@ -205,7 +206,12 @@ object TextOps {
       |  FROM toks WHERE len(t) >= 3),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-      |  FROM sh0),
+      |  FROM sh0)""".stripMargin
+
+  /** DuckDB rendering of [[dedupClusters]] — the q25 pair derivation +
+    * the same fixed-sweep min-label propagation as unrolled CTEs. */
+  def dedupClustersOracleSql(sweeps: Int = 8): String = {
+    val prefix = s"""WITH $shingleCtesSql,
       |ok AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
       |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN ok USING (sh)),
       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
@@ -232,5 +238,95 @@ object TextOps {
       s"""
          |SELECT doc_id, lbl AS cluster, lbl = doc_id AS keep
          |FROM l$sweeps ORDER BY doc_id""".stripMargin
+  }
+
+  /** Train/test CONTAMINATION detection: for every document from the
+    * held-out sources, how many of its distinct 3-gram shingles also
+    * occur anywhere in the remaining ("training") corpus. Exact integer
+    * counts (n_sh, n_hit) so the oracle matches bit-for-bit; the
+    * decontamination policy (e.g. drop when n_hit/n_sh > τ) is the
+    * caller's single filter on top.
+    *
+    * Scale: the training side collapses to DISTINCT shingles before the
+    * join (set-semi semantics — multiplicity never matters), and the
+    * probe is a left-semi-shaped join on the shingle value. Both sides
+    * shuffle once on `sh`; no document ever meets another document, so
+    * there is no quadratic pair step anywhere — this is the shape that
+    * survives a 100 TB train corpus (the distinct-shingle set is
+    * vocabulary-bounded). */
+  def contamination(s: SparkSession, d: String,
+      testSources: Seq[String] = Seq("src1", "src2", "src3", "src4")): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val tagged = shingleRows(s, d).join(src, "doc_id")
+    val isTest = col("source").isin(testSources: _*)
+    val testSh = tagged.filter(isTest).select("doc_id", "sh")
+    val trainSh = tagged.filter(!isTest).select("sh").distinct()
+    val hits = testSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    testSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[contamination]]. */
+  def contaminationOracleSql(
+      testSources: Seq[String] = Seq("src1", "src2", "src3", "src4")): String = {
+    val srcList = testSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH $shingleCtesSql,
+       |srcs AS (SELECT doc_id, source FROM documents),
+       |test AS (SELECT sh.doc_id, sh.sh FROM sh JOIN srcs USING (doc_id)
+       |         WHERE source IN ($srcList)),
+       |train AS (SELECT DISTINCT sh.sh FROM sh JOIN srcs USING (doc_id)
+       |          WHERE source NOT IN ($srcList))
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |  CAST(COUNT(tr.sh) AS BIGINT) AS n_hit
+       |FROM test t LEFT JOIN train tr ON t.sh = tr.sh
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Deterministic hash-STRATIFIED SAMPLE for assembling training-data
+    * mixtures: per-language keep rates (percent) applied through an
+    * md5(doc_id) bucket, NOT rand()/DataFrame.sample — the selection is
+    * a pure function of the row, so it is reproducible across engines,
+    * runs, partitionings and cluster sizes, and any stratum can be
+    * re-materialized independently later. Map-only (no shuffle):
+    * embarrassingly parallel at any scale. */
+  def stratifiedSample(s: SparkSession, d: String,
+      rates: Map[String, Int] = Map("en" -> 25),
+      defaultRate: Int = 75): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(bucket < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[stratifiedSample]]: the md5-hex bucket is
+    * recovered with the strpos polynomial (15 hex chars = 60 bits,
+    * BIGINT-safe), the same trick [[SimilarityOps.minHashOracleSql]]
+    * uses. */
+  def stratifiedSampleOracleSql(
+      rates: Map[String, Int] = Map("en" -> 25),
+      defaultRate: Int = 75): String = {
+    val hexPoly = (0 until 15).map { j =>
+      val scale = java.math.BigInteger.valueOf(16).pow(14 - j)
+      s"CAST(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1 AS BIGINT)*$scale"
+    }.mkString(" + ")
+    val rateExpr = rates.toSeq.sortBy(_._1).foldLeft(s"$defaultRate") {
+      case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""WITH h AS (SELECT doc_id, lang, source,
+       |             substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+       |           FROM documents)
+       |SELECT doc_id, lang, source FROM h
+       |WHERE ($hexPoly) % 100 < ($rateExpr)
+       |ORDER BY doc_id""".stripMargin
   }
 }
