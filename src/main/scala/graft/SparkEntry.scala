@@ -50,8 +50,13 @@ object SparkEntry {
     "q43_dedup_clusters"   -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q46_contamination"    -> ((s, d) => TextOps.contamination(s, d)),
     "q47_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "q48_repetition"       -> ((s, d) => TextOps.repetitionMetrics(s, d)),
+    "q49_pack_chunks"      -> ((s, d) => TextOps.packChunks(s, d)),
+    "q50_quality_filter"   -> ((s, d) => TextOps.qualityFilter(s, d)),
+    "q51_vocab_df"         -> ((s, d) => TextOps.vocabDf(s, d)),
     // --- training-data pipeline: temporal ---
     "q45_asof_click"       -> ((s, d) => TemporalOps.lastClickBeforePurchase(s, d)),
+    "q52_funnel_stages"    -> ((s, d) => TemporalOps.funnelStages(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
@@ -234,6 +239,11 @@ object SparkEntry {
     "q45_asof_click" -> operators.TemporalOps.lastClickOracleSql(),
     "q46_contamination" -> TextOps.contaminationOracleSql(),
     "q47_stratified_sample" -> TextOps.stratifiedSampleOracleSql(),
+    "q48_repetition" -> TextOps.repetitionOracleSql(),
+    "q49_pack_chunks" -> TextOps.packChunksOracleSql(),
+    "q50_quality_filter" -> TextOps.qualityFilterOracleSql(),
+    "q51_vocab_df" -> TextOps.vocabDfOracleSql(),
+    "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
     "q26_minhash_lsh" -> operators.SimilarityOps.minHashOracleSql(),
     "q27_simhash_pairs" -> operators.SimilarityOps.simHashOracleSql(),
     "q29_cosine_lsh" -> operators.SimilarityOps.cosineLshOracleSql(),

@@ -97,4 +97,62 @@ object TemporalOps {
       |        ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
       |SELECT event_id, user_id, click_id, gap_us
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** ORDERED FUNNEL: per user, the earliest view, the earliest click
+    * at-or-after that view, and the earliest purchase at-or-after that
+    * click — `stage` is how deep the user got (0-3). The ordering
+    * constraint is the point: a purchase BEFORE the user's first
+    * qualifying click does not count, which a per-type min cannot
+    * express. Null stages stay null; all times are exact integer µs so
+    * the oracle matches bit-for-bit.
+    *
+    * Scale: three user_id-keyed aggregations with map-side partial
+    * `min`, chained by user_id equi-joins — every shuffle is on the
+    * same key, so Catalyst reuses the exchange partitioning; no window
+    * over the event stream, no per-user event sort. */
+  def funnelStages(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") >= col("v_us"))
+      .groupBy("user_id").agg(min("ts_us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") >= col("c_us"))
+      .groupBy("user_id").agg(min("ts_us").as("p_us"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("p_us").isNotNull, 3)
+          .when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1)
+          .otherwise(0).cast("bigint"))
+      .select("user_id", "v_us", "c_us", "p_us", "stage")
+      .orderBy("user_id")
+  }
+
+  /** DuckDB rendering of [[funnelStages]]. */
+  def funnelOracleSql(): String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |            FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS v_us FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ts_us) AS c_us FROM ev
+      |      JOIN v ON v.user_id = ev.user_id AND ev.ts_us >= v.v_us
+      |      WHERE event_type = 'click' GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ts_us) AS p_us FROM ev
+      |      JOIN c ON c.user_id = ev.user_id AND ev.ts_us >= c.c_us
+      |      WHERE event_type = 'purchase' GROUP BY ev.user_id),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT u.user_id, v_us, c_us, p_us,
+      |  CAST(CASE WHEN p_us IS NOT NULL THEN 3
+      |    WHEN c_us IS NOT NULL THEN 2
+      |    WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
 }

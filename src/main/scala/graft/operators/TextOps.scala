@@ -308,6 +308,196 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** REPETITION / boilerplate metrics (Gopher-style quality signals):
+    * per document, the frequency of its most repeated token and bigram
+    * plus the token mass sitting in repeated tokens — the standard
+    * filters for looped / boilerplate text in a training corpus. All
+    * exact integer counts so the oracle matches bit-for-bit.
+    *
+    * Scale: the token stream explodes once; both aggregations hash-
+    * shuffle on (doc_id, gram) with map-side partial counts, then
+    * reduce per doc — no global structure, embarrassingly parallel in
+    * the corpus. The bigram stream reuses the positional explode (one
+    * `lead` window per doc partition, codegen'd). */
+  def repetitionMetrics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokStream = withToks(s, d)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val tokAgg = tokStream.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_uniq"),
+        max("c").cast("bigint").as("top_tok_cnt"),
+        coalesce(sum(when(col("c") >= 2, col("c"))), lit(0))
+          .cast("bigint").as("dup_tok_cnt"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bgAgg = tokStream
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").cast("bigint").as("top_bigram_cnt"))
+    tokAgg.join(bgAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        col("top_tok_cnt"), col("dup_tok_cnt"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[repetitionMetrics]]. */
+  def repetitionOracleSql(): String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |ta AS (SELECT doc_id,
+      |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |         CAST(COUNT(*) AS BIGINT) AS n_uniq,
+      |         CAST(MAX(c) AS BIGINT) AS top_tok_cnt,
+      |         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+      |           AS dup_tok_cnt
+      |       FROM tc GROUP BY doc_id),
+      |bg0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2),
+      |bgc AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, COUNT(*) AS c
+      |        FROM bg0 GROUP BY 1, 2),
+      |bga AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+      |        FROM bgc GROUP BY doc_id)
+      |SELECT ta.doc_id, n_tokens, n_uniq, top_tok_cnt, dup_tok_cnt,
+      |  COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+      |FROM ta LEFT JOIN bga USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** SEQUENCE PACKING: assign every document to a token-budget chunk by
+    * greedy contiguous fill in doc_id order — the step that turns a
+    * filtered corpus into fixed-budget training shards. chunk_id is the
+    * chunk containing the document's FIRST token (a document longer
+    * than the budget spills into later chunks but is assigned where it
+    * starts). Pure integer arithmetic, so the oracle is bit-exact.
+    *
+    * Scale: the global running token total is computed WITHOUT a global
+    * sort or single-partition window. Documents bucket by
+    * `doc_id div bucketSize`; per-bucket totals (a table ~n/bucketSize
+    * rows) get prefix-summed on the driver-side-tiny bucket table, and
+    * the broadcast bucket offsets turn the within-bucket window
+    * (partitioned by bucket, codegen'd) into the exact global prefix
+    * sum. At 100 TB, pick bucketSize so the bucket table stays ~1e6
+    * rows; every big-table operation is partition-parallel. */
+  def packChunks(s: SparkSession, d: String,
+      budget: Long = 2048L, bucketSize: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = withToks(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+        expr(s"doc_id div $bucketSize").as("bucket"))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wB), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), "bucket")
+      .withColumn("cum", sum("n_tokens").over(wIn) + col("boff"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("chunk_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[packChunks]] — the oracle states the
+    * SEMANTICS (one global running sum); the engine side is the
+    * scalable two-level rendering of the same integer arithmetic. */
+  def packChunksOracleSql(budget: Long = 2048L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST((cum - n_tokens) // $budget AS BIGINT) AS chunk_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** QUANTILE-style quality filter: drop the shortest ~10% of the
+    * corpus. The threshold is rank-based over exact integers — the
+    * smallest token count `v` whose cumulative doc count reaches 10% —
+    * so engine and oracle agree bit-for-bit (no floating interpolation
+    * like percentile_cont). Kept: documents STRICTLY above the
+    * threshold value.
+    *
+    * Scale: the histogram groupBy is bounded by the number of distinct
+    * token counts (≪ corpus size); its cumulative window runs on that
+    * tiny table; the threshold joins back as a broadcast scalar. The
+    * corpus itself is touched by one map-side filter — no sort, no
+    * global window over the big table. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = withToks(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+        col("lang"))
+    val hist = t.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum("cnt").as("n_total"))
+    val wH = Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum", sum("cnt").over(wH))
+      .crossJoin(broadcast(total))
+      .filter(col("cum") * 10 >= col("n_total"))
+      .agg(min("n_tokens").as("thr"))
+    t.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") > col("thr"))
+      .select("doc_id", "n_tokens", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[qualityFilter]]. */
+  def qualityFilterOracleSql(): String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    lang
+      |  FROM documents),
+      |hist AS (SELECT n_tokens, COUNT(*) AS cnt FROM t GROUP BY n_tokens),
+      |cum AS (SELECT n_tokens,
+      |          SUM(cnt) OVER (ORDER BY n_tokens
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM hist),
+      |tot AS (SELECT COUNT(*) AS n_total FROM t),
+      |thr AS (SELECT MIN(n_tokens) AS thr FROM cum, tot
+      |        WHERE cum * 10 >= n_total)
+      |SELECT doc_id, n_tokens, lang FROM t, thr
+      |WHERE n_tokens > thr.thr ORDER BY doc_id""".stripMargin
+
+  /** VOCABULARY statistics: per-token document frequency + total term
+    * frequency, top-k by df — the corpus-level table behind IDF
+    * weighting, stop-shingle caps, and tokenizer audits. Exact integer
+    * counts; deterministic (df DESC, token ASC) top-k.
+    *
+    * Scale: ONE shuffle on the token value. df and tf come out of the
+    * same two-level aggregation — distinct (doc_id, tok) partial
+    * counts map-side, then per-token merge; output is vocabulary-
+    * bounded and the top-k is a TakeOrdered, never a global sort. */
+  def vocabDf(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").cast("bigint").as("df"),
+        count(lit(1)).cast("bigint").as("tf"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+
+  /** DuckDB rendering of [[vocabDf]]. */
+  def vocabDfOracleSql(k: Int = 50): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents)
+       |SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(COUNT(*) AS BIGINT) AS tf
+       |FROM tok GROUP BY tok ORDER BY df DESC, tok LIMIT $k""".stripMargin
+
   /** DuckDB rendering of [[stratifiedSample]]: the md5-hex bucket is
     * recovered with the strpos polynomial (15 hex chars = 60 bits,
     * BIGINT-safe), the same trick [[SimilarityOps.minHashOracleSql]]

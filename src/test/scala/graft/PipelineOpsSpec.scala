@@ -90,6 +90,115 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("repetition_metrics_independent_recompute") {
+    // recompute all five counters in plain Scala and require exact
+    // agreement on the tiny sf0.001 corpus
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val t = text.trim.split("\\s+").toSeq
+      val tc = t.groupBy(identity).view.mapValues(_.size).toMap
+      val bg = if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq
+               else Seq.empty
+      val bgc = bg.groupBy(identity).view.mapValues(_.size).toMap
+      id -> ((t.size.toLong, tc.size.toLong, tc.values.max.toLong,
+        tc.values.filter(_ >= 2).sum.toLong,
+        if (bgc.isEmpty) 0L else bgc.values.max.toLong))
+    }.toMap
+    val got = TextOps.repetitionMetrics(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, d, e) => id -> ((a, b, c, d, e)) }.toMap
+    assert(got == expected)
+  }
+
+  test("pack_chunks_matches_global_prefix_sum") {
+    // the bucketed two-level prefix sum must equal the straightforward
+    // global running sum; chunks are contiguous and budget-bounded
+    import spark.implicits._
+    val budget = 256L
+    val got = TextOps.packChunks(spark, sf, budget = budget, bucketSize = 7L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    got.foreach { case (_, n, chunk) =>
+      assert(chunk == cum / budget)
+      cum += n
+    }
+    // chunk ids are non-decreasing in doc order and start at 0
+    assert(got.head._3 == 0L)
+    assert(got.sliding(2).forall(p => p.length < 2 || p(0)._3 <= p(1)._3))
+  }
+
+  test("quality_filter_drops_bottom_decile_by_value") {
+    import spark.implicits._
+    val counts = TextOps.tokenCount(spark, sf)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    val sorted = counts.map(_._2).sorted
+    val total = sorted.length
+    // threshold: smallest value whose cumulative count reaches 10%
+    val thr = sorted(math.max(0, math.ceil(total / 10.0).toInt - 1))
+    val expected = counts.filter(_._2 > thr).map(_._1).toSet
+    val got = TextOps.qualityFilter(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.size < total)
+  }
+
+  test("vocab_df_topk_deterministic_and_correct") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text) =>
+      val t = text.trim.split("\\s+").toSeq
+      t.distinct.foreach(w => df(w) = df.getOrElse(w, 0L) + 1)
+      t.foreach(w => tf(w) = tf.getOrElse(w, 0L) + 1)
+    }
+    val expected = df.toSeq.map { case (w, d) => (w, d, tf(w)) }
+      .sortBy { case (w, d, _) => (-d, w) }.take(10)
+    val got = TextOps.vocabDf(spark, sf, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("funnel_stages_ordering_constraint") {
+    import spark.implicits._
+    // hand-built: user 1 completes in order; user 2's purchase precedes
+    // its click (stage 2); user 3 views only; user 4 clicks before
+    // viewing but again after (stage 2, second click qualifies)
+    val rows = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      (3L, 10L, "view"),
+      (4L, 5L, "click"), (4L, 10L, "view"), (4L, 15L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    // run the same plan shape as funnelStages over the fixture
+    val ev = rows.select(col("user_id"), col("event_type"),
+      col("ts").as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.min("ts_us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") >= col("v_us"))
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.min("ts_us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") >= col("c_us"))
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.min("ts_us").as("p_us"))
+    val out = ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(out(2L) == ((Some(10L), Some(30L), None))) // purchase too early
+    assert(out(3L) == ((Some(10L), None, None)))
+    assert(out(4L) == ((Some(10L), Some(15L), None))) // pre-view click skipped
+    // and the real operator runs end-to-end on the test data
+    val real = TemporalOps.funnelStages(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 3))
+  }
+
   test("stratified_sample_deterministic_and_stratified") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     val b = TextOps.stratifiedSample(spark, sf).collect()
