@@ -244,6 +244,9 @@ object SparkEntry {
     "q50_quality_filter" -> TextOps.qualityFilterOracleSql(),
     "q51_vocab_df" -> TextOps.vocabDfOracleSql(),
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
+    // stubbed decode bodies, but every number the summary emits is
+    // exact integer arithmetic over md5 slices — fully oracle-gated
+    "q40_multimodal_pipeline" -> MultimodalOps.pipelineOracleSql(),
     "q26_minhash_lsh" -> operators.SimilarityOps.minHashOracleSql(),
     "q27_simhash_pairs" -> operators.SimilarityOps.simHashOracleSql(),
     "q29_cosine_lsh" -> operators.SimilarityOps.cosineLshOracleSql(),
