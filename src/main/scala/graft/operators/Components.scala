@@ -23,12 +23,20 @@ object Components {
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
     var lbl = ids.select(col("id"), col("id").as("lbl"))
+    var prev: DataFrame = null
     for (_ <- 1 to sweeps) {
       val nbr = und.join(lbl.withColumnRenamed("id", "v"), "v")
         .select(col("u").as("id"), col("lbl"))
-      lbl = lbl.unionByName(nbr).groupBy("id").agg(min("lbl").as("lbl"))
+      val next = lbl.unionByName(nbr).groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
+      // drop the superseded sweep's blocks so repeated invocations don't
+      // pin block-manager storage for the whole session
+      if (prev != null) prev.unpersist(false)
+      prev = lbl
+      lbl = next
     }
+    if (prev != null) prev.unpersist(false)
+    und.unpersist(false)
     lbl.select(col("id"), col("lbl").as("cluster"),
       (col("lbl") === col("id")).as("keep"))
   }
