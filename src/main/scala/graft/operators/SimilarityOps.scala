@@ -535,8 +535,16 @@ object SimilarityOps {
     val tokenRows = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+    // hex digit via ascii arithmetic, NOT conv(): conv radix-parses a
+    // fresh string per call, and with 64 bit extractions over every
+    // token row it dominated the query (measured 3.7 s warm at sf0.1;
+    // ascii+substring stays in codegen at a fraction of the cost)
+    def hexDigit(pos: Int): Column = {
+      val a = ascii(substring(col("h"), pos, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
     val bitCols = (0 until 64).map { b =>
-      shiftright(conv(substring(col("h"), 16 - b / 4, 1), 16, 10).cast("int"), b % 4)
+      shiftright(hexDigit(16 - b / 4), b % 4)
         .bitwiseAND(lit(1)).as(s"bit$b")
     }
     val voteCols = (0 until 64).map { b =>

@@ -293,20 +293,27 @@ object TextOps {
     * runs, partitionings and cluster sizes, and any stratum can be
     * re-materialized independently later. Map-only (no shuffle):
     * embarrassingly parallel at any scale. */
-  def stratifiedSample(s: SparkSession, d: String,
-      rates: Map[String, Int] = Map("en" -> 25),
-      defaultRate: Int = 75): DataFrame = {
+  /** The row-pure keep condition behind [[stratifiedSample]] — shared
+    * with the streaming ingest path (map-only, so it applies to a
+    * stream unchanged). */
+  def stratifiedKeep(rates: Map[String, Int] = Map("en" -> 25),
+      defaultRate: Int = 75): Column = {
     val bucket =
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint") % 100
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
+    bucket < rate
+  }
+
+  def stratifiedSample(s: SparkSession, d: String,
+      rates: Map[String, Int] = Map("en" -> 25),
+      defaultRate: Int = 75): DataFrame =
     Tables.documents(s, d)
-      .filter(bucket < rate)
+      .filter(stratifiedKeep(rates, defaultRate))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
-  }
 
   /** REPETITION / boilerplate metrics (Gopher-style quality signals):
     * per document, the frequency of its most repeated token and bigram

@@ -84,6 +84,38 @@ object StreamingOps {
       }
   }
 
+  /** File-stream source over the documents parquet — continuous corpus
+    * ingest for the training-data pipeline ops. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("documents_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  /** Streaming ingest gate: token-count quality floor + deterministic
+    * hash-stratified sampling, applied to a document stream. Both
+    * predicates are row-pure (the EXACT column expressions the batch
+    * ops q47/q50 use — TextOps.stratifiedKeep is shared code), so the
+    * stream is stateless map-only: no watermark, no state store,
+    * unbounded ingest at any scale, and batch/stream parity is exact
+    * by construction (pinned by StreamingSpec).
+    *
+    * The quality floor is a STATIC threshold (computed offline by the
+    * batch rank-based q50; a percentile can't be incrementalized
+    * without state), which is how production pipelines run it. */
+  def docGateStream(docs: DataFrame, minTokens: Long = 10L,
+      rates: Map[String, Int] = Map("en" -> 25),
+      defaultRate: Int = 75): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint"))
+      .filter(col("n_tokens") > minTokens)
+      .filter(graft.operators.TextOps.stratifiedKeep(rates, defaultRate))
+      .select("doc_id", "lang", "source", "n_tokens")
+
   /** Run a streaming DataFrame to completion (availableNow) into a
     * memory sink; returns the result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

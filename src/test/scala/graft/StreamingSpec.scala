@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == batchDistinct)
   }
 
+  test("streaming_doc_gate_matches_batch") {
+    // the stateless ingest gate must emit exactly the batch filter's
+    // rows: same quality floor, same md5-stratified keep set
+    import graft.operators.TextOps
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.docGateStream(StreamingOps.documentsStream(spark, sf)),
+      "doc_gate_test")
+    val streamed = out.orderBy("doc_id").collect().toSeq
+    val batch = Tables.documents(spark, sf)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .filter(col("n_tokens") > 10L)
+      .filter(TextOps.stratifiedKeep())
+      .select("doc_id", "lang", "source", "n_tokens")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_sessionize_produces_sessions") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val sessions = StreamingOps.runToMemory(spark,
