@@ -71,6 +71,7 @@ object SparkEntry {
     "q32_community_density" -> ((s, d) => GraphOps.communityDensity(s, d)),
     "q33_schema_summary"   -> ((s, d) => GraphOps.schemaSummary(s, d)),
     "q34_label_groups"     -> ((s, d) => GraphOps.labelGroups(s, d)),
+    "q53_pagerank"         -> ((s, d) => GraphOps.pageRank(s, d)),
     // --- multimodal pipeline plumbing (decode stages stubbed) ---
     "q40_multimodal_pipeline" -> ((s, d) => MultimodalOps.pipelineSummary(s, d)),
   )
@@ -295,6 +296,9 @@ object SparkEntry {
     // fixpoint (see GraphOps.lpaSqlPrefix)
     "q31_lpa_communities" -> GraphOps.lpaOracleSql(),
     "q32_community_density" -> GraphOps.communityDensityOracleSql(),
+    // integer fixed-point PageRank: order-independent integer sums, so
+    // the 8 unrolled sweeps are bit-exact on both engines
+    "q53_pagerank" -> GraphOps.pageRankOracleSql(),
     "q34_label_groups" ->
       """WITH e AS (
         |  SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation

@@ -27,6 +27,54 @@ object GraphAlgos {
   private[graft] def vidExpr(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Integer fixed-point PageRank over the DIRECTED multigraph, run for
+    * a fixed `sweeps` count: pr₀ = scale; pr_{k+1}(v) = (scale·15) div
+    * 100 + (17 · Σ_{u→v} (pr_k(u) div outdeg(u))) div 20 (damping
+    * 0.85 = 17/20 as exact integer arithmetic). Every operation is
+    * integer add/div, so sums are ORDER-INDEPENDENT and the paired
+    * DuckDB oracle matches bit-for-bit — the same trick that makes the
+    * LPA chain checkable. Dangling-node mass is dropped (no out-edges →
+    * no contribution), a documented divergence from the classic
+    * redistribute-everywhere formulation that keeps every term local.
+    *
+    * Overflow: total mass is bounded by n·scale (the damped fixpoint of
+    * M ← 0.15·n·scale + 0.85·M), so with scale=10¹⁰ the 17·in_sum
+    * intermediate stays < 2⁶³ up to ~10⁸ nodes; larger graphs lower
+    * `scale`.
+    *
+    * Scale shape: one groupBy-sum shuffle per sweep with map-side
+    * partial aggregation; edges and out-degrees are checkpointed once
+    * and reused; superseded rank snapshots are unpersisted (the same
+    * loop hygiene as Components/LPA). */
+  def pageRankInt(g: PropertyGraph, sweeps: Int = 8,
+      scale: Long = 10000000000L): DataFrame = {
+    val base = scale * 15 / 100
+    val edges = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val nodeIds = g.nodes.select(col("id"))
+    var pr = nodeIds.select(col("id"), lit(scale).as("pr"))
+    var prev: DataFrame = null
+    for (_ <- 1 to sweeps) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("share"))
+        .groupBy("id").agg(sum("share").as("in_sum"))
+      val next = nodeIds.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(17 * coalesce(in_sum, 0)) div 20")).as("pr"))
+        .localCheckpoint(true)
+      if (prev != null) prev.unpersist(false)
+      prev = pr
+      pr = next
+    }
+    if (prev != null) prev.unpersist(false)
+    edges.unpersist(false)
+    outdeg.unpersist(false)
+    pr
+  }
+
   /** Undirected adjacency (GA1): both edge directions. */
   def undirectedEdges(g: PropertyGraph): DataFrame =
     g.edges.select(col("src").as("u"), col("dst").as("v"))

@@ -143,6 +143,49 @@ object GraphOps {
        |FROM sizes s LEFT JOIN internal i USING (community)
        |ORDER BY community""".stripMargin
 
+  /** Beyond-parity graph analytic: integer fixed-point PageRank (q53),
+    * 8 sweeps over the FK-derived directed multigraph. See
+    * GraphAlgos.pageRankInt for the exact-arithmetic formulation that
+    * makes an iterative float-free rank oracle-checkable. */
+  def pageRank(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.pageRankInt(builtGraph(s, d)).orderBy("id")
+
+  /** DuckDB rendering of [[pageRank]] — the FK edge list + out-degrees
+    * + all 8 sweeps as unrolled materialized CTEs, in the same exact
+    * integer arithmetic (`//` == Spark's `div` for non-negatives). */
+  def pageRankOracleSql(sweeps: Int = 8, scale: Long = 10000000000L): String = {
+    val base = scale * 15 / 100
+    val prefix = s"""WITH e(src, dst) AS MATERIALIZED (
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
+      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
+      |n(id) AS MATERIALIZED (
+      |  SELECT 'region:' || r_regionkey FROM region
+      |  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+      |  UNION ALL SELECT 'part:' || p_partkey FROM part
+      |  UNION ALL SELECT 'order:' || o_orderkey FROM orders),
+      |od AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |p0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS pr FROM n)""".stripMargin
+    val sweepCtes = (1 to sweeps).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(p.pr // od.deg) AS in_sum
+         |  FROM e JOIN p${k - 1} p ON p.id = e.src
+         |    JOIN od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |p$k AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST($base + (17 * COALESCE(g.in_sum, 0)) // 20 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN g$k g ON g.id = n.id)""".stripMargin
+    }
+    ((prefix +: sweepCtes).mkString(",\n")) +
+      s"\nSELECT id, pr FROM p$sweeps ORDER BY id"
+  }
+
   /** A5: label / rel-type / property-key universe. Oracle-checked. */
   def schemaSummary(s: SparkSession, d: String): DataFrame = {
     val g = builtGraph(s, d)

@@ -270,4 +270,30 @@ class IoAndOpsSpec extends AnyFunSuite {
     // isolated nodes never receive a message: they stay their own seed
     (46 until 50).foreach(i => assert(got(ids(i)) == ids(i)))
   }
+
+  test("pagerank_matches_inmemory_reference") {
+    // recompute the 8-sweep integer PageRank in plain Scala over the
+    // full sf0.001 FK graph and require exact agreement — integer
+    // arithmetic makes this deterministic regardless of sum order
+    val g = graft.core.GraphBuilder.fromTables(spark, sf)
+    val edges = g.edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = g.nodes.select("id").collect().map(_.getString(0))
+    val scale = 10000000000L
+    val base = scale * 15 / 100
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to 8) {
+      val in = collection.mutable.Map.empty[String, Long]
+      for ((s0, d0) <- edges)
+        in(d0) = in.getOrElse(d0, 0L) + pr(s0) / outdeg(s0)
+      pr = nodes.map(id => id -> (base + 17 * in.getOrElse(id, 0L) / 20)).toMap
+    }
+    val got = graft.operators.GraphOps.pageRank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pr, "full PageRank vector must match the in-memory reference")
+    assert(got.size == nodes.length)
+    // ranks are at least the base teleport mass
+    assert(got.values.forall(_ >= base))
+  }
 }
