@@ -72,6 +72,7 @@ object SparkEntry {
     "q33_schema_summary"   -> ((s, d) => GraphOps.schemaSummary(s, d)),
     "q34_label_groups"     -> ((s, d) => GraphOps.labelGroups(s, d)),
     "q53_pagerank"         -> ((s, d) => GraphOps.pageRank(s, d)),
+    "q54_hop_distance"     -> ((s, d) => GraphOps.hopDistance(s, d)),
     // --- multimodal pipeline plumbing (decode stages stubbed) ---
     "q40_multimodal_pipeline" -> ((s, d) => MultimodalOps.pipelineSummary(s, d)),
   )
@@ -299,6 +300,7 @@ object SparkEntry {
     // integer fixed-point PageRank: order-independent integer sums, so
     // the 8 unrolled sweeps are bit-exact on both engines
     "q53_pagerank" -> GraphOps.pageRankOracleSql(),
+    "q54_hop_distance" -> GraphOps.hopDistanceOracleSql(),
     "q34_label_groups" ->
       """WITH e AS (
         |  SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation

@@ -75,6 +75,46 @@ object GraphAlgos {
     pr
   }
 
+  /** Multi-source BFS hop distance over the UNDIRECTED graph: nodes
+    * whose label matches `sourceLabel` start at 0, everything else at
+    * null; each of the fixed `sweeps` relaxations takes the min of the
+    * current distance and (neighbor distance + 1). With sweeps ≥ the
+    * graph diameter this is the exact shortest hop count; all-integer
+    * min/plus arithmetic keeps the unrolled DuckDB oracle bit-exact
+    * (nulls for unreachable nodes on both sides).
+    *
+    * Scale shape: one neighbor-join + min-groupBy shuffle per sweep
+    * (map-side combined), checkpoint + unpersist loop hygiene — the
+    * standard distributed Bellman-Ford round for hop metrics. */
+  def hopDistanceFrom(g: PropertyGraph, sourceLabel: String,
+      sweeps: Int = 8): DataFrame = {
+    val und = undirectedEdges(g).localCheckpoint(true)
+    var dist = g.nodes.select(col("id"),
+      when(col("label") === sourceLabel, lit(0L))
+        .otherwise(lit(null).cast("bigint")).as("dist"))
+    var prev: DataFrame = null
+    for (_ <- 1 to sweeps) {
+      val nbr = und.join(dist.withColumnRenamed("id", "v"), "v")
+        .filter(col("dist").isNotNull)
+        .select(col("u").as("id"), (col("dist") + 1).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      // explicit null CASE instead of least(): engines disagree on
+      // least() null semantics, CASE is identical everywhere
+      val next = dist.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("nd"))).as("dist"))
+        .localCheckpoint(true)
+      if (prev != null) prev.unpersist(false)
+      prev = dist
+      dist = next
+    }
+    if (prev != null) prev.unpersist(false)
+    und.unpersist(false)
+    dist
+  }
+
   /** Undirected adjacency (GA1): both edge directions. */
   def undirectedEdges(g: PropertyGraph): DataFrame =
     g.edges.select(col("src").as("u"), col("dst").as("v"))

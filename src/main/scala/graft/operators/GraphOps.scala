@@ -186,6 +186,51 @@ object GraphOps {
       s"\nSELECT id, pr FROM p$sweeps ORDER BY id"
   }
 
+  /** Beyond-parity graph analytic: exact hop distance from the Region
+    * nodes over the undirected FK graph (q54) — 8 Bellman-Ford sweeps
+    * cover the graph's diameter (region–nation–customer–order–part is
+    * 4 hops). */
+  def hopDistance(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.hopDistanceFrom(builtGraph(s, d), "Region").orderBy("id")
+
+  /** DuckDB rendering of [[hopDistance]]: seeds + 8 unrolled min-relax
+    * sweeps; the null CASE mirrors the engine exactly. */
+  def hopDistanceOracleSql(sweeps: Int = 8): String = {
+    val prefix = """WITH e(src, dst) AS MATERIALIZED (
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
+      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
+      |und(u, v) AS MATERIALIZED (
+      |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |n(id, lbl) AS MATERIALIZED (
+      |  SELECT 'region:' || r_regionkey, 'Region' FROM region
+      |  UNION ALL SELECT 'nation:' || n_nationkey, 'Nation' FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey, 'Customer' FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'Supplier' FROM supplier
+      |  UNION ALL SELECT 'part:' || p_partkey, 'Part' FROM part
+      |  UNION ALL SELECT 'order:' || o_orderkey, 'Order' FROM orders),
+      |d0 AS MATERIALIZED (
+      |  SELECT id, CASE WHEN lbl = 'Region' THEN CAST(0 AS BIGINT) END AS dist
+      |  FROM n)""".stripMargin
+    val sweepCtes = (1 to sweeps).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT und.u AS id, MIN(p.dist + 1) AS nd
+         |  FROM und JOIN d${k - 1} p ON p.id = und.v
+         |  WHERE p.dist IS NOT NULL GROUP BY und.u),
+         |d$k AS MATERIALIZED (
+         |  SELECT p.id,
+         |    CASE WHEN p.dist IS NULL THEN m.nd
+         |      WHEN m.nd IS NULL THEN p.dist
+         |      ELSE LEAST(p.dist, m.nd) END AS dist
+         |  FROM d${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
+    }
+    ((prefix +: sweepCtes).mkString(",\n")) +
+      s"\nSELECT id, dist FROM d$sweeps ORDER BY id"
+  }
+
   /** A5: label / rel-type / property-key universe. Oracle-checked. */
   def schemaSummary(s: SparkSession, d: String): DataFrame = {
     val g = builtGraph(s, d)

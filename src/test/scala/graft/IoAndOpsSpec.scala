@@ -296,4 +296,36 @@ class IoAndOpsSpec extends AnyFunSuite {
     // ranks are at least the base teleport mass
     assert(got.values.forall(_ >= base))
   }
+
+  test("hop_distance_matches_inmemory_bfs") {
+    // plain-Scala BFS from the Region nodes over the undirected
+    // sf0.001 FK graph; 8 sweeps must equal true shortest hops
+    // (diameter is 4: region-nation-customer/supplier-order-part)
+    val g = graft.core.GraphBuilder.fromTables(spark, sf)
+    val edges = g.edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = collection.mutable.Map.empty[String, List[String]]
+    for ((a, b) <- edges) {
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val sources = g.nodes.filter(col("label") === "Region")
+      .select("id").collect().map(_.getString(0))
+    val dist = collection.mutable.Map[String, Long](sources.map(_ -> 0L): _*)
+    var frontier = sources.toList
+    var dLevel = 0L
+    while (frontier.nonEmpty) {
+      dLevel += 1
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .filterNot(dist.contains).distinct
+      frontier.foreach(v => dist(v) = dLevel)
+    }
+    val got = graft.operators.GraphOps.hopDistance(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = g.nodes.select("id").collect().map(_.getString(0))
+      .map(id => id -> dist.get(id)).toMap
+    assert(got == expected, "hop distances must match the in-memory BFS")
+    assert(got.size == expected.size)
+  }
 }
