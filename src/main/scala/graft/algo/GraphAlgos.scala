@@ -48,31 +48,52 @@ object GraphAlgos {
     * loop hygiene as Components/LPA). */
   def pageRankInt(g: PropertyGraph, sweeps: Int = 8,
       scale: Long = 10000000000L): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
     val base = scale * 15 / 100
-    val edges = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
-    val nodeIds = g.nodes.select(col("id"))
-    var pr = nodeIds.select(col("id"), lit(scale).as("pr"))
-    var prev: DataFrame = null
+    // Same co-partitioned RDD loop as weightedLabelPropagation: a
+    // DataFrame loop re-shuffles the full edge list every sweep
+    // (localCheckpoint erases partitioning metadata, so Catalyst plans
+    // 3 exchanges/sweep — measured 13.3 s at sf0.1); here the
+    // (src→(dst,deg)) RDD is hash-partitioned once, the per-sweep rank
+    // lookup and the rank update are narrow joins, and the only shuffle
+    // is the flat-tuple (dst, share) reduceByKey.
+    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
+      .localCheckpoint(true)
+    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
+    val eBySrc: RDD[(Long, Long)] = g.edges
+      .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = eBySrc.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    val eDeg: RDD[(Long, (Long, Long))] = eBySrc.join(outdeg) // narrow
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    eDeg.count()
+    eBySrc.unpersist(blocking = false)
+    var pr: RDD[(Long, Long)] = idMap.select(col("vid")).as[Long].rdd
+      .map(v => (v, scale)).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.count()
     for (_ <- 1 to sweeps) {
-      val contrib = edges
-        .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("id"), expr("pr div deg").as("share"))
-        .groupBy("id").agg(sum("share").as("in_sum"))
-      val next = nodeIds.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(17 * coalesce(in_sum, 0)) div 20")).as("pr"))
-        .localCheckpoint(true)
-      if (prev != null) prev.unpersist(false)
-      prev = pr
-      pr = next
+      val contrib = eDeg.join(pr) // narrow
+        .map { case (_, ((dst, deg), p)) => (dst, p / deg) }
+        .reduceByKey(part, _ + _) // the sweep's one shuffle
+      val prev = pr
+      pr = prev.leftOuterJoin(contrib, part) // narrow
+        .mapValues { case (_, in) => base + 17 * in.getOrElse(0L) / 20 }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pr.count()
+      prev.unpersist(blocking = false)
     }
-    if (prev != null) prev.unpersist(false)
-    edges.unpersist(false)
-    outdeg.unpersist(false)
-    pr
+    val out = pr.toDF("vid", "pr").join(idMap, "vid")
+      .select("id", "pr").localCheckpoint(true)
+    eDeg.unpersist(blocking = false)
+    pr.unpersist(blocking = false)
+    out
   }
 
   /** Multi-source BFS hop distance over the UNDIRECTED graph: nodes
@@ -88,31 +109,51 @@ object GraphAlgos {
     * standard distributed Bellman-Ford round for hop metrics. */
   def hopDistanceFrom(g: PropertyGraph, sourceLabel: String,
       sweeps: Int = 8): DataFrame = {
-    val und = undirectedEdges(g).localCheckpoint(true)
-    var dist = g.nodes.select(col("id"),
-      when(col("label") === sourceLabel, lit(0L))
-        .otherwise(lit(null).cast("bigint")).as("dist"))
-    var prev: DataFrame = null
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val INF = Long.MaxValue
+    // co-partitioned RDD loop (see pageRankInt): adjacency keyed by the
+    // known-distance endpoint is partitioned once; each sweep's only
+    // shuffle is the (node, candidate-distance) min-reduceByKey
+    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
+      .localCheckpoint(true)
+    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
+    val und: RDD[(Long, Long)] = g.edges
+      .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (s0, d0) => Seq((s0, d0), (d0, s0)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    var dist: RDD[(Long, Long)] = g.nodes
+      .select(vidExpr(col("id")).as("vid"),
+        when(col("label") === sourceLabel, lit(0L)).otherwise(lit(INF)).as("d"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
     for (_ <- 1 to sweeps) {
-      val nbr = und.join(dist.withColumnRenamed("id", "v"), "v")
-        .filter(col("dist").isNotNull)
-        .select(col("u").as("id"), (col("dist") + 1).as("nd"))
-        .groupBy("id").agg(min("nd").as("nd"))
-      // explicit null CASE instead of least(): engines disagree on
-      // least() null semantics, CASE is identical everywhere
-      val next = dist.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          when(col("dist").isNull, col("nd"))
-            .when(col("nd").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("nd"))).as("dist"))
-        .localCheckpoint(true)
-      if (prev != null) prev.unpersist(false)
-      prev = dist
-      dist = next
+      val msg = und.join(dist) // narrow
+        .flatMap { case (_, (u, dv)) =>
+          if (dv == INF) Iterator.empty else Iterator((u, dv + 1)) }
+        .reduceByKey(part, math.min(_, _)) // the sweep's one shuffle
+      val prev = dist
+      dist = prev.leftOuterJoin(msg, part) // narrow
+        .mapValues { case (d, nd) => math.min(d, nd.getOrElse(INF)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dist.count()
+      prev.unpersist(blocking = false)
     }
-    if (prev != null) prev.unpersist(false)
-    und.unpersist(false)
-    dist
+    val out = dist.toDF("vid", "d").join(idMap, "vid")
+      .select(col("id"),
+        when(col("d") === INF, lit(null).cast("bigint"))
+          .otherwise(col("d")).as("dist"))
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
+    dist.unpersist(blocking = false)
+    out
   }
 
   /** Undirected adjacency (GA1): both edge directions. */
