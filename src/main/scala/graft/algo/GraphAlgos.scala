@@ -91,8 +91,11 @@ object GraphAlgos {
     }
     val out = pr.toDF("vid", "pr").join(idMap, "vid")
       .select("id", "pr").localCheckpoint(true)
-    eDeg.unpersist(blocking = false)
-    pr.unpersist(blocking = false)
+    // blocking: drop the loop's blocks before returning, so the cleanup
+    // storm lands inside this analytic's own wall-clock instead of
+    // disturbing whatever query runs next in the session
+    eDeg.unpersist(blocking = true)
+    pr.unpersist(blocking = true)
     out
   }
 
@@ -151,8 +154,8 @@ object GraphAlgos {
         when(col("d") === INF, lit(null).cast("bigint"))
           .otherwise(col("d")).as("dist"))
       .localCheckpoint(true)
-    und.unpersist(blocking = false)
-    dist.unpersist(blocking = false)
+    und.unpersist(blocking = true)
+    dist.unpersist(blocking = true)
     out
   }
 
