@@ -54,6 +54,8 @@ object SparkEntry {
     "q49_pack_chunks"      -> ((s, d) => TextOps.packChunks(s, d)),
     "q50_quality_filter"   -> ((s, d) => TextOps.qualityFilter(s, d)),
     "q51_vocab_df"         -> ((s, d) => TextOps.vocabDf(s, d)),
+    "q55_bpe_token_count"  -> ((s, d) => TextOps.bpeTokenCount(s, d)),
+    "q56_mixture_summary"  -> ((s, d) => TextOps.mixtureSummary(s, d)),
     // --- training-data pipeline: temporal ---
     "q45_asof_click"       -> ((s, d) => TemporalOps.lastClickBeforePurchase(s, d)),
     "q52_funnel_stages"    -> ((s, d) => TemporalOps.funnelStages(s, d)),
@@ -245,6 +247,8 @@ object SparkEntry {
     "q49_pack_chunks" -> TextOps.packChunksOracleSql(),
     "q50_quality_filter" -> TextOps.qualityFilterOracleSql(),
     "q51_vocab_df" -> TextOps.vocabDfOracleSql(),
+    "q55_bpe_token_count" -> TextOps.bpeTokenCountOracleSql(),
+    "q56_mixture_summary" -> TextOps.mixtureSummaryOracleSql(),
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
     // stubbed decode bodies, but every number the summary emits is
     // exact integer arithmetic over md5 slices — fully oracle-gated

@@ -315,6 +315,52 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** BPE-ish TOKEN COUNT: alongside the whitespace count (q21), the
+    * subword-style segmentation a tokenizer-budget estimate needs —
+    * letter runs / digit runs / single punctuation marks, the core of
+    * the GPT-2 pre-tokenizer pattern (minus its lookaheads, which RE2
+    * — hence DuckDB — can't express). Map-only; the pattern is dialect-
+    * portable between Java regex and RE2 (verified: the corpus is pure
+    * ASCII, where both count identically). */
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("bigint").as("n_bpe"),
+        size(tokens(col("text"))).cast("bigint").as("n_ws"))
+      .orderBy("doc_id")
+
+  /** DuckDB rendering of [[bpeTokenCount]]. */
+  def bpeTokenCountOracleSql(): String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |    AS BIGINT) AS n_bpe,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** CORPUS MIXTURE report: per (lang, source) stratum — document
+    * count, token mass, char mass — the table a data-mixture plan is
+    * written against before sampling rates (q47) are chosen. One
+    * map-side-combined groupBy; output is strata-bounded. */
+  def mixtureSummary(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("lang"), col("source"),
+        size(col("toks")).cast("bigint").as("n_tokens"), col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source")
+
+  /** DuckDB rendering of [[mixtureSummary]]. */
+  def mixtureSummaryOracleSql(): String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |    AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** REPETITION / boilerplate metrics (Gopher-style quality signals):
     * per document, the frequency of its most repeated token and bigram
     * plus the token mass sitting in repeated tokens — the standard

@@ -199,6 +199,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(real.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 3))
   }
 
+  test("bpe_token_count_independent_recompute") {
+    import spark.implicits._
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      id -> ((re.findAllIn(text).size.toLong,
+        text.trim.split("\\s+").length.toLong))
+    }.toMap
+    val got = TextOps.bpeTokenCount(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, b, w) => id -> ((b, w)) }.toMap
+    assert(got == expected)
+    // subword count never below whitespace count on non-empty text
+    assert(got.values.forall { case (b, w) => b >= w || b == 0 })
+  }
+
+  test("mixture_summary_totals_consistent") {
+    import spark.implicits._
+    val rows = TextOps.mixtureSummary(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // strata partition the corpus: doc counts and char mass must add up
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(rows.map(_._5).sum == totalChars)
+  }
+
   test("stratified_sample_deterministic_and_stratified") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     val b = TextOps.stratifiedSample(spark, sf).collect()
