@@ -84,6 +84,60 @@ object StreamingOps {
       }
   }
 
+  case class FunnelInput(user_id: Long, event_type: String, ts_us: Long)
+  case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
+  case class FunnelOut(user_id: Long, v_us: Option[Long], c_us: Option[Long],
+      p_us: Option[Long], stage: Long)
+
+  /** Streaming ORDERED-FUNNEL tracker — the incremental counterpart of
+    * the batch q52 (TemporalOps.funnelStages): per user, the earliest
+    * view, earliest click at-or-after it, earliest purchase at-or-after
+    * that, held in one tiny fixed-size state record per user. Within a
+    * batch, events are sorted by time and swept twice (the second pass
+    * resolves equal-timestamp view/click ordering), so the final state
+    * equals the batch answer when each user's events arrive within one
+    * micro-batch or in nondecreasing event-time order across batches —
+    * StreamingSpec pins exact parity against q52. A view arriving LATE
+    * across batches cannot retroactively qualify an already-discarded
+    * click (the state keeps no event history, by design); watermarked
+    * buffering is the standard mitigation when that matters.
+    *
+    * Scale: state is 3 longs per user (no event history), the
+    * mapGroupsWithState shape that holds at an unbounded event count. */
+  def funnelStream(events: DataFrame): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NONE = Long.MaxValue
+    events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .as[FunnelInput]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(NONE, NONE, NONE))
+          // sort within the batch; re-sweep twice so a batch delivering
+          // events out of stage order (purchase before its click) still
+          // reaches the monotone fixpoint
+          val evs = rows.toSeq.sortBy(e => (e.ts_us, e.event_type))
+          for (_ <- 1 to 2; e <- evs) {
+            if (e.event_type == "view" && e.ts_us < st.v_us)
+              st = FunnelState(e.ts_us, st.c_us, st.p_us)
+            if (e.event_type == "click" && st.v_us != NONE &&
+                e.ts_us >= st.v_us && e.ts_us < st.c_us)
+              st = FunnelState(st.v_us, e.ts_us, st.p_us)
+            if (e.event_type == "purchase" && st.c_us != NONE &&
+                e.ts_us >= st.c_us && e.ts_us < st.p_us)
+              st = FunnelState(st.v_us, st.c_us, e.ts_us)
+          }
+          state.update(st)
+          def opt(x: Long): Option[Long] = if (x == NONE) None else Some(x)
+          val stage = if (st.p_us != NONE) 3L else if (st.c_us != NONE) 2L
+            else if (st.v_us != NONE) 1L else 0L
+          FunnelOut(user, opt(st.v_us), opt(st.c_us), opt(st.p_us), stage)
+      }
+  }
+
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -58,6 +58,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_funnel_matches_batch") {
+    import graft.operators.TemporalOps
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.funnelStream(
+        StreamingOps.eventsStream(spark, sf).drop("event_time")).toDF(),
+      "funnel_test", OutputMode.Update)
+    val streamed = out.orderBy("user_id")
+      .select("user_id", "v_us", "c_us", "p_us", "stage").collect().toSeq
+    val batch = TemporalOps.funnelStages(spark, sf)
+      .orderBy("user_id").collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_sessionize_produces_sessions") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val sessions = StreamingOps.runToMemory(spark,
