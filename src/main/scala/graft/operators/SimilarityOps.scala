@@ -151,8 +151,20 @@ object SimilarityOps {
     else if (bn <= 128) 7 else bMax
   }
 
+  // one materialized embedding near-dup pair table per (session,
+  // dataset, params): q42 returns it and q44's clustering consumes it
+  private val neardupCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int, Double), DataFrame]
+
   def cosineNearDupPairs(s: SparkSession, d: String, nTables: Int = 16,
-      dim: Int = 64, threshold: Double = 0.4): DataFrame = {
+      dim: Int = 64, threshold: Double = 0.4): DataFrame =
+    neardupCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, d, nTables, dim, threshold),
+      cosineNearDupPairsUncached(s, d, nTables, dim, threshold)
+        .localCheckpoint(true))
+
+  private def cosineNearDupPairsUncached(s: SparkSession, d: String,
+      nTables: Int, dim: Int, threshold: Double): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val bMax = neardupBandMax
     val b = autoBand(emb.count())

@@ -149,7 +149,17 @@ object TextOps {
     * Scale: per-shingle document lists are the join key; a document
     * frequency cap (maxDf) drops degenerate stop-shingles that would
     * create quadratic hot keys at 100 TB. */
-  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int = 1000): DataFrame = {
+  // one materialized near-dup pair table per (session, dataset, maxDf):
+  // q25 returns it and q43's clustering consumes it — at cluster scale
+  // this is "write the pair table once", the same shape as shingleRows
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
+
+  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int = 1000): DataFrame =
+    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d, maxDf),
+      ngramJaccardPairsUncached(s, d, maxDf).localCheckpoint(true))
+
+  private def ngramJaccardPairsUncached(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val sh = shingleRows(s, d)
     val dfOk = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
