@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins for the scale-critical properties the
+  * operators were designed around. These are the checks a plan review
+  * does by hand with `.explain("formatted")` — pinned here so a
+  * refactor that silently drops a pushdown, un-broadcasts a dimension,
+  * or adds a shuffle to a map-only operator fails the suite instead of
+  * shipping. String matching is kept loose (operator names, not plan
+  * ids) to stay stable within the pinned Spark version. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes the filter and prunes columns at the parquet scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: ["), "filter must reach the scan")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "the literal predicate must be pushed, not evaluated post-scan")
+    // projection is 4 columns + 2 filter columns; a full-width read is wrong
+    assert(!p.contains("l_comment"), "unused columns must be pruned")
+  }
+
+  test("q03 broadcasts the filtered dimension and uses top-k, not global sort") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "customer (filtered, small) must broadcast against the fact side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT 10 over ORDER BY must be a TakeOrdered, not a full sort")
+  }
+
+  test("q47 stratified sample is map-only (no exchange before the sort)") {
+    val p = plan("q47_stratified_sample")
+    // the only exchange allowed is the final presentation orderBy:
+    // Scan → Filter → Exchange(rangepartitioning) → Sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"row-pure sampling must not shuffle the corpus (found $exchanges exchanges)")
+    assert(p.contains("rangepartitioning"),
+      "the single exchange must be the presentation sort, not a data shuffle")
+  }
+
+  test("q20 exact dedup aggregates partially map-side") {
+    val p = plan("q20_dedup_exact")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "hash groupBy must have a map-side partial aggregate")
+    assert(
+      p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"),
+      "expect two HashAggregate levels (partial + final)")
+  }
+
+  test("q28 brute-force cosine broadcasts the query side only") {
+    val p = plan("q28_cosine_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the tiny query side must broadcast; the corpus must never shuffle for the join")
+  }
+
+  test("q49 pack chunks windows within buckets, never over the corpus") {
+    val p = plan("q49_pack_chunks")
+    // the per-row cumulative window must be hash-partitioned by bucket;
+    // a global (single-partition) running-sum window over every doc
+    // would be the bottleneck the two-level design avoids. The tiny
+    // bucket-offset window is the only SinglePartition exchange allowed.
+    assert(p.contains("hashpartitioning(bucket"),
+      "big-table window must be bucket-partitioned")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must join back as a broadcast")
+  }
+}
