@@ -80,4 +80,35 @@ object Exporters {
       col("label"), to_json(col("properties")).as("metadata_json")), singleFile)
       .write.mode("overwrite").option("header", "true").csv(s"$path/relationships")
   }
+
+  /** Beyond-parity sink: the end of the training-data pipeline — gated
+    * documents as SHARDED JSONL, the hand-off format a trainer's data
+    * loader reads. Composes the oracle-checked stages: the q50-style
+    * quality floor and q47 stratified keep (both row-pure), then the
+    * q49 token-budget chunk assignment, sharded as `shard=N` partition
+    * directories with `shardChunks` chunks per shard.
+    *
+    * Scale: partitioned write — each task writes only its shards; the
+    * shard key derives from the deterministic chunk id, so re-running
+    * any subset of the corpus reproduces identical shard contents
+    * (restartable backfills). */
+  def documentsToTrainingShards(spark: SparkSession, sfDir: String,
+      path: String, minTokens: Long = 10L, budget: Long = 2048L,
+      shardChunks: Long = 4L,
+      rates: Map[String, Int] = Map("en" -> 25), defaultRate: Int = 75): Long = {
+    import graft.operators.TextOps
+    val gated = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .filter(col("n_tokens") > minTokens)
+      .filter(TextOps.stratifiedKeep(rates, defaultRate))
+    // pack the GATED set: budget is spent only on surviving documents
+    val chunks = TextOps.packChunksOf(
+        gated.select(col("doc_id"), col("n_tokens")), budget)
+      .select(col("doc_id"), col("chunk_id"))
+    val out = gated.join(chunks, "doc_id")
+      .withColumn("shard", expr(s"chunk_id div $shardChunks"))
+      .select("doc_id", "lang", "source", "n_tokens", "chunk_id", "shard", "text")
+    out.write.mode("overwrite").partitionBy("shard").json(path)
+    out.count()
+  }
 }

@@ -448,10 +448,19 @@ object TextOps {
     * sum. At 100 TB, pick bucketSize so the bucket table stays ~1e6
     * rows; every big-table operation is partition-parallel. */
   def packChunks(s: SparkSession, d: String,
+      budget: Long = 2048L, bucketSize: Long = 100L): DataFrame =
+    packChunksOf(withToks(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens")),
+      budget, bucketSize)
+
+  /** The packing itself over any (doc_id, n_tokens) set — q49 runs it
+    * on the full corpus (paired with its oracle); the training-shard
+    * export runs it on the gated subset. */
+  def packChunksOf(docs: DataFrame,
       budget: Long = 2048L, bucketSize: Long = 100L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = withToks(s, d)
-      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"),
+    val t = docs
+      .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id div $bucketSize").as("bucket"))
     val wB = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
