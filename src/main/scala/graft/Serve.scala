@@ -74,13 +74,15 @@ object Serve {
     }, "graft-autosave")
     autosaveThread.setDaemon(true)
 
-    def start(): (Int, Int) = {
+    def start(): (Int, Int, Option[Int]) = {
       running = true
       val hp = http.start()
       val wp = ws.start()
-      grpc.foreach(_.start())
+      // keep the BOUND port (start() returns it): with --grpc-port 0 the
+      // configured value is useless for reaching the server
+      val gp = grpc.map(_.start())
       autosaveThread.start()
-      (hp, wp)
+      (hp, wp, gp)
     }
 
     def stop(): Unit = {
@@ -136,9 +138,9 @@ object Serve {
       spark.conf.set("spark.graft.maxResultRows", v.toString))
     val daemon = new Daemon(new GraphSession(spark), dataDir, port, wsPort,
       apiKey, logDir, autosaveSecs, bindAddr = bindAddr, grpcPort = grpcPort)
-    val (hp, wp) = daemon.start()
+    val (hp, wp, gp) = daemon.start()
     System.err.println(s"[graft] daemon up: http=$hp ws=$wp" +
-      grpcPort.map(p => s" grpc=$p").getOrElse("") +
+      gp.map(p => s" grpc=$p").getOrElse("") +
       s" data=$dataDir autosave=${autosaveSecs}s (Ctrl+C to stop)")
     Thread.currentThread().join() // serve until killed
   }

@@ -182,7 +182,12 @@ object WsFrames {
       val hi = in.read(); val lo = in.read()
       if (hi < 0 || lo < 0) return None // truncated extended length
       len = ((hi & 0xff) << 8 | (lo & 0xff)).toLong
-    } else if (len == 127) len = in.readLong()
+    } else if (len == 127) {
+      // same truncation handling as the 16-bit path: a header cut off
+      // mid-length is a malformed frame (None → clean close), not an
+      // EOFException that aborts the connection loop
+      len = try in.readLong() catch { case _: java.io.EOFException => return None }
+    }
     if (len < 0 || len > 64L * 1024 * 1024) return None
     val mask = if (masked) { val m = new Array[Byte](4); in.readFully(m); m } else null
     val payload = new Array[Byte](len.toInt)

@@ -287,8 +287,12 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     * a configurable cap (`spark.graft.maxResultRows`, default 1M) with
     * a clear error past it — bounded driver memory, single job. */
   private def collectCapped(b: DataFrame): Array[org.apache.spark.sql.Row] = {
+    // parse as Long and clamp: the settings surface types the cap as a
+    // Long, and a value past Int.MaxValue must mean "huge cap", not a
+    // NumberFormatException on every query
     val cap = spark.conf.getOption("spark.graft.maxResultRows")
-      .map(_.toInt).getOrElse(1000000)
+      .map(v => math.min(v.toLong, Int.MaxValue - 1L).toInt)
+      .getOrElse(1000000)
     val rows = b.limit(cap + 1).collect()
     if (rows.length > cap)
       throw ParseException(

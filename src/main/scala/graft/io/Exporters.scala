@@ -108,7 +108,10 @@ object Exporters {
     val out = gated.join(chunks, "doc_id")
       .withColumn("shard", expr(s"chunk_id div $shardChunks"))
       .select("doc_id", "lang", "source", "n_tokens", "chunk_id", "shard", "text")
+      .localCheckpoint(true) // compute the pipeline ONCE for write + count
     out.write.mode("overwrite").partitionBy("shard").json(path)
-    out.count()
+    val n = out.count()
+    out.unpersist(blocking = false)
+    n
   }
 }

@@ -82,20 +82,8 @@ object GraphOps {
     * Community identity/tie-break is GraphAlgos.vidExpr — the same
     * md5-slice long on both sides. */
   private[graft] def lpaSqlPrefix(sweeps: Int = 8): String = {
-    val base = """WITH e(src, dst) AS MATERIALIZED (
-      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
-      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
-      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
-      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
-      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
-      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
-      |n(id) AS MATERIALIZED (
-      |  SELECT 'region:' || r_regionkey FROM region
-      |  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
-      |  UNION ALL SELECT 'customer:' || c_custkey FROM customer
-      |  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
-      |  UNION ALL SELECT 'part:' || p_partkey FROM part
-      |  UNION ALL SELECT 'order:' || o_orderkey FROM orders),
+    val base = s"""WITH ${OracleSql.fkEdgesCte},
+      |${OracleSql.fkNodesCte(withLabel = false)},
       |v AS MATERIALIZED (SELECT id, ('0x' || substring(md5(id), 1, 15))::BIGINT AS vid FROM n),
       |msg AS MATERIALIZED (
       |  SELECT vu.vid AS u, vv.vid AS s
@@ -162,20 +150,8 @@ object GraphOps {
     * integer arithmetic (`//` == Spark's `div` for non-negatives). */
   def pageRankOracleSql(sweeps: Int = 8, scale: Long = 10000000000L): String = {
     val base = scale * 15 / 100
-    val prefix = s"""WITH e(src, dst) AS MATERIALIZED (
-      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
-      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
-      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
-      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
-      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
-      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
-      |n(id) AS MATERIALIZED (
-      |  SELECT 'region:' || r_regionkey FROM region
-      |  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
-      |  UNION ALL SELECT 'customer:' || c_custkey FROM customer
-      |  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
-      |  UNION ALL SELECT 'part:' || p_partkey FROM part
-      |  UNION ALL SELECT 'order:' || o_orderkey FROM orders),
+    val prefix = s"""WITH ${OracleSql.fkEdgesCte},
+      |${OracleSql.fkNodesCte(withLabel = false)},
       |od AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
       |p0 AS MATERIALIZED (SELECT id, CAST($scale AS BIGINT) AS pr FROM n)""".stripMargin
     val sweepCtes = (1 to sweeps).map { k =>
@@ -207,22 +183,10 @@ object GraphOps {
   /** DuckDB rendering of [[hopDistance]]: seeds + 8 unrolled min-relax
     * sweeps; the null CASE mirrors the engine exactly. */
   def hopDistanceOracleSql(sweeps: Int = 8): String = {
-    val prefix = """WITH e(src, dst) AS MATERIALIZED (
-      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
-      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
-      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
-      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey FROM orders
-      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey FROM lineitem
-      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey FROM lineitem),
+    val prefix = s"""WITH ${OracleSql.fkEdgesCte},
       |und(u, v) AS MATERIALIZED (
       |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-      |n(id, lbl) AS MATERIALIZED (
-      |  SELECT 'region:' || r_regionkey, 'Region' FROM region
-      |  UNION ALL SELECT 'nation:' || n_nationkey, 'Nation' FROM nation
-      |  UNION ALL SELECT 'customer:' || c_custkey, 'Customer' FROM customer
-      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'Supplier' FROM supplier
-      |  UNION ALL SELECT 'part:' || p_partkey, 'Part' FROM part
-      |  UNION ALL SELECT 'order:' || o_orderkey, 'Order' FROM orders),
+      |${OracleSql.fkNodesCte(withLabel = true)},
       |d0 AS MATERIALIZED (
       |  SELECT id, CASE WHEN lbl = 'Region' THEN CAST(0 AS BIGINT) END AS dist
       |  FROM n)""".stripMargin

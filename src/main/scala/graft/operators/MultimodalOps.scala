@@ -114,9 +114,16 @@ object MultimodalOps {
     * stubs, but the entire Spark plumbing around them is oracle-gated. */
   def pipelineSummary(s: SparkSession, d: String): DataFrame = {
     val media = mediaTable(s, d)
-    val img = resizeStub(decodeImageStub(media), 512, 512)
-    img.select("media_id", "kind", "out_width", "out_height")
-      .join(featNormSqScaled(media), "media_id")
+    // one pass: dims, resize, and norm are all per-row functions of the
+    // payload md5, so the whole query is map-only until the final
+    // groupBy — no self-join, one md5 per row
+    resizeStub(decodeImageStub(media), 512, 512)
+      .withColumn("__h", mdSlice(col("bytes"), 17))
+      .select(col("kind"), col("out_width"), col("out_height"),
+        aggregate(sequence(lit(0L), lit(63L)), lit(0L),
+          (acc, i) => acc +
+            (featLevel(col("__h"), i) - 1000L) * (featLevel(col("__h"), i) - 1000L))
+          .as("norm_sq_scaled"))
       .groupBy("kind")
       .agg(count(lit(1)).as("cnt"),
         sum(col("out_width")).as("sum_w"),
@@ -129,10 +136,7 @@ object MultimodalOps {
     * recovered with the strpos polynomial; resize runs the identical
     * IEEE-double least/floor arithmetic. */
   def pipelineOracleSql(dim: Int = 64): String = {
-    def hexPoly(off: Int): String = (0 until 8).map { j =>
-      val scale = java.math.BigInteger.valueOf(16).pow(7 - j)
-      s"CAST(strpos('0123456789abcdef', substring(h, ${off + j}, 1)) - 1 AS BIGINT)*$scale"
-    }.mkString(" + ")
+    def hexPoly(off: Int): String = OracleSql.hexPoly("h", off, 8)
     s"""WITH m AS (
        |  SELECT doc_id AS media_id,
        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

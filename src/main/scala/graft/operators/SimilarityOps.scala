@@ -356,13 +356,7 @@ object SimilarityOps {
     * nested as a CTE + the same unrolled min-label sweeps. */
   def cosineDedupClustersOracleSql(sweeps: Int = 8): String = {
     val inner = cosineNearDupOracleSql().stripSuffix("\nORDER BY a_id, b_id")
-    val sweepCtes = (1 to sweeps).map { k =>
-      s"""l$k AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
-         |    SELECT id, lbl FROM l${k - 1}
-         |    UNION ALL
-         |    SELECT und.u AS id, p.lbl FROM und JOIN l${k - 1} p ON p.id = und.v)
-         |  GROUP BY id)""".stripMargin
-    }
+    val sweepCtes = OracleSql.minLabelSweeps("id", sweeps)
     (Seq(
       s"""WITH np AS MATERIALIZED (
          |$inner
@@ -495,11 +489,7 @@ object SimilarityOps {
     val rows = numHashes / bands
     val coefValues = minHashCoefs(numHashes).zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-    def hexSlice(start: Int): String =
-      (0 until 8).map { j =>
-        val scale = 1L << (4 * (7 - j))
-        s"CAST(strpos('0123456789abcdef', substring(mh,${start + j},1)) - 1 AS BIGINT)*$scale"
-      }.mkString(" + ")
+    def hexSlice(start: Int): String = OracleSql.hexPoly("mh", start, 8)
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),

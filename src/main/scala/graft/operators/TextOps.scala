@@ -237,13 +237,7 @@ object TextOps {
       |  SELECT a_id AS u, b_id AS v FROM gp
       |  UNION ALL SELECT b_id, a_id FROM gp),
       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents)""".stripMargin
-    val sweepCtes = (1 to sweeps).map { k =>
-      s"""l$k AS MATERIALIZED (SELECT doc_id, MIN(lbl) AS lbl FROM (
-         |    SELECT doc_id, lbl FROM l${k - 1}
-         |    UNION ALL
-         |    SELECT und.u AS doc_id, p.lbl FROM und JOIN l${k - 1} p ON p.doc_id = und.v)
-         |  GROUP BY doc_id)""".stripMargin
-    }
+    val sweepCtes = OracleSql.minLabelSweeps("doc_id", sweeps)
     ((prefix +: sweepCtes).mkString(",\n")) +
       s"""
          |SELECT doc_id, lbl AS cluster, lbl = doc_id AS keep
@@ -577,10 +571,7 @@ object TextOps {
   def stratifiedSampleOracleSql(
       rates: Map[String, Int] = Map("en" -> 25),
       defaultRate: Int = 75): String = {
-    val hexPoly = (0 until 15).map { j =>
-      val scale = java.math.BigInteger.valueOf(16).pow(14 - j)
-      s"CAST(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1 AS BIGINT)*$scale"
-    }.mkString(" + ")
+    val hexPoly = OracleSql.hexPoly("h", 1, 15)
     val rateExpr = rates.toSeq.sortBy(_._1).foldLeft(s"$defaultRate") {
       case (acc, (l, r)) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
     }

@@ -15,18 +15,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** The file-stream source requires a DIRECTORY; the testdata tables
+    * are single parquet files, so stage a symlink dir (testdata is
+    * read-only). Both the dir and the link are registered for JVM-exit
+    * cleanup so long-lived sessions don't accumulate /tmp entries. */
+  private def stagedFileStream(spark: SparkSession, parquetFile: String,
+      prefix: String): DataFrame = {
+    val schema = spark.read.parquet(parquetFile).schema
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val link = java.nio.file.Files.createSymbolicLink(
+      dir.resolve(new java.io.File(parquetFile).getName),
+      java.nio.file.Paths.get(parquetFile))
+    link.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
   /** File-stream source over the events parquet (nanos timestamps read
     * as long, converted to a proper event-time column). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file-stream source requires a DIRECTORY; the testdata table is
-    // a single parquet file, so stage a symlink dir (read-only testdata)
-    val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    spark.readStream.schema(schema)
-      .parquet(dir.toString)
+    stagedFileStream(spark, s"$sfDir/events.parquet", "events_stream")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
   }
@@ -140,14 +149,8 @@ object StreamingOps {
 
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
-  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val dir = java.nio.file.Files.createTempDirectory("documents_stream")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
-    spark.readStream.schema(schema).parquet(dir.toString)
-  }
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    stagedFileStream(spark, s"$sfDir/documents.parquet", "documents_stream")
 
   /** Streaming ingest gate: token-count quality floor + deterministic
     * hash-stratified sampling, applied to a document stream. Both

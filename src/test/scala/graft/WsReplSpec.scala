@@ -58,7 +58,7 @@ class WsReplSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_daemon").toString
     val session = new GraphSession(spark)
     val daemon = new Serve.Daemon(session, dir, autosaveSecs = 1, pollMs = 50)
-    val (_, wsPort) = daemon.start()
+    val (_, wsPort, _) = daemon.start()
     try {
       val c = new WsClient("127.0.0.1", wsPort)
       c.recvText(5000) // banner
