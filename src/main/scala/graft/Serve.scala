@@ -92,6 +92,10 @@ object Serve {
       ws.stop()
       http.stop()
       broker.stop()
+      // release every per-(session, dataset) materialized artifact the
+      // daemon accumulated (graphs, LPA/PR assignments, pair tables) so
+      // checkpointed blocks don't outlive the serving lifecycle
+      graft.core.BoundedCache.invalidateAll()
     }
   }
 

@@ -38,9 +38,10 @@ object GraphAlgos {
     * redistribute-everywhere formulation that keeps every term local.
     *
     * Overflow: total mass is bounded by n·scale (the damped fixpoint of
-    * M ← 0.15·n·scale + 0.85·M), so with scale=10¹⁰ the 17·in_sum
-    * intermediate stays < 2⁶³ up to ~10⁸ nodes; larger graphs lower
-    * `scale`.
+    * M ← 0.15·n·scale + 0.85·M), and on a hub-heavy graph a single
+    * node's in_sum can approach that whole mass, so the worst-case
+    * guard is 17·n·scale < 2⁶³ — with scale=10¹⁰ that holds to
+    * ~5·10⁷ nodes (asserted below); larger graphs lower `scale`.
     *
     * Scale shape: one groupBy-sum shuffle per sweep with map-side
     * partial aggregation; edges and out-degrees are checkpointed once
@@ -64,6 +65,10 @@ object GraphAlgos {
     // is the flat-tuple (dst, share) reduceByKey.
     val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
       .localCheckpoint(true)
+    // hub-heavy worst case: one node can receive ~all the total mass
+    // n·scale, and the update multiplies by 17 before dividing
+    require(BigInt(17) * idMap.count() * scale < BigInt(Long.MaxValue),
+      s"pageRankInt overflow guard: 17*n*scale must stay < 2^63; lower scale=$scale")
     val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
     val eBySrc: RDD[(Long, Long)] = g.edges
       .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"))
@@ -101,15 +106,26 @@ object GraphAlgos {
 
   /** Multi-source BFS hop distance over the UNDIRECTED graph: nodes
     * whose label matches `sourceLabel` start at 0, everything else at
-    * null; each of the fixed `sweeps` relaxations takes the min of the
-    * current distance and (neighbor distance + 1). With sweeps ≥ the
-    * graph diameter this is the exact shortest hop count; all-integer
+    * null; up to `sweeps` relaxations take the min of the current
+    * distance and (neighbor distance + 1). With sweeps ≥ the graph
+    * diameter this is the exact shortest hop count; all-integer
     * min/plus arithmetic keeps the unrolled DuckDB oracle bit-exact
     * (nulls for unreachable nodes on both sides).
     *
-    * Scale shape: one neighbor-join + min-groupBy shuffle per sweep
-    * (map-side combined), checkpoint + unpersist loop hygiene — the
-    * standard distributed Bellman-Ford round for hop metrics. */
+    * FRONTIER form of the Jacobi sweep: with unit weights, sweep k of
+    * the full relaxation assigns new distances ONLY to neighbors of
+    * nodes settled in sweep k−1 (an already-settled neighbor at
+    * distance d proposes d+1 ≥ any existing assignment), so messaging
+    * from just the newly-settled frontier yields the identical
+    * assignment after every sweep while total message volume drops
+    * from sweeps·|E| to |E| — and when the frontier empties (the
+    * fixpoint the fixed-sweep oracle also reaches) the loop exits
+    * early.
+    *
+    * Scale shape: adjacency hash-partitioned once; each sweep's only
+    * shuffle is the frontier's (neighbor, candidate) min-reduceByKey
+    * (map-side combined); the settled-distance RDD only ever receives
+    * narrow co-partitioned joins. */
   def hopDistanceFrom(g: PropertyGraph, sourceLabel: String,
       sweeps: Int = 8): DataFrame = {
     import org.apache.spark.HashPartitioner
@@ -119,9 +135,6 @@ object GraphAlgos {
     import spark.implicits._
     val sc = spark.sparkContext
     val INF = Long.MaxValue
-    // co-partitioned RDD loop (see pageRankInt): adjacency keyed by the
-    // known-distance endpoint is partitioned once; each sweep's only
-    // shuffle is the (node, candidate-distance) min-reduceByKey
     val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
       .localCheckpoint(true)
     val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
@@ -136,18 +149,34 @@ object GraphAlgos {
         when(col("label") === sourceLabel, lit(0L)).otherwise(lit(INF)).as("d"))
       .as[(Long, Long)].rdd
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    dist.count()
-    for (_ <- 1 to sweeps) {
-      val msg = und.join(dist) // narrow
-        .flatMap { case (_, (u, dv)) =>
-          if (dv == INF) Iterator.empty else Iterator((u, dv + 1)) }
+    // sweep-0 frontier: the seed nodes
+    var frontier: RDD[(Long, Long)] = dist.filter(_._2 == 0L)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontierSize = frontier.count()
+    var sweep = 0
+    while (sweep < sweeps && frontierSize > 0) {
+      sweep += 1
+      val msg = und.join(frontier) // narrow (co-partitioned)
+        .map { case (_, (u, dv)) => (u, dv + 1) }
         .reduceByKey(part, math.min(_, _)) // the sweep's one shuffle
-      val prev = dist
-      dist = prev.leftOuterJoin(msg, part) // narrow
-        .mapValues { case (d, nd) => math.min(d, nd.getOrElse(INF)) }
+      // newly-settled nodes: candidate strictly improves current dist.
+      // Keys pass through unchanged, so partitioning is preserved — the
+      // frontier stays co-partitioned with `und`/`dist` shuffle-free.
+      val improved = msg.join(dist) // narrow (both on `part`)
+        .mapPartitions(
+          _.collect { case (u, (nd, d)) if nd < d => (u, nd) },
+          preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val prevDist = dist
+      val prevFrontier = frontier
+      dist = prevDist.leftOuterJoin(improved, part) // narrow
+        .mapValues { case (d, nd) => nd.getOrElse(d) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = improved.count() // materializes dist's parents too
       dist.count()
-      prev.unpersist(blocking = false)
+      frontier = improved
+      prevDist.unpersist(blocking = false)
+      prevFrontier.unpersist(blocking = false)
     }
     val out = dist.toDF("vid", "d").join(idMap, "vid")
       .select(col("id"),
@@ -155,6 +184,7 @@ object GraphAlgos {
           .otherwise(col("d")).as("dist"))
       .localCheckpoint(true)
     und.unpersist(blocking = true)
+    frontier.unpersist(blocking = true)
     dist.unpersist(blocking = true)
     out
   }

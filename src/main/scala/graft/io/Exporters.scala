@@ -90,8 +90,12 @@ object Exporters {
     *
     * Scale: partitioned write — each task writes only its shards; the
     * shard key derives from the deterministic chunk id, so re-running
-    * any subset of the corpus reproduces identical shard contents
-    * (restartable backfills). */
+    * the SAME complete corpus reproduces identical shard contents
+    * (restartable full backfills). Chunk ids come from a global prefix
+    * sum over the gated set, so a run over a different input subset
+    * shifts downstream chunk/shard assignments — restartability means
+    * re-writing shards from the same full corpus, not incremental
+    * subset replay. */
   def documentsToTrainingShards(spark: SparkSession, sfDir: String,
       path: String, minTokens: Long = 10L, budget: Long = 2048L,
       shardChunks: Long = 4L,

@@ -18,12 +18,15 @@ object GraphOps {
     * deployment gets from a materialized graph table. */
   // keyed by (session applicationId, dataset path): a cached DataFrame
   // is bound to the session that built it — a second session in the
-  // same JVM must not receive one bound to a stopped/stale session
+  // same JVM must not receive one bound to a stopped/stale session.
+  // Bounded LRU (see BoundedCache): eviction releases the graph's
+  // checkpointed blocks so long-lived daemons don't pin storage.
   private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), graft.core.PropertyGraph]
+    new graft.core.BoundedCache[(String, String), graft.core.PropertyGraph](
+      release = g => { g.nodes.unpersist(false); g.edges.unpersist(false); () })
 
   private def builtGraph(s: SparkSession, d: String): graft.core.PropertyGraph =
-    graphCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+    graphCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
       GraphBuilder.fromTables(s, d).materialized)
 
   /** GA3/A3: undirected degree of every node. Oracle-checked. */
@@ -36,10 +39,11 @@ object GraphOps {
     * localCheckpointed inside [[GraphAlgos.weightedLabelPropagation]],
     * so reuse costs no recomputation. */
   private val lpaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
 
   private def lpaAssignment(s: SparkSession, d: String): DataFrame =
-    lpaCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+    lpaCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
       GraphAlgos.weightedLabelPropagation(builtGraph(s, d)))
 
   /** GA2: weighted label-propagation communities (iterative — pinned by
@@ -139,10 +143,11 @@ object GraphOps {
     * analytics-table shape; the result is localCheckpointed inside the
     * algorithm, so reuse costs no recomputation. */
   private val prCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
 
   def pageRank(s: SparkSession, d: String): DataFrame =
-    prCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+    prCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
       GraphAlgos.pageRankInt(builtGraph(s, d))).orderBy("id")
 
   /** DuckDB rendering of [[pageRank]] — the FK edge list + out-degrees
@@ -170,14 +175,17 @@ object GraphOps {
   }
 
   /** Beyond-parity graph analytic: exact hop distance from the Region
-    * nodes over the undirected FK graph (q54) — 8 Bellman-Ford sweeps
-    * cover the graph's diameter (region–nation–customer–order–part is
-    * 4 hops). */
+    * nodes over the undirected FK graph (q54) — frontier BFS capped at
+    * 8 sweeps, which covers the graph's diameter
+    * (region–nation–customer–order–part is 4 hops); the frontier
+    * empties at the fixpoint and the loop exits early, producing the
+    * same assignment as the oracle's fixed 8 unrolled sweeps. */
   private val hopCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
 
   def hopDistance(s: SparkSession, d: String): DataFrame =
-    hopCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+    hopCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
       GraphAlgos.hopDistanceFrom(builtGraph(s, d), "Region")).orderBy("id")
 
   /** DuckDB rendering of [[hopDistance]]: seeds + 8 unrolled min-relax

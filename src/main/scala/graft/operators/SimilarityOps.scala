@@ -153,13 +153,14 @@ object SimilarityOps {
 
   // one materialized embedding near-dup pair table per (session,
   // dataset, params): q42 returns it and q44's clustering consumes it
-  private val neardupCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int, Int, Double), DataFrame]
+  private val neardupCache = new graft.core.BoundedCache[
+    (String, String, Int, Int, Double), DataFrame](
+    release = graft.core.BoundedCache.releaseDf)
 
   def cosineNearDupPairs(s: SparkSession, d: String, nTables: Int = 16,
       dim: Int = 64, threshold: Double = 0.4): DataFrame =
     neardupCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, d, nTables, dim, threshold),
+      (s.sparkContext.applicationId, d, nTables, dim, threshold))(
       cosineNearDupPairsUncached(s, d, nTables, dim, threshold)
         .localCheckpoint(true))
 
@@ -251,12 +252,13 @@ object SimilarityOps {
     * map-only pass. Returns (centroid table rows, cell-assigned corpus). */
   // keyed by (session applicationId, dataset, nlist): cached DataFrames
   // are session-bound (see GraphOps.graphCache)
-  private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), (Seq[(Int, Seq[Double])], DataFrame)]
+  private val ivfCache = new graft.core.BoundedCache[
+    (String, String, Int), (Seq[(Int, Seq[Double])], DataFrame)](
+    release = v => graft.core.BoundedCache.releaseDf(v._2))
 
   private def ivfIndex(s: SparkSession, d: String, nlist: Int,
       sampleCap: Int = 4096): (Seq[(Int, Seq[Double])], DataFrame) =
-    ivfCache.getOrElseUpdate((s.sparkContext.applicationId, d, nlist), {
+    ivfCache.getOrElseUpdate((s.sparkContext.applicationId, d, nlist))({
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, d)

@@ -125,10 +125,11 @@ object TextOps {
   // window+dedup recomputations (or fragile exchange-reuse) into scans.
   // At cluster scale the same shape is "write the shingle table once".
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
 
   def shingleRows(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+    shingleCache.getOrElseUpdate((s.sparkContext.applicationId, d))({
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("pos")
       withToks(s, d)
@@ -153,10 +154,11 @@ object TextOps {
   // q25 returns it and q43's clustering consumes it — at cluster scale
   // this is "write the pair table once", the same shape as shingleRows
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
+    new graft.core.BoundedCache[(String, String, Int), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
 
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int = 1000): DataFrame =
-    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d, maxDf),
+    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d, maxDf))(
       ngramJaccardPairsUncached(s, d, maxDf).localCheckpoint(true))
 
   private def ngramJaccardPairsUncached(s: SparkSession, d: String, maxDf: Int): DataFrame = {

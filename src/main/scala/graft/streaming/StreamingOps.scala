@@ -26,8 +26,10 @@ object StreamingOps {
     val link = java.nio.file.Files.createSymbolicLink(
       dir.resolve(new java.io.File(parquetFile).getName),
       java.nio.file.Paths.get(parquetFile))
-    link.toFile.deleteOnExit()
+    // deleteOnExit runs in REVERSE registration order: register the dir
+    // first so the link is deleted before the (then-empty) dir
     dir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 

@@ -12,6 +12,6 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $ADDOPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-8g} \
-  -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
+  -Xmx${SPARK_DRIVER_MEM:-32g} \
+  -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes" \
   "$@"
