@@ -53,7 +53,7 @@ object Shell {
       case "--ws" :: rest => wsMain(rest); return
       case _ =>
     }
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")

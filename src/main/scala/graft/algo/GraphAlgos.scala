@@ -153,9 +153,11 @@ object GraphAlgos {
     var frontier: RDD[(Long, Long)] = dist.filter(_._2 == 0L)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontierSize = frontier.count()
+    val verbose = spark.conf.getOption("spark.graft.bfs.verbose").contains("true")
     var sweep = 0
     while (sweep < sweeps && frontierSize > 0) {
       sweep += 1
+      val tSweep = System.nanoTime()
       val msg = und.join(frontier) // narrow (co-partitioned)
         .map { case (_, (u, dv)) => (u, dv + 1) }
         .reduceByKey(part, math.min(_, _)) // the sweep's one shuffle
@@ -177,6 +179,7 @@ object GraphAlgos {
       frontier = improved
       prevDist.unpersist(blocking = false)
       prevFrontier.unpersist(blocking = false)
+      if (verbose) println(f"[bfs] sweep $sweep: ${(System.nanoTime() - tSweep) / 1e9}%.1f s, frontier=$frontierSize")
     }
     val out = dist.toDF("vid", "d").join(idMap, "vid")
       .select(col("id"),

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.DotProduct
+
+/** Optimizer rule: rewrite the higher-order-function dot-product shape
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) }}}
+  *
+  * into the compiled [[graft.functions.DotProduct]] expression. Spark
+  * evaluates HOF lambdas interpreted, per array element, per row —
+  * measured 122.6 s vs ~2 s for the identical fold on q42's candidate
+  * verification at sf0.1 — so users who write the natural HOF
+  * formulation get the whole-stage-codegen loop automatically when
+  * [[graft.GraftExtensions]] is installed.
+  *
+  * The rewrite is exact, not approximate:
+  *  - `zip_with` pads the shorter array with nulls, so unequal lengths
+  *    make the HOF result null; the replacement guards with
+  *    `If(size(a) = size(b), graft_dot(a, b), null)`. (Under
+  *    `spark.sql.legacy.sizeOfNull` both sizes evaluate to −1 for null
+  *    input and the guard passes, but `DotProduct` is null-safe and
+  *    returns null for null arrays — either setting is sound.)
+  *  - a null element nulls the whole fold in both formulations;
+  *  - only double-precision multiplies are matched: either both arrays
+  *    are `array<double>`, or the lambda explicitly casts float
+  *    elements to double (float→double widening is exact, identical to
+  *    DotProduct's own widening). A bare float×float lambda rounds each
+  *    product to float first — a DIFFERENT result — and is left alone.
+  *
+  * Disable with `spark.graft.rewriteHofDot=false`.
+  */
+object RewriteHofVectorFold extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString("spark.graft.rewriteHofDot", "true") != "true") plan
+    else plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, prod: LambdaFunction),
+            DoubleZero(),
+            merge: LambdaFunction,
+            finish: LambdaFunction)
+          if a.deterministic && b.deterministic &&
+            isVec(a) && isVec(b) &&
+            isDoubleProduct(prod) && isDoubleSum(merge) && isIdentity(finish) =>
+        If(EqualTo(Size(a), Size(b)),
+          DotProduct(a, b), Literal(null, DoubleType))
+    }
+
+  private object DoubleZero {
+    def unapply(e: Expression): Boolean = e match {
+      case Literal(v: Double, DoubleType) => v == 0.0
+      case _                              => false
+    }
+  }
+
+  private def isVec(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+
+  /** `e` reads lambda variable `v` as an exact double: either the
+    * variable itself (already double-typed) or an explicit widening
+    * cast of a float variable. */
+  private def readsAsDouble(e: Expression, v: NamedExpression): Boolean = e match {
+    case nv: NamedLambdaVariable =>
+      nv.exprId == v.exprId && nv.dataType == DoubleType
+    case Cast(nv: NamedLambdaVariable, DoubleType, _, _) =>
+      nv.exprId == v.exprId &&
+        (nv.dataType == FloatType || nv.dataType == DoubleType)
+    case _ => false
+  }
+
+  /** Lambda body is `x * y` (either order — IEEE-754 multiplication is
+    * commutative bit-for-bit) over the two lambda variables, computed
+    * in double precision. */
+  private def isDoubleProduct(lam: LambdaFunction): Boolean = lam match {
+    case LambdaFunction(m @ Multiply(l, r, _), Seq(x, y), _) =>
+      m.dataType == DoubleType &&
+        ((readsAsDouble(l, x) && readsAsDouble(r, y)) ||
+          (readsAsDouble(l, y) && readsAsDouble(r, x)))
+    case _ => false
+  }
+
+  /** Merge lambda is `acc + v` (either order — IEEE-754 addition of two
+    * operands is commutative) in double precision. */
+  private def isDoubleSum(lam: LambdaFunction): Boolean = lam match {
+    case LambdaFunction(ad @ Add(l, r, _), Seq(acc, v), _) =>
+      ad.dataType == DoubleType &&
+        ((readsAsDouble(l, acc) && readsAsDouble(r, v)) ||
+          (readsAsDouble(l, v) && readsAsDouble(r, acc)))
+    case _ => false
+  }
+
+  /** Finish lambda is the identity `acc -> acc` that
+    * `functions.aggregate` supplies when no finish is given. */
+  private def isIdentity(lam: LambdaFunction): Boolean = lam match {
+    case LambdaFunction(nv: NamedLambdaVariable, Seq(acc), _) =>
+      nv.exprId == acc.exprId
+    case _ => false
+  }
+}
