@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{CooccurrenceOps, GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,9 +56,14 @@ object SparkEntry {
     "q51_vocab_df"         -> ((s, d) => TextOps.vocabDf(s, d)),
     "q55_bpe_token_count"  -> ((s, d) => TextOps.bpeTokenCount(s, d)),
     "q56_mixture_summary"  -> ((s, d) => TextOps.mixtureSummary(s, d)),
+    "q59_rarity_score"     -> ((s, d) => TextOps.rarityScore(s, d)),
+
+    "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
+    "q58_supplier_overlap" -> ((s, d) => CooccurrenceOps.supplierOverlap(s, d)),
     // --- training-data pipeline: temporal ---
     "q45_asof_click"       -> ((s, d) => TemporalOps.lastClickBeforePurchase(s, d)),
     "q52_funnel_stages"    -> ((s, d) => TemporalOps.funnelStages(s, d)),
+    "q60_event_near_pairs" -> ((s, d) => TemporalOps.eventNearPairs(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
@@ -249,7 +254,11 @@ object SparkEntry {
     "q51_vocab_df" -> TextOps.vocabDfOracleSql(),
     "q55_bpe_token_count" -> TextOps.bpeTokenCountOracleSql(),
     "q56_mixture_summary" -> TextOps.mixtureSummaryOracleSql(),
+    "q59_rarity_score" -> TextOps.rarityScoreOracleSql(),
+    "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
+    "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
+    "q60_event_near_pairs" -> operators.TemporalOps.eventNearPairsOracleSql(),
     // stubbed decode bodies, but every number the summary emits is
     // exact integer arithmetic over md5 slices — fully oracle-gated
     "q40_multimodal_pipeline" -> MultimodalOps.pipelineOracleSql(),

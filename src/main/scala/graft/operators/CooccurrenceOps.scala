@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Co-occurrence / node-similarity analytics over the order–part and
+  * supplier–part bipartite structures — the "node similarity" family a
+  * graph-analytics engine grows next to LPA/PageRank (the reference has
+  * no equivalent; these are beyond-parity training-pipeline ops, same
+  * category as the dedup/similarity families).
+  *
+  * Scale pattern (both ops): NEVER all-pairs. Candidates come from an
+  * equi-join on the shared entity (order / part), so pair volume is
+  * Σ_e deg(e)² over that entity — bounded by capping the per-entity
+  * degree (`maxBasket` / `maxDf`), the same hot-key guard as
+  * [[TextOps.ngramJaccardPairs]]. One shuffle per side on the join key,
+  * map-side-combined count aggregation on top.
+  */
+object CooccurrenceOps {
+
+  /** q57: part pairs that co-occur in the same order (market-basket
+    * co-purchase), top `k` by distinct order count. Orders with more
+    * than `maxBasket` distinct parts are dropped before pairing — the
+    * per-key quadratic guard; TPC-H-ish orders carry ≤7 lineitems, so
+    * at test scale nothing is trimmed (the oracle applies the same
+    * cap, so the gate would catch a divergence loudly if data changed).
+    */
+  def copurchasePairs(s: SparkSession, d: String, k: Int = 25,
+      maxBasket: Int = 64): DataFrame =
+    copurchasePairsOf(
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey")),
+      k, maxBasket)
+
+  /** [[copurchasePairs]] over an explicit (okey, pkey) membership frame
+    * — the unit-testable core. */
+  def copurchasePairsOf(memb: DataFrame, k: Int, maxBasket: Int): DataFrame = {
+    val lp = memb.select("okey", "pkey").distinct()
+    val kept = lp.join(
+      lp.groupBy("okey").agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") <= maxBasket)
+        .select("okey"),
+      "okey")
+    val a = kept.select(col("okey"), col("pkey").as("p1"))
+    val b = kept.select(col("okey"), col("pkey").as("p2"))
+    a.join(b, "okey").filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[copurchasePairs]]. */
+  def copurchaseOracleSql(k: Int = 25, maxBasket: Int = 64): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+       |            FROM lineitem),
+       |kept AS (SELECT lp.okey, lp.pkey FROM lp
+       |  JOIN (SELECT okey FROM lp GROUP BY okey
+       |        HAVING COUNT(*) <= $maxBasket) sz USING (okey))
+       |SELECT a.pkey AS p1, b.pkey AS p2, COUNT(*) AS n_orders
+       |FROM kept a JOIN kept b ON a.okey = b.okey AND a.pkey < b.pkey
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, p1, p2 LIMIT $k""".stripMargin
+
+  /** q58: supplier pairs ranked by Jaccard similarity of their part
+    * catalogs (shared parts / union of parts), top `k`. Candidates are
+    * generated per part; parts supplied by more than `maxDf` suppliers
+    * are skipped in candidate generation only (their pairs can still
+    * surface via other shared parts) — but the SHARED count is then
+    * computed over the capped candidate set, so the cap is part of the
+    * operator's definition and the oracle applies it identically.
+    * Test-scale parts stay well under the default cap (max 52 suppliers
+    * per part at sf0.1), so nothing is trimmed.
+    *
+    * Jaccard uses exact integer counts; only the final ratio is a
+    * rounded double.
+    */
+  def supplierOverlap(s: SparkSession, d: String, k: Int = 50,
+      maxDf: Int = 1000): DataFrame = {
+    val sp = Tables(s, d, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+    val sizes = sp.groupBy("sk").agg(count(lit(1)).as("nparts"))
+    val kept = sp.join(
+      sp.groupBy("pk").agg(count(lit(1)).as("pdeg"))
+        .filter(col("pdeg") <= maxDf)
+        .select("pk"),
+      "pk")
+    val shared = kept.select(col("pk"), col("sk").as("s1"))
+      .join(kept.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("sk").as("s1"), col("nparts").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("sk").as("s2"), col("nparts").as("n2"))), "s2")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")), 6))
+      .select("s1", "s2", "shared", "jaccard")
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[supplierOverlap]]. */
+  def supplierOverlapOracleSql(k: Int = 50, maxDf: Int = 1000): String =
+    s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+       |            FROM lineitem),
+       |sizes AS (SELECT sk, COUNT(*) AS nparts FROM sp GROUP BY sk),
+       |kept AS (SELECT sp.pk, sp.sk FROM sp
+       |  JOIN (SELECT pk FROM sp GROUP BY pk
+       |        HAVING COUNT(*) <= $maxDf) deg USING (pk)),
+       |shared AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS shared
+       |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, shared,
+       |  ROUND(CAST(shared AS DOUBLE) / (n1.nparts + n2.nparts - shared), 6)
+       |    AS jaccard
+       |FROM shared
+       |  JOIN sizes n1 ON n1.sk = s1
+       |  JOIN sizes n2 ON n2.sk = s2
+       |ORDER BY jaccard DESC, s1, s2 LIMIT $k""".stripMargin
+}

@@ -155,4 +155,64 @@ object TemporalOps {
       |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
       |  LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  /** q60: BUCKETED RANGE SELF-JOIN — all pairs of events by the same
+    * user within `gapUs` microseconds of each other (the interval/range
+    * join Spark has no native operator for; a raw |tₐ−t_b| ≤ Δ
+    * predicate plans as a nested-loop join). Bucketing by Δ-wide time
+    * windows turns it into an equi-join: a pair within Δ can differ by
+    * at most one bucket, so one side keeps its bucket and the other
+    * explodes to {b−1, b, b+1}; the exact |gap| ≤ Δ predicate then
+    * filters the candidates. Each qualifying unordered pair surfaces
+    * exactly once (the left row's single bucket appears in the right
+    * row's 3-bucket set at most once, and `a_id < b_id` fixes the
+    * orientation) — so no distinct step is needed.
+    *
+    * Scale shape: one shuffle per side on (user, bucket); candidate
+    * volume is Σ per-(user, bucket) deg² — locally quadratic only
+    * within a user's Δ-window, the best possible bound for this
+    * predicate; 3× duplication of one side only. gap_us is exact
+    * integer µs (signed: b relative to a). */
+  def eventNearPairs(s: SparkSession, d: String,
+      gapUs: Long = 4L * 3600 * 1000000): DataFrame =
+    eventNearPairsOf(
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us")),
+      gapUs)
+
+  /** [[eventNearPairs]] over an explicit (event_id, user_id,
+    * event_type, ts_us) frame — the unit-testable core. */
+  def eventNearPairsOf(events: DataFrame, gapUs: Long): DataFrame = {
+    val ev = events.withColumn("bkt", expr(s"ts_us div ${gapUs}L"))
+    val a = ev.select(col("user_id"), col("bkt"),
+      col("event_id").as("a_id"), col("event_type").as("a_type"),
+      col("ts_us").as("a_us"))
+    val b = ev.select(col("user_id"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+      col("event_id").as("b_id"), col("event_type").as("b_type"),
+      col("ts_us").as("b_us"))
+    a.join(b, Seq("user_id", "bkt"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("b_us") - col("a_us")) <= gapUs)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        col("a_type"), col("b_type"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB rendering of [[eventNearPairs]]: the plain inequality
+    * self-join — fine at oracle scale; the bucketed equi-join on the
+    * engine side is exactly equivalent (|gap| ≤ Δ ⇒ bucket distance
+    * ≤ 1). */
+  def eventNearPairsOracleSql(gapUs: Long = 4L * 3600 * 1000000): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+       |           FROM events)
+       |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       |  a.event_type AS a_type, b.event_type AS b_type,
+       |  b.ts_us - a.ts_us AS gap_us
+       |FROM e a JOIN e b
+       |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+       |  AND abs(b.ts_us - a.ts_us) <= $gapUs
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -584,4 +584,43 @@ object TextOps {
        |WHERE ($hexPoly) % 100 < ($rateExpr)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q59: token-rarity scoring — per document, the number of distinct
+    * tokens, the sum of each distinct token's corpus document frequency
+    * (an integer-exact rarity/commonness signal: low sums mean the
+    * document is made of rare vocabulary — the cheap end of the
+    * perplexity-filter family), and their rounded ratio.
+    *
+    * Scale shape: distinct (doc, token) pairs → token-keyed DF count
+    * with map-side partial aggregation → one shuffle equi-join back on
+    * token (vocabulary can be arbitrarily large, so no broadcast) →
+    * doc-keyed sum. Every stage is keyed by token or doc_id; no
+    * collect, no skew hazard beyond stopword tokens, which cap at
+    * |corpus| per key in the join (values, not row blowup). */
+  def rarityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = withToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .distinct()
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_distinct"),
+        sum("df").cast("bigint").as("df_sum"))
+      .withColumn("avg_df",
+        round(col("df_sum").cast("double") / col("n_distinct"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[rarityScore]]. */
+  def rarityScoreOracleSql(): String =
+    """WITH tok0 AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM tok0),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(df) AS BIGINT) AS df_sum,
+      |  ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) AS avg_df
+      |FROM tok JOIN dfreq USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

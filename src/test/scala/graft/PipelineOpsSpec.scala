@@ -39,6 +39,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(104L) == ((None, None)))
   }
 
+  test("event_near_pairs_bucket_edges_exact") {
+    import spark.implicits._
+    val gap = 100L
+    val ev = Seq( // (event_id, user_id, event_type, ts_us)
+      (1L, 1L, "a", 1000L),
+      (2L, 1L, "b", 1100L),  // exactly gap from #1: included (<=)
+      (3L, 1L, "c", 1101L),  // gap+1 from #1: excluded; 1 from #2: included
+      (4L, 1L, "d", 1199L),  // adjacent-bucket pair with #2 (buckets 11/11? 1199 div 100 = 11, 1100 div 100 = 11) and #3
+      (5L, 2L, "a", 1100L),  // other user: never pairs
+      (6L, 1L, "e", 5000L))  // far away: no pairs
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = TemporalOps.eventNearPairsOf(ev, gap)
+      .select("a_id", "b_id", "gap_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 100L),          // boundary inclusion, crosses buckets 10->11
+      (2L, 3L, 1L), (2L, 4L, 99L),
+      (3L, 4L, 98L)))
+    // exactly-once: no duplicates even for adjacent-bucket candidates
+    val all = TemporalOps.eventNearPairsOf(ev, gap).collect()
+    assert(all.length == all.distinct.length && all.length == 4)
+  }
+
+  test("copurchase_basket_cap_drops_hot_orders") {
+    import spark.implicits._
+    val memb = (Seq.tabulate(5)(i => (1L, i.toLong)) ++   // order 1: 5 parts (hot)
+      Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 2L)) // dup membership collapses
+      ).toDF("okey", "pkey")
+    val out = graft.operators.CooccurrenceOps
+      .copurchasePairsOf(memb, k = 10, maxBasket = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // order 1 exceeds the cap -> contributes nothing; orders 2+3 both
+    // contain {1,2} -> one pair with n_orders=2
+    assert(out == Set((1L, 2L, 2L)))
+  }
+
   test("asof_join_rejects_colliding_payload") {
     import spark.implicits._
     val l = Seq((1L, 1L, 2L)).toDF("k", "t", "x")

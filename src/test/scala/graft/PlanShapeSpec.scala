@@ -62,6 +62,38 @@ class PlanShapeSpec extends AnyFunSuite {
       "the tiny query side must broadcast; the corpus must never shuffle for the join")
   }
 
+  test("q06 rank filter plans the builtin partial+final WindowGroupLimit") {
+    val p = plan("q06_window_topk")
+    // Spark 4 pushes rank()<=k into map-side + reduce-side
+    // WindowGroupLimit operators — the partial top-k a custom operator
+    // would otherwise have to provide. This pin documents WHY the
+    // library ships no bespoke top-k-per-key plan node: the builtin
+    // already does the scale-critical work, and losing it (conf change,
+    // window rewrite that breaks the pushdown pattern) should fail
+    // loudly here.
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must plan as WindowGroupLimit, not a full per-key sort")
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      "expect both Partial and Final WindowGroupLimit (map-side top-k)")
+  }
+
+  test("q60 range self-join is a bucketed equi-join, not a nested loop") {
+    val p = plan("q60_event_near_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the |gap|<=d predicate must ride the bucket equi-join, not a nested loop")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "expected a hash/merge equi-join on (user_id, bucket)")
+  }
+
+  test("q57 copurchase aggregates with map-side partial combine") {
+    val p = plan("q57_copurchase")
+    assert(p.contains("partial_count"),
+      "pair counting must combine map-side before the shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
   test("q49 pack chunks windows within buckets, never over the corpus") {
     val p = plan("q49_pack_chunks")
     // the per-row cumulative window must be hash-partitioned by bucket;
