@@ -149,6 +149,36 @@ object StreamingOps {
       }
   }
 
+  /** STREAM-STREAM RANGE SELF-JOIN — the incremental counterpart of the
+    * batch q60 (TemporalOps.eventNearPairs): pairs of events by the
+    * same user within `gapUs` of each other, emitted continuously. The
+    * event-time BETWEEN bounds + watermarks are what make this feasible
+    * unbounded: Spark's stream-stream join keeps only the watermark
+    * horizon (± gap) of each side in the state store and GCs rows whose
+    * match window has passed — the exact `|gap| ≤ Δ` predicate then
+    * rides the bounded candidate set, mirroring the batch operator's
+    * bucket trick. StreamingSpec pins exact row parity vs the batch
+    * plan at sf0.001. */
+  def nearPairsStream(events: DataFrame,
+      gapUs: Long = 4L * 3600 * 1000000): DataFrame = {
+    val a = events.select(col("user_id"), col("event_id").as("a_id"),
+      col("event_type").as("a_type"), col("event_time").as("a_time"),
+      expr("ts_ns div 1000").as("a_us"))
+      .withWatermark("a_time", "1 hour")
+    val b = events.select(col("user_id").as("b_user"),
+      col("event_id").as("b_id"), col("event_type").as("b_type"),
+      col("event_time").as("b_time"), expr("ts_ns div 1000").as("b_us"))
+      .withWatermark("b_time", "1 hour")
+    a.join(b, expr(
+      s"""user_id = b_user AND a_id < b_id
+         |AND b_time BETWEEN a_time - INTERVAL $gapUs MICROSECOND
+         |               AND a_time + INTERVAL $gapUs MICROSECOND
+         |AND abs(b_us - a_us) <= ${gapUs}L""".stripMargin))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        col("a_type"), col("b_type"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+  }
+
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -25,6 +25,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming_near_pairs_match_batch_range_join") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val result = StreamingOps.runToMemory(spark,
+      StreamingOps.nearPairsStream(stream), "near_pairs_test")
+    val cols = Seq("user_id", "a_id", "b_id", "a_type", "b_type", "gap_us")
+    val streamed = result.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val batch = graft.operators.TemporalOps.eventNearPairs(spark, sf)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming_dedup_matches_batch_distinct") {
     // self-union doubles every event; watermarked dedup must restore
     // exactly the batch-distinct key set
