@@ -117,8 +117,16 @@ object Serve {
     // grpc_port, main.rs parity) or --grpc-port is passed explicitly
     var grpcPort: Option[Int] =
       if (settings.grpcEnabled) Some(settings.grpcPort) else None
+    // state.ron migration (GraphStore.importRon/exportRon): --import-ron
+    // seeds the snapshot store from a reference state file before
+    // serving; --export-ron writes the active snapshot as a
+    // reference-loadable state.ron and exits.
+    var importRonPath: Option[String] = None
+    var exportRonPath: Option[String] = None
     var argv = args.toList
     while (argv.nonEmpty) argv = argv match {
+      case "--import-ron" :: p :: t => importRonPath = Some(p); t
+      case "--export-ron" :: p :: t => exportRonPath = Some(p); t
       case "--data" :: d :: t => dataDir = d; t
       case "--port" :: p :: t => port = p.toInt; t
       case "--ws-port" :: p :: t => wsPort = p.toInt; t
@@ -140,6 +148,17 @@ object Serve {
     // honor the persisted driver-result cap (Executor.collectCapped)
     settings.maxResultRows.foreach(v =>
       spark.conf.set("spark.graft.maxResultRows", v.toString))
+    importRonPath.foreach { p =>
+      val g = graft.io.GraphStore.importRon(spark, p)
+      val v = graft.io.GraphStore.save(g.materialized, dataDir)
+      System.err.println(s"[graft] imported $p -> $dataDir/$v (active)")
+    }
+    exportRonPath.foreach { p =>
+      graft.io.GraphStore.exportRon(graft.io.GraphStore.load(spark, dataDir), p)
+      System.err.println(s"[graft] exported active snapshot -> $p")
+      spark.stop()
+      sys.exit(0)
+    }
     val daemon = new Daemon(new GraphSession(spark), dataDir, port, wsPort,
       apiKey, logDir, autosaveSecs, bindAddr = bindAddr, grpcPort = grpcPort)
     val (hp, wp, gp) = daemon.start()

@@ -49,6 +49,45 @@ object GraphStore {
       spark.read.schema(PropertyGraph.edgeSchema).parquet(s"$root/$v/edges"))
   }
 
+  /** MIGRATION IN: load a reference `state.ron` (or
+    * `state_YYYYMMDD_HHMMSS.ron` version) into a [[PropertyGraph]].
+    * GUI-only fields (node_positions, pan, zoom) are dropped. The parse
+    * is driver-side — a state.ron is by construction one single-node
+    * in-memory graph — and the rows land in Spark immediately, so
+    * everything downstream is distributed. */
+  def importRon(spark: SparkSession, path: String): PropertyGraph = {
+    val st = RonState.parseState(Files.readString(Paths.get(path)))
+    PropertyGraph(
+      PropertyGraph.nodesDf(spark,
+        st.nodes.map(n => (n.id, n.label, n.metadata))),
+      PropertyGraph.edgesDf(spark,
+        st.rels.map(r => (r.id, r.from, r.to, r.label, r.metadata))))
+  }
+
+  /** MIGRATION OUT: write `g` as a reference-loadable `state.ron`
+    * (atomic tmp+rename like persist.rs:100-109; empty GUI layout —
+    * the reference lays out unpositioned nodes itself). Collects to the
+    * driver: the reference can only open graphs that fit one process
+    * anyway, so the export to its native format is inherently a
+    * single-node handoff. */
+  def exportRon(g: PropertyGraph, path: String): Unit = {
+    val nodes = g.nodes.select("id", "label", "properties").collect().toVector
+      .map(r => RonState.RonNode(r.getString(0), r.getString(1),
+        r.getMap[String, String](2).toMap))
+    val rels = g.edges.select("id", "src", "dst", "label", "properties")
+      .collect().toVector
+      .map(r => RonState.RonRel(r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getMap[String, String](4).toMap))
+    val text = RonState.renderState(RonState.RonGraphState(
+      nodes, rels, Vector.empty, (0f, 0f), 1f))
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, text)
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** List snapshot versions, newest last (persist.rs:149-166). */
   def listVersions(root: String): Seq[String] = {
     val dir = Paths.get(root)
