@@ -57,6 +57,8 @@ object SparkEntry {
     "q55_bpe_token_count"  -> ((s, d) => TextOps.bpeTokenCount(s, d)),
     "q56_mixture_summary"  -> ((s, d) => TextOps.mixtureSummary(s, d)),
     "q59_rarity_score"     -> ((s, d) => TextOps.rarityScore(s, d)),
+    "q61_bpe_merge_pairs"  -> ((s, d) => TextOps.bpeMergePairs(s, d)),
+    "q62_mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
 
     "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
     "q58_supplier_overlap" -> ((s, d) => CooccurrenceOps.supplierOverlap(s, d)),
@@ -255,6 +257,8 @@ object SparkEntry {
     "q55_bpe_token_count" -> TextOps.bpeTokenCountOracleSql(),
     "q56_mixture_summary" -> TextOps.mixtureSummaryOracleSql(),
     "q59_rarity_score" -> TextOps.rarityScoreOracleSql(),
+    "q61_bpe_merge_pairs" -> TextOps.bpeMergePairsOracleSql(),
+    "q62_mixture_resample" -> TextOps.mixtureResampleOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),

@@ -611,6 +611,102 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q61: BPE MERGE-PAIR COUNTING — the inner statistic of
+    * byte-pair-encoding tokenizer training: for every adjacent symbol
+    * pair (here: character bigram, i.e. the first merge iteration),
+    * the total corpus occurrence count weighted by word frequency.
+    * The highest-count pair is the merge a BPE trainer would perform
+    * next; the top-`k` table is the trainer's working set.
+    *
+    * Scale shape: one groupBy(word) over the exploded token stream
+    * (map-side combined — the word-frequency table is tiny relative to
+    * the corpus), then a map-only bigram explode over the DISTINCT
+    * word set (corpus size drops out entirely after the first
+    * aggregation — the property that makes BPE training feasible on
+    * 100 TB: every later iteration works on the vocabulary, not the
+    * corpus), then a second map-side-combined sum. All integer. */
+  def bpeMergePairs(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val words = withToks(s, d)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[bpeMergePairs]]. */
+  def bpeMergePairsOracleSql(k: Int = 50): String =
+    s"""WITH w AS (
+       |  SELECT tok AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  GROUP BY tok HAVING length(tok) >= 2),
+       |pairs AS (
+       |  SELECT substring(word, unnest(range(1, length(word))), 2) AS pair, freq
+       |  FROM w)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT $k""".stripMargin
+
+  /** q62: MIXTURE TEMPERATURE RESAMPLING — deterministic per-source
+    * downsampling with rate ∝ (n_source)^(α−1), α = 1/2 (the
+    * multilingual-pretraining trick that flattens a skewed source
+    * mixture: the smallest source keeps everything, a source 4× larger
+    * keeps half). The keep decision reuses the md5-bucket trick of the
+    * stratified sampler (q47): deterministic, replayable, map-only
+    * once the per-source counts are known.
+    *
+    * Exactness: rate_s = √(n_min/n_s) is one IEEE double sqrt + one
+    * divide, both correctly rounded and bit-identical in DuckDB; the
+    * keep threshold is floor(rate·10⁶) compared against an integer
+    * hash bucket, so the gate itself is integer-exact.
+    *
+    * Scale shape: count-per-source (tiny) broadcast back over the
+    * corpus; the corpus itself is touched map-only. Returns the
+    * per-source summary (n_docs, threshold, n_kept). */
+  def mixtureResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min("n_docs").as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("threshold",
+        floor(sqrt(col("min_n").cast("double") / col("n_docs")) * 1000000L)
+          .cast("bigint"))
+      .select("source", "n_docs", "threshold")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("kept", (bucket < col("threshold")).cast("int"))
+      .groupBy("source", "n_docs", "threshold")
+      .agg(sum("kept").cast("bigint").as("n_kept"))
+      .select("source", "n_docs", "threshold", "n_kept")
+      .orderBy("source")
+  }
+
+  /** DuckDB rendering of [[mixtureResample]]. */
+  def mixtureResampleOracleSql(): String = {
+    val hexPoly = OracleSql.hexPoly("substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)", 1, 15)
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY source),
+       |rates AS (SELECT source, n_docs,
+       |    CAST(FLOOR(SQRT(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+       |      / n_docs) * 1000000) AS BIGINT) AS threshold
+       |  FROM counts)
+       |SELECT d.source, r.n_docs, r.threshold,
+       |  CAST(SUM(CASE WHEN ($hexPoly) % 1000000 < r.threshold
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN rates r USING (source)
+       |GROUP BY d.source, r.n_docs, r.threshold
+       |ORDER BY source""".stripMargin
+  }
+
   /** DuckDB rendering of [[rarityScore]]. */
   def rarityScoreOracleSql(): String =
     """WITH tok0 AS (
