@@ -40,6 +40,8 @@ object SparkEntry {
     "q16_events_hourly"    -> ((s, d) => RelationalOps.eventsHourly(s, d)),
     "q17_running_sum"      -> ((s, d) => RelationalOps.runningSum(s, d)),
     "q18_global_stats"     -> ((s, d) => RelationalOps.globalStats(s, d)),
+    "q63_json_props"       -> ((s, d) => RelationalOps.jsonPropsRollup(s, d)),
+    "q64_length_quantiles" -> ((s, d) => RelationalOps.lengthQuantiles(s, d)),
     // --- training-data pipeline: text ---
     "q20_dedup_exact"      -> ((s, d) => TextOps.dedupExact(s, d)),
     "q21_token_count"      -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -258,6 +260,18 @@ object SparkEntry {
     "q56_mixture_summary" -> TextOps.mixtureSummaryOracleSql(),
     "q59_rarity_score" -> TextOps.rarityScoreOracleSql(),
     "q61_bpe_merge_pairs" -> TextOps.bpeMergePairsOracleSql(),
+    "q63_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS cnt, SUM(k) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS k_present
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q64_length_quantiles" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q62_mixture_resample" -> TextOps.mixtureResampleOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),

@@ -198,6 +198,40 @@ object RelationalOps {
       .agg(count(lit(1)).as("cnt"), dsum(col("value"), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** q63: SEMI-STRUCTURED EXTRACTION — pull a typed field out of the
+    * `props` JSON-string column and roll it up per event type. The
+    * extraction (`get_json_object`) is a codegen row-pure expression,
+    * so the JSON never leaves the scan stage un-projected and the
+    * aggregate is the usual partial+final combine — the shape that
+    * holds when the props blob is kilobytes instead of bytes. All
+    * output integers are exact. */
+  def jsonPropsRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        count(col("k")).as("k_present"))
+      .orderBy("event_type")
+
+  /** q64: EXACT LENGTH QUANTILES per source — interpolating percentile
+    * (rank p·(n−1), linear between neighbors) over integer document
+    * lengths. With integer inputs and binary-exact fractions the
+    * interpolation is bit-exact across engines (Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition). Exact percentile
+    * shuffles each group's values once — at corpus scale swap in a
+    * t-digest/GK sketch and accept approximation; this operator is the
+    * exact-answer variant a quality-cutoff calibration run wants. */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), lit(0.25)).as("p25"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.75)).as("p75"))
+      .orderBy("source")
+
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
