@@ -127,6 +127,39 @@ class RonStateSpec extends AnyFunSuite {
     assert(loaded.danglingEdges.count() == 0)
   }
 
+  test("render_parse_roundtrip_property_adversarial_strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic sampling (same pattern as EnginePropertySpec)
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    val nasty = Gen.listOfN(6, Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('"', '\\', '\n', '\t', '\r', 'é', '→', ' ', ':', ',', '(', ')', '{', '}')))
+      .map(_.mkString)
+    val meta = Gen.mapOf(Gen.zip(nasty, nasty)).map(_.take(3))
+    val nodeGen = Gen.zip(Gen.uuid.map(_.toString), nasty, meta)
+      .map { case (id, l, m) => RonState.RonNode(id, l, m) }
+    val stateGen = for {
+      nodes <- Gen.listOfN(4, nodeGen)
+      dedup = nodes.groupBy(_.id).map(_._2.head).toVector
+      relLabel <- nasty
+      relMeta <- meta
+    } yield RonState.RonGraphState(
+      dedup,
+      if (dedup.size < 2) Vector.empty
+      else Vector(RonState.RonRel("r-1", dedup(0).id, dedup(1).id, relLabel, relMeta)),
+      dedup.map(n => (n.id, -1.5f, 2.25f)),
+      (0.5f, -0.25f), 3.5f)
+    samples(stateGen, 60).foreach { st =>
+      val back = RonState.parseState(RonState.renderState(st))
+      assert(back.nodes.sortBy(_.id) == st.nodes.sortBy(_.id))
+      assert(back.rels == st.rels)
+      assert(back.nodePositions.sortBy(_._1) == st.nodePositions.sortBy(_._1))
+      assert(back.pan == st.pan && back.zoom == st.zoom)
+    }
+  }
+
   test("parser_rejects_malformed_documents") {
     intercept[Exception](RonState.parseState("(db: oops)"))
     intercept[Exception](RonState.parseState("(,)"))
