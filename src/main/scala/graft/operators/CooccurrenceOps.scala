@@ -20,6 +20,23 @@ import graft.Tables
   */
 object CooccurrenceOps {
 
+  /** Distinct membership tables, materialized once per (session,
+    * dataset, kind): both candidate-join SIDES and the degree filter
+    * reference the same frame, and without materialization each
+    * physical branch re-scans the fact table (measured: 6 lineitem
+    * scans in the q58 plan) — at warehouse scale the membership
+    * derivation must run once. */
+  private val membCache =
+    new graft.core.BoundedCache[(String, String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
+
+  private def memb(s: SparkSession, d: String, kind: String,
+      cols: (String, String)): DataFrame =
+    membCache.getOrElseUpdate((s.sparkContext.applicationId, d, kind))(
+      Tables(s, d, "lineitem")
+        .select(col(cols._1).as("a"), col(cols._2).as("b"))
+        .distinct().localCheckpoint(true))
+
   /** q57: part pairs that co-occur in the same order (market-basket
     * co-purchase), top `k` by distinct order count. Orders with more
     * than `maxBasket` distinct parts are dropped before pairing — the
@@ -30,8 +47,8 @@ object CooccurrenceOps {
   def copurchasePairs(s: SparkSession, d: String, k: Int = 25,
       maxBasket: Int = 64): DataFrame =
     copurchasePairsOf(
-      Tables(s, d, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey")),
+      memb(s, d, "order_part", ("l_orderkey", "l_partkey"))
+        .select(col("a").as("okey"), col("b").as("pkey")),
       k, maxBasket)
 
   /** [[copurchasePairs]] over an explicit (okey, pkey) membership frame
@@ -78,9 +95,8 @@ object CooccurrenceOps {
     */
   def supplierOverlap(s: SparkSession, d: String, k: Int = 50,
       maxDf: Int = 1000): DataFrame = {
-    val sp = Tables(s, d, "lineitem")
-      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-      .distinct()
+    val sp = memb(s, d, "supp_part", ("l_suppkey", "l_partkey"))
+      .select(col("a").as("sk"), col("b").as("pk"))
     val sizes = sp.groupBy("sk").agg(count(lit(1)).as("nparts"))
     val kept = sp.join(
       sp.groupBy("pk").agg(count(lit(1)).as("pdeg"))
