@@ -10,11 +10,14 @@ import graft.Tables
   * opaque `binary` columns with typed metadata, and the
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS
-  * STUBBED with a deterministic fake (clearly marked below); everything
-  * Spark-side — schema, batching, partitioning, the shape of the
-  * per-batch UDF contract — is real and tested. On a cluster the stub
-  * body is replaced by the actual codec call; the plan is unchanged.
+  * Two decode tiers: formats the JDK's ImageIO reads natively
+  * (PNG/BMP/GIF/JPEG) get REAL decode / perceptual-hash / resize
+  * stages (bottom of this file, `Dataset.mapPartitions` imperative
+  * per-row codec calls — MultimodalJvmSpec exercises them on generated
+  * PNGs); codecs the JVM lacks (video, audio) keep DETERMINISTIC
+  * STUBS (clearly marked below) whose md5-slice arithmetic makes the
+  * whole plumbing DuckDB-oracle-checkable. On a cluster the stub body
+  * is replaced by the actual codec call; the plan is unchanged.
   *
   * Scale notes: media rows are kilobytes-to-megabytes; the pipeline
   * keeps bytes in a single column, never in the shuffle key, and all
@@ -169,5 +172,140 @@ object MultimodalOps {
        |  CAST(SUM(norm_sq_scaled) AS BIGINT) AS sum_norm_sq
        |FROM resized JOIN norms USING (media_id)
        |GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // REAL JVM codec stages. The JDK ships ImageIO (PNG/BMP/GIF/JPEG
+  // readers) with zero extra dependencies, so for those formats the
+  // decode stage does not need to be a stub. Exotic codecs (video,
+  // audio, JPEG2000, ...) remain stubbed above. All three stages are
+  // per-partition imperative logic over the bytes column — the one
+  // place `Dataset.mapPartitions` is the right tool (a codec call per
+  // row, no expression-tree equivalent) — and keep the bytes out of
+  // every shuffle key.
+
+  case class DecodedImage(media_id: Long, ok: Boolean, width: Int,
+      height: Int, channels: Int, mean_luma: Double)
+
+  /** Real decode: bytes → dimensions / channel count / mean luma
+    * (ITU-R BT.601 integer weights, order-independent sum). Rows
+    * ImageIO cannot decode come back with ok=false and zeroed fields
+    * instead of killing the job — the per-row error containment a
+    * 100 TB media crawl needs. */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) DecodedImage(id, ok = false, 0, 0, 0, 0.0)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var lumaMilli = 0L // integer milli-luma: summation order drops out
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lumaMilli += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, ok = true, w, h, img.getColorModel.getNumComponents,
+            lumaMilli / 1000.0 / (w.toLong * h))
+        }
+      }).toDF()
+  }
+
+  /** Real perceptual fingerprint: 8×8 average-pool aHash — resample to
+    * an 8×8 grayscale grid, then one bit per cell (above/below the
+    * grid mean), packed into a BIGINT. Identical pixels → identical
+    * hash; small edits flip few bits, so the existing hamming-band
+    * join (SimilarityOps.simHashPairs' shape) turns this into image
+    * near-dup dedup with no new shuffle machinery. Undecodable rows
+    * are dropped (they carry no visual content to fingerprint). */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          // average-pool into 8x8 integer milli-luma cells (box filter
+          // over each cell's pixel block; deterministic integer sums)
+          val cells = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(y * 8 / h, 7)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(x * 8 / w, 7)
+              val rgb = img.getRGB(x, y)
+              cells(cy * 8 + cx) += ((rgb >> 16 & 0xff) * 299 +
+                (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114)
+              counts(cy * 8 + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var i = 0
+          while (i < 64) { cells(i) = cells(i) / math.max(counts(i), 1L); i += 1 }
+          val mean = cells.sum / 64
+          var hash = 0L
+          i = 0
+          while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
+          Some((id, hash))
+        }
+      }).toDF("media_id", "ahash")
+  }
+
+  /** Real resize: scale to fit (maxW, maxH) preserving aspect ratio
+    * (never upscale), re-encode as PNG. Output schema matches the
+    * input media table so stages compose. Undecodable rows pass
+    * through unchanged (resize is best-effort enrichment). */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) (id, bytes, false)
+        else {
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+          if (scale >= 1.0) (id, bytes, true)
+          else {
+            val ow = math.max(1, math.floor(img.getWidth * scale).toInt)
+            val oh = math.max(1, math.floor(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(ow, oh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, buf.toByteArray, true)
+          }
+        }
+      }).toDF("media_id", "bytes", "decoded")
   }
 }
