@@ -5,13 +5,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SquaredL2}
 
-/** Optimizer rule: rewrite the higher-order-function dot-product shape
+/** Optimizer rule: rewrite the higher-order-function vector-fold shapes
   *
   * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) }}}
+  * {{{ aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, v) -> acc + v) }}}
   *
-  * into the compiled [[graft.functions.DotProduct]] expression. Spark
+  * into the compiled [[graft.functions.DotProduct]] /
+  * [[graft.functions.SquaredL2]] expressions. Spark
   * evaluates HOF lambdas interpreted, per array element, per row —
   * measured 122.6 s vs ~2 s for the identical fold on q42's candidate
   * verification at sf0.1 — so users who write the natural HOF
@@ -49,6 +51,16 @@ object RewriteHofVectorFold extends Rule[LogicalPlan] {
             isDoubleProduct(prod) && isDoubleSum(merge) && isIdentity(finish) =>
         If(EqualTo(Size(a), Size(b)),
           DotProduct(a, b), Literal(null, DoubleType))
+      case ArrayAggregate(
+            ZipWith(a, b, diff: LambdaFunction),
+            DoubleZero(),
+            merge: LambdaFunction,
+            finish: LambdaFunction)
+          if a.deterministic && b.deterministic &&
+            isVec(a) && isVec(b) &&
+            isSquaredDiff(diff) && isDoubleSum(merge) && isIdentity(finish) =>
+        If(EqualTo(Size(a), Size(b)),
+          SquaredL2(a, b), Literal(null, DoubleType))
     }
 
   private object DoubleZero {
@@ -83,6 +95,22 @@ object RewriteHofVectorFold extends Rule[LogicalPlan] {
       m.dataType == DoubleType &&
         ((readsAsDouble(l, x) && readsAsDouble(r, y)) ||
           (readsAsDouble(l, y) && readsAsDouble(r, x)))
+    case _ => false
+  }
+
+  /** Lambda body is `(x − y) * (x − y)` over the two lambda variables
+    * in double precision — both multiply operands must be the SAME
+    * subtraction (same operand order: (x−y)·(y−x) would be the
+    * negation). SquaredL2 computes (x−y)² with one subtraction, which
+    * is bit-identical to d·d. */
+  private def isSquaredDiff(lam: LambdaFunction): Boolean = lam match {
+    case LambdaFunction(
+          m @ Multiply(Subtract(l1, r1, _), Subtract(l2, r2, _), _),
+          Seq(x, y), _) =>
+      m.dataType == DoubleType &&
+        l1.semanticEquals(l2) && r1.semanticEquals(r2) &&
+        ((readsAsDouble(l1, x) && readsAsDouble(r1, y)) ||
+          (readsAsDouble(l1, y) && readsAsDouble(r1, x)))
     case _ => false
   }
 

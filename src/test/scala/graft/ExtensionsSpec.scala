@@ -72,6 +72,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nullArr.head().isNullAt(0))
   }
 
+  test("hof_squared_l2_shape_rewritten_and_negated_diff_left_alone") {
+    val df = spark.range(2).select(
+      array((col("id") + 1).cast("double"), lit(3.0)).as("a"),
+      array(lit(4.0), (col("id") * 2).cast("double")).as("b"))
+    val l2 = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(l2.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.SquaredL2])))
+    // id=0: (1-4)^2 + (3-0)^2 = 18; id=1: (2-4)^2 + (3-2)^2 = 5
+    assert(l2.as[Double].collect().toSeq == Seq(18.0, 5.0))
+    // (x-y)*(y-x) is the NEGATED square — must not be rewritten
+    val neg = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (y - x)),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!neg.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.SquaredL2])))
+    assert(neg.as[Double].collect().toSeq == Seq(-18.0, -5.0))
+  }
+
   test("hof_rewrite_skips_float_precision_and_respects_conf") {
     // bare float*float rounds per element — NOT the same arithmetic;
     // the rule must leave it interpreted rather than change results
