@@ -84,6 +84,7 @@ object SparkEntry {
     "q34_label_groups"     -> ((s, d) => GraphOps.labelGroups(s, d)),
     "q53_pagerank"         -> ((s, d) => GraphOps.pageRank(s, d)),
     "q54_hop_distance"     -> ((s, d) => GraphOps.hopDistance(s, d)),
+    "q65_kcore"            -> ((s, d) => GraphOps.kCore(s, d)),
     // --- multimodal pipeline plumbing (decode stages stubbed) ---
     "q40_multimodal_pipeline" -> ((s, d) => MultimodalOps.pipelineSummary(s, d)),
   )
@@ -332,6 +333,7 @@ object SparkEntry {
     // the 8 unrolled sweeps are bit-exact on both engines
     "q53_pagerank" -> GraphOps.pageRankOracleSql(),
     "q54_hop_distance" -> GraphOps.hopDistanceOracleSql(),
+    "q65_kcore" -> GraphOps.kCoreOracleSql(),
     "q34_label_groups" ->
       """WITH e AS (
         |  SELECT 'nation:' || n_nationkey AS src, 'region:' || n_regionkey AS dst FROM nation

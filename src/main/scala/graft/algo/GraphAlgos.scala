@@ -362,6 +362,49 @@ object GraphAlgos {
     out
   }
 
+  /** k-CORE PEELING: repeatedly remove nodes with undirected degree
+    * < k (degree counted within the surviving subgraph), `sweeps`
+    * fixed rounds with early exit only at the fixpoint — so the result
+    * equals the unrolled fixed-sweep DuckDB oracle exactly, the same
+    * contract as hopDistanceFrom. Returns surviving (id, deg) with the
+    * degree inside the final subgraph. With sweeps ≥ the peeling depth
+    * this is the exact k-core.
+    *
+    * Scale shape: a DataFrame loop — each sweep is one
+    * map-side-combined groupBy over the still-alive edge list plus two
+    * semi-joins against the (shrinking, localCheckpointed) alive set;
+    * Catalyst replans each sweep over materialized inputs, and the
+    * alive set only ever shrinks, so per-sweep cost is bounded by the
+    * first sweep's. No driver-side iteration state beyond the loop
+    * counter and the early-exit count. */
+  def kCore(g: PropertyGraph, k: Int = 3, sweeps: Int = 8): DataFrame = {
+    require(sweeps >= 1, "kCore needs at least one peel sweep")
+    val und = undirectedEdges(g).localCheckpoint(true)
+    var alive = g.nodes.select(col("id"),
+      lit(null).cast("bigint").as("deg")).localCheckpoint(true)
+    var aliveCount = alive.count()
+    var sweep = 0
+    var done = false
+    while (sweep < sweeps && !done) {
+      sweep += 1
+      val next = und
+        .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      // peeling only removes, so equal COUNT means equal SET — early
+      // exit ONLY at that fixpoint (identical result to running all
+      // sweeps, the fixed-sweep oracle's contract; at the fixpoint the
+      // carried degrees are stable too)
+      done = nextCount == aliveCount
+      alive = next
+      aliveCount = nextCount
+    }
+    alive // (id, deg): survivors of the last peel, degree at that peel
+  }
+
   /** Community density (GA4): internal undirected edge count over
     * possible pairs n(n−1)/2. Returns (community, n_nodes,
     * internal_edges, density). */

@@ -214,6 +214,33 @@ object GraphOps {
       s"\nSELECT id, dist FROM d$sweeps ORDER BY id"
   }
 
+  /** Beyond-parity graph analytic: k-core peeling (q65) — 8 fixed
+    * remove-degree-<k sweeps over the undirected FK graph, early exit
+    * only at the peeling fixpoint (identical to the oracle's unrolled
+    * sweeps). Survivors with their last-peel degree. */
+  def kCore(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.kCore(builtGraph(s, d)).orderBy("id")
+
+  /** DuckDB rendering of [[kCore]]: the FK edge list + 8 unrolled
+    * peel sweeps (degree within the previous survivor set, HAVING >= k). */
+  def kCoreOracleSql(k: Int = 3, sweeps: Int = 8): String = {
+    val prefix = s"""WITH ${OracleSql.fkEdgesCte},
+      |und(u, v) AS MATERIALIZED (
+      |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |${OracleSql.fkNodesCte(withLabel = false)},
+      |l0 AS MATERIALIZED (SELECT id FROM n)""".stripMargin
+    val sweepCtes = (1 to sweeps).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT und.u AS id, COUNT(*) AS deg
+         |  FROM und
+         |    JOIN l${i - 1} a ON a.id = und.u
+         |    JOIN l${i - 1} b ON b.id = und.v
+         |  GROUP BY und.u HAVING COUNT(*) >= $k)""".stripMargin
+    }
+    ((prefix +: sweepCtes).mkString(",\n")) +
+      s"\nSELECT id, deg FROM l$sweeps ORDER BY id"
+  }
+
   /** A5: label / rel-type / property-key universe. Oracle-checked. */
   def schemaSummary(s: SparkSession, d: String): DataFrame = {
     val g = builtGraph(s, d)
