@@ -218,8 +218,13 @@ object GraphOps {
     * remove-degree-<k sweeps over the undirected FK graph, early exit
     * only at the peeling fixpoint (identical to the oracle's unrolled
     * sweeps). Survivors with their last-peel degree. */
+  private val kcoreCache =
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
+
   def kCore(s: SparkSession, d: String): DataFrame =
-    GraphAlgos.kCore(builtGraph(s, d)).orderBy("id")
+    kcoreCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
+      GraphAlgos.kCore(builtGraph(s, d)).localCheckpoint(true)).orderBy("id")
 
   /** DuckDB rendering of [[kCore]]: the FK edge list + 8 unrolled
     * peel sweeps (degree within the previous survivor set, HAVING >= k). */
