@@ -456,6 +456,10 @@ object SimilarityOps {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      // one signature row per doc, referenced FOUR times below (both
+      // band-join sides + both signature fetches) — materialize once or
+      // the whole shingle+hash pipeline re-executes per reference
+      .localCheckpoint(true)
     // band key = md5 of the band's signature slice (bounds the join-key
     // width at scale vs carrying the raw 4×32-hex concatenation)
     val bandKeyCols = (0 until bands).map { b =>
@@ -561,6 +565,9 @@ object SimilarityOps {
       .select(col("doc_id"),
         array((0 until 64).map(b =>
           when(col(s"v$b") > 0, lit(1)).otherwise(lit(0))): _*).as("bits"))
+      // one bit-vector row per doc, referenced from both self-join
+      // sides — materialize once (same rationale as minHashLsh)
+      .localCheckpoint(true)
     val bandKeyCols = (0 until 4).map { bb =>
       concat_ws("", slice(col("bits"), bb * 16 + 1, 16).cast("array<string>"))
     }
