@@ -94,6 +94,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "top-k must be TakeOrdered, not a global sort")
   }
 
+  test("q62 mixture resample broadcasts the rate table over a map-only corpus pass") {
+    val p = plan("q62_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny per-source rate table must broadcast; the corpus side must not shuffle for the join")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join anywhere in the resample path")
+  }
+
+  test("q61 bpe pairs aggregate twice with map-side combine") {
+    val p = plan("q61_bpe_merge_pairs")
+    // corpus -> word-frequency (partial+final), then vocabulary-sized
+    // bigram counting (partial+final): both aggregations must combine
+    // map-side so only distinct keys cross each shuffle
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2,
+      "both aggregation levels need map-side partial aggregates")
+  }
+
   test("q49 pack chunks windows within buckets, never over the corpus") {
     val p = plan("q49_pack_chunks")
     // the per-row cumulative window must be hash-partitioned by bucket;
