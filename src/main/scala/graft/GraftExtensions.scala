@@ -39,7 +39,9 @@ object GraftExtensions {
 
   private def binary(name: String, clazz: Class[_], usage: String)(
       build: (Expression, Expression) => Expression) = {
-    val info = new ExpressionInfo(clazz.getName, null, name, usage, "")
+    // 3-arg constructor: the usage-bearing overloads are deprecated in
+    // Spark 4; the docstring lives in the Scaladoc above instead
+    val info = new ExpressionInfo(clazz.getName, null, name)
     val builder = (args: Seq[Expression]) => {
       if (args.length != 2)
         throw new IllegalArgumentException(

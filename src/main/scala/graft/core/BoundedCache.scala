@@ -21,7 +21,7 @@ final class BoundedCache[K, V](maxEntries: Int = BoundedCache.DefaultMaxEntries,
 
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-      if (size() > maxEntries) { BoundedCache.quiet(release(e.getValue)); true }
+      if (this.size() > maxEntries) { BoundedCache.quiet(release(e.getValue)); true }
       else false
   }
   BoundedCache.register(this)

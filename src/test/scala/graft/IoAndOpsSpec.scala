@@ -170,7 +170,7 @@ class IoAndOpsSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val docs = graft.Tables.documents(spark, sf).select("doc_id")
       .collect().map(_.getLong(0))
-    val parent = collection.mutable.Map(docs.map(d => d -> d): _*)
+    val parent = collection.mutable.Map(docs.toIndexedSeq.map(d => d -> d): _*)
     def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
     for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     val expected = docs.map(d0 => d0 -> find(d0)).toMap
@@ -190,7 +190,7 @@ class IoAndOpsSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val ids = graft.Tables.embeddings(spark, sf).select("vec_id")
       .collect().map(_.getLong(0))
-    val parent = collection.mutable.Map(ids.map(d => d -> d): _*)
+    val parent = collection.mutable.Map(ids.toIndexedSeq.map(d => d -> d): _*)
     def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
     for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
     val got = SimilarityOps.cosineDedupClusters(spark, sf)
@@ -311,7 +311,7 @@ class IoAndOpsSpec extends AnyFunSuite {
     }
     val sources = g.nodes.filter(col("label") === "Region")
       .select("id").collect().map(_.getString(0))
-    val dist = collection.mutable.Map[String, Long](sources.map(_ -> 0L): _*)
+    val dist = collection.mutable.Map[String, Long](sources.toIndexedSeq.map(_ -> 0L): _*)
     var frontier = sources.toList
     var dLevel = 0L
     while (frontier.nonEmpty) {
