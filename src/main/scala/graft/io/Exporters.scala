@@ -118,4 +118,55 @@ object Exporters {
     out.unpersist(blocking = false)
     n
   }
+
+  /** FULL CURATION PIPELINE in one call — the end-to-end composition a
+    * pretraining data run executes, each stage an oracle-checked
+    * operator:
+    *
+    *  1. quality floor (q50-style token minimum, row-pure);
+    *  2. near-dup dedup: keep only each q43 cluster's canonical keeper
+    *     (shingle-Jaccard pairs → fixed-sweep connected components);
+    *  3. mixture temperature resampling (q62): per-source √-flattening
+    *     thresholds computed over the POST-dedup gated corpus, applied
+    *     with the shared md5-bucket coin — deterministic, replayable;
+    *  4. token-budget packing (q49) over the survivors;
+    *  5. sharded JSONL write (trainer hand-off format).
+    *
+    * Returns (docs surviving, shards written). Deterministic: the same
+    * complete corpus reproduces byte-identical shard contents (all five
+    * stages are deterministic functions of the full input — see the
+    * subset caveat on [[documentsToTrainingShards]]).
+    *
+    * Scale: stages 1-3 are map-only over the corpus once the keeper set
+    * (one components run) and the tiny threshold table (broadcast) are
+    * derived; packing is the q49 bucketed prefix sum; the write is
+    * partitioned by shard. No collect, no global sort. */
+  def curatedTrainingShards(spark: SparkSession, sfDir: String,
+      path: String, minTokens: Long = 10L, budget: Long = 2048L,
+      shardChunks: Long = 4L): (Long, Long) = {
+    import graft.operators.TextOps
+    val gated = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .filter(col("n_tokens") > minTokens)
+    val keepers = TextOps.dedupClusters(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val deduped = gated.join(keepers, "doc_id")
+    val thresholds = TextOps.mixtureThresholds(deduped)
+      .select("source", "threshold")
+    val sampled = deduped
+      .join(broadcast(thresholds), "source")
+      .filter(TextOps.md5Bucket(col("doc_id")) < col("threshold"))
+    val chunks = TextOps.packChunksOf(
+        sampled.select(col("doc_id"), col("n_tokens")), budget)
+      .select(col("doc_id"), col("chunk_id"))
+    val out = sampled.join(chunks, "doc_id")
+      .withColumn("shard", expr(s"chunk_id div $shardChunks"))
+      .select("doc_id", "lang", "source", "n_tokens", "chunk_id", "shard", "text")
+      .localCheckpoint(true)
+    out.write.mode("overwrite").partitionBy("shard").json(path)
+    val n = out.count()
+    val shards = out.select("shard").distinct().count()
+    out.unpersist(blocking = false)
+    (n, shards)
+  }
 }

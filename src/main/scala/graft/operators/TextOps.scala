@@ -670,20 +670,31 @@ object TextOps {
     * Scale shape: count-per-source (tiny) broadcast back over the
     * corpus; the corpus itself is touched map-only. Returns the
     * per-source summary (n_docs, threshold, n_kept). */
-  def mixtureResample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** md5-bucket of a doc id in [0, 10⁶) — the deterministic coin the
+    * samplers (q47, q62, curated shard export) share. */
+  private[graft] def md5Bucket(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+
+  /** Per-source keep thresholds of the α=1/2 temperature flattening:
+    * (source, n_docs, threshold) with threshold = ⌊√(n_min/n_s)·10⁶⌋,
+    * computed over whatever corpus `docs` is (the full table for q62;
+    * the post-dedup gated set in the curated export). */
+  def mixtureThresholds(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val minN = counts.agg(min("n_docs").as("min_n"))
-    val rates = counts.crossJoin(broadcast(minN))
+    counts.crossJoin(broadcast(minN))
       .withColumn("threshold",
         floor(sqrt(col("min_n").cast("double") / col("n_docs")) * 1000000L)
           .cast("bigint"))
       .select("source", "n_docs", "threshold")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % 1000000L
+  }
+
+  def mixtureResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
     docs.select(col("doc_id"), col("source"))
-      .join(broadcast(rates), "source")
-      .withColumn("kept", (bucket < col("threshold")).cast("int"))
+      .join(broadcast(mixtureThresholds(docs)), "source")
+      .withColumn("kept", (md5Bucket(col("doc_id")) < col("threshold")).cast("int"))
       .groupBy("source", "n_docs", "threshold")
       .agg(sum("kept").cast("bigint").as("n_kept"))
       .select("source", "n_docs", "threshold", "n_kept")

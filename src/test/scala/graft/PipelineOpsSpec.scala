@@ -62,6 +62,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length && all.length == 4)
   }
 
+  test("curated_training_shards_compose_gate_dedup_resample_pack") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("curated").toString
+    val (n, shards) = graft.io.Exporters.curatedTrainingShards(
+      spark, sf, s"$dir/run1", minTokens = 10L, budget = 512L)
+    assert(n > 0 && shards > 0)
+    val out = spark.read.json(s"$dir/run1")
+    assert(out.count() == n)
+    // stage 1+2: every surviving doc passes the gate AND is its
+    // cluster's canonical keeper
+    val keepers = TextOps.dedupClusters(spark, sf)
+      .filter(col("keep")).select("doc_id")
+    assert(out.join(keepers, "doc_id").count() == n, "non-keeper leaked through")
+    assert(out.filter(col("n_tokens") <= 10).count() == 0, "gated doc leaked through")
+    // stage 3: per-source survivors match an independent recompute of
+    // the thresholds over the post-dedup gated corpus
+    val gated = graft.Tables.documents(spark, sf)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .filter(col("n_tokens") > 10)
+      .join(keepers, "doc_id")
+    val expected = gated
+      .join(broadcast(TextOps.mixtureThresholds(gated).select("source", "threshold")), "source")
+      .filter(TextOps.md5Bucket(col("doc_id")) < col("threshold"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // stage 4: packing contract — a doc joins the chunk where its
+    // running offset STARTS, so a chunk overflows only by its final
+    // doc: the sum excluding the last doc must stay under budget
+    val over = out.groupBy("chunk_id")
+      .agg(sum("n_tokens").as("toks"),
+        max(struct(col("doc_id"), col("n_tokens"))).as("last"))
+      .filter(col("toks") - col("last.n_tokens") >= 512)
+    assert(over.count() == 0, "chunk filled past the budget before its last doc")
+    // determinism: a second run reproduces the identical assignment
+    graft.io.Exporters.curatedTrainingShards(
+      spark, sf, s"$dir/run2", minTokens = 10L, budget = 512L)
+    val a = out.select("doc_id", "chunk_id", "shard")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.json(s"$dir/run2").select("doc_id", "chunk_id", "shard")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("copurchase_basket_cap_drops_hot_orders") {
     import spark.implicits._
     val memb = (Seq.tabulate(5)(i => (1L, i.toLong)) ++   // order 1: 5 parts (hot)
