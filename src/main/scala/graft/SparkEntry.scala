@@ -68,6 +68,7 @@ object SparkEntry {
     "q45_asof_click"       -> ((s, d) => TemporalOps.lastClickBeforePurchase(s, d)),
     "q52_funnel_stages"    -> ((s, d) => TemporalOps.funnelStages(s, d)),
     "q60_event_near_pairs" -> ((s, d) => TemporalOps.eventNearPairs(s, d)),
+    "q66_sessions"         -> ((s, d) => TemporalOps.sessions(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
@@ -278,6 +279,7 @@ object SparkEntry {
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
     "q60_event_near_pairs" -> operators.TemporalOps.eventNearPairsOracleSql(),
+    "q66_sessions" -> operators.TemporalOps.sessionsOracleSql(),
     // stubbed decode bodies, but every number the summary emits is
     // exact integer arithmetic over md5 slices — fully oracle-gated
     "q40_multimodal_pipeline" -> MultimodalOps.pipelineOracleSql(),

@@ -201,6 +201,49 @@ object TemporalOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** q66: BATCH SESSIONIZATION — the batch twin of
+    * [[graft.streaming.StreamingOps.sessionize]]: per user, maximal
+    * event runs with inter-event gap ≤ `gapUs`; a session breaks where
+    * the lag-gap exceeds the threshold, and the session index is the
+    * running count of breaks (the classic lag + cumulative-flag-sum
+    * formulation). All integer µs arithmetic → exact oracle.
+    *
+    * Scale shape: both windows share ONE partitioning (user_id), so
+    * the whole computation is a single shuffle + in-partition sort;
+    * the session rollup then combines map-side. No global window, no
+    * self-join. */
+  def sessions(s: SparkSession, d: String,
+      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("brk",
+        when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("brk").over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** DuckDB rendering of [[sessions]]. */
+  def sessionsOracleSql(gapUs: Long = 30L * 60 * 1000000): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |b AS (SELECT user_id, event_id, ts_us,
+       |    CASE WHEN ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (SELECT user_id, ts_us,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM b)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  COUNT(*) AS n_events, MAX(ts_us) - MIN(ts_us) AS duration_us
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   /** DuckDB rendering of [[eventNearPairs]]: the plain inequality
     * self-join — fine at oracle scale; the bucketed equi-join on the
     * engine side is exactly equivalent (|gap| ≤ Δ ⇒ bucket distance
