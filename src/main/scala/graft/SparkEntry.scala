@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CooccurrenceOps, GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{BucketedOps, CooccurrenceOps, GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,10 @@ object SparkEntry {
     "q18_global_stats"     -> ((s, d) => RelationalOps.globalStats(s, d)),
     "q63_json_props"       -> ((s, d) => RelationalOps.jsonPropsRollup(s, d)),
     "q64_length_quantiles" -> ((s, d) => RelationalOps.lengthQuantiles(s, d)),
+    "q70_rollup_revenue"   -> ((s, d) => RelationalOps.rollupRevenue(s, d)),
+    "q71_pivot_events"     -> ((s, d) => RelationalOps.pivotEvents(s, d)),
+    "q72_value_outliers"   -> ((s, d) => RelationalOps.valueOutliers(s, d)),
+    "q73_bucketed_join"    -> ((s, d) => BucketedOps.bucketedRevenueByPriority(s, d)),
     // --- training-data pipeline: text ---
     "q20_dedup_exact"      -> ((s, d) => TextOps.dedupExact(s, d)),
     "q21_token_count"      -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -61,9 +65,12 @@ object SparkEntry {
     "q59_rarity_score"     -> ((s, d) => TextOps.rarityScore(s, d)),
     "q61_bpe_merge_pairs"  -> ((s, d) => TextOps.bpeMergePairs(s, d)),
     "q62_mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
+    "q67_segment_dedup"    -> ((s, d) => TextOps.segmentDedup(s, d)),
+    "q69_redact"           -> ((s, d) => TextOps.redact(s, d)),
 
     "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
     "q58_supplier_overlap" -> ((s, d) => CooccurrenceOps.supplierOverlap(s, d)),
+    "q68_triangles"        -> ((s, d) => CooccurrenceOps.triangles(s, d)),
     // --- training-data pipeline: temporal ---
     "q45_asof_click"       -> ((s, d) => TemporalOps.lastClickBeforePurchase(s, d)),
     "q52_funnel_stages"    -> ((s, d) => TemporalOps.funnelStages(s, d)),
@@ -275,8 +282,15 @@ object SparkEntry {
         |  quantile_cont(n_chars, 0.75) AS p75
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q62_mixture_resample" -> TextOps.mixtureResampleOracleSql(),
+    "q67_segment_dedup" -> TextOps.segmentDedupOracleSql(),
+    "q69_redact" -> TextOps.redactOracleSql(),
+    "q70_rollup_revenue" -> RelationalOps.rollupRevenueOracleSql(),
+    "q71_pivot_events" -> RelationalOps.pivotEventsOracleSql(),
+    "q72_value_outliers" -> RelationalOps.valueOutliersOracleSql(),
+    "q73_bucketed_join" -> BucketedOps.bucketedRevenueOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
+    "q68_triangles" -> CooccurrenceOps.trianglesOracleSql(),
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
     "q60_event_near_pairs" -> operators.TemporalOps.eventNearPairsOracleSql(),
     "q66_sessions" -> operators.TemporalOps.sessionsOracleSql(),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Bucketed-table (hive-style bucketing) support — the CO-LOCATED JOIN
+  * path. A fact-fact join on raw parquet always shuffles both sides on
+  * the join key; when both tables are WRITTEN bucketed (and sorted) by
+  * that key with the same bucket count, Spark's bucketed scan exposes
+  * the hash-partitioning to the planner and the SortMergeJoin runs with
+  * ZERO Exchange on either side — at 100 TB that deletes the two
+  * largest shuffles of the workload. `PlanShapeSpec` pins exactly that:
+  * the physical plan of [[bucketedRevenueByPriority]]'s join carries no
+  * ShuffleExchange below the join.
+  *
+  * The bucket count is a `buckets` knob (default 8 — test-scale; a
+  * warehouse deployment sizes it to data volume ÷ target partition
+  * size once, at ingest). Bucketed layout is an INGEST-TIME choice:
+  * this object materializes the bucketed copies once per (session,
+  * dataset) into a temp warehouse dir and registers them in the session
+  * catalog, mirroring what a production pipeline does once on landing.
+  */
+object BucketedOps {
+
+  private val ensured =
+    new graft.core.BoundedCache[(String, String), (String, String)]()
+
+  /** Materialize bucketed `orders`/`lineitem` copies for `d` (once per
+    * session+dataset) and return their catalog table names. */
+  def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8):
+      (String, String) =
+    ensured.getOrElseUpdate((s.sparkContext.applicationId, d)) {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val dir = Files.createTempDirectory(s"graft_bucketed_$sfx").toFile
+      dir.deleteOnExit()
+      val (ot, lt) = (s"graft_orders_$sfx", s"graft_lineitem_$sfx")
+      Tables.orders(s, d).write.format("parquet")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"${dir.getAbsolutePath}/$ot")
+        .mode("overwrite").saveAsTable(ot)
+      Tables.lineitem(s, d).write.format("parquet")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${dir.getAbsolutePath}/$lt")
+        .mode("overwrite").saveAsTable(lt)
+      (ot, lt)
+    }
+
+  /** q73: revenue by order priority off the BUCKETED orders⋈lineitem
+    * join — numerically identical to the raw-parquet join (the oracle
+    * runs on the raw files), but the join itself is co-located: both
+    * bucketed scans report hash-partitioning on the order key, so the
+    * only Exchange in the plan is the tiny priority-keyed aggregate
+    * above the join. */
+  def bucketedRevenueByPriority(s: SparkSession, d: String): DataFrame = {
+    val (ot, lt) = ensureBucketed(s, d)
+    s.table(ot).join(s.table(lt), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** DuckDB rendering of [[bucketedRevenueByPriority]] (raw parquet —
+    * bucketing is a physical-layout property, not a semantic one). */
+  def bucketedRevenueOracleSql(): String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+}

@@ -118,6 +118,98 @@ object CooccurrenceOps {
       .limit(k)
   }
 
+  /** q68: per-node triangle participation counts over the co-purchase
+    * graph (parts linked when they co-occur in at least `minSupport`
+    * distinct orders). Triangle counting is the classic clustering-
+    * coefficient / spam-detection primitive; the co-purchase projection
+    * is where the FK schema actually has triangles (the raw FK graph is
+    * multipartite and triangle-free).
+    *
+    * Scale shape: the textbook degree-oriented (rank-ordered)
+    * node-iterator. Every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one, which turns the
+    * enumeration join e(a,b)⋈e(b,c)⋈e(a,c) into a DAG join whose work
+    * is Σ_v outdeg(v)² with outdeg ≤ O(√m) — the skew-proof bound that
+    * makes triangle counting feasible on power-law graphs (a hub's
+    * edges mostly point INTO it, so the hub never fans out). Three
+    * edge-keyed shuffles, no broadcast assumption, map-side-combined
+    * final count. Edge derivation reuses the df-capped co-purchase
+    * join ([[copurchasePairsOf]] shape). */
+  def triangles(s: SparkSession, d: String, minSupport: Int = 2,
+      maxBasket: Int = 64): DataFrame = {
+    val lp = memb(s, d, "order_part", ("l_orderkey", "l_partkey"))
+      .select(col("a").as("okey"), col("b").as("pkey"))
+    val kept = lp.join(
+      lp.groupBy("okey").agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") <= maxBasket)
+        .select("okey"),
+      "okey")
+    val und = kept.select(col("okey"), col("pkey").as("p1"))
+      .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("p1", "p2")
+    trianglesOfEdges(und)
+  }
+
+  /** [[triangles]] over an explicit undirected edge list (`p1 < p2`,
+    * distinct) — the unit-testable degree-oriented enumeration core. */
+  def trianglesOfEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("p1").as("v"))
+      .union(und.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id): a total order, so each
+    // triangle materializes exactly once as a→b, b→c, a→c
+    val oriented = und
+      .join(deg.select(col("v").as("p1"), col("deg").as("d1")), "p1")
+      .join(deg.select(col("v").as("p2"), col("deg").as("d2")), "p2")
+      .select(
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p1")).otherwise(col("p2")).as("u"),
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p2")).otherwise(col("p1")).as("w"))
+    val tri = oriented.select(col("u").as("a"), col("w").as("b"))
+      .join(oriented.select(col("u").as("b"), col("w").as("c")), "b")
+      .join(oriented.select(col("u").as("a"), col("w").as("c")),
+        Seq("a", "c"))
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+  }
+
+  /** DuckDB rendering of [[triangles]]. */
+  def trianglesOracleSql(minSupport: Int = 2, maxBasket: Int = 64): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+       |            FROM lineitem),
+       |kept AS (SELECT lp.okey, lp.pkey FROM lp
+       |  JOIN (SELECT okey FROM lp GROUP BY okey
+       |        HAVING COUNT(*) <= $maxBasket) sz USING (okey)),
+       |und AS (SELECT a.pkey AS p1, b.pkey AS p2
+       |  FROM kept a JOIN kept b ON a.okey = b.okey AND a.pkey < b.pkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT p1 AS v FROM und UNION ALL SELECT p2 FROM und)
+       |  GROUP BY v),
+       |ori AS (SELECT
+       |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p1 < p2)
+       |      THEN p1 ELSE p2 END AS u,
+       |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p1 < p2)
+       |      THEN p2 ELSE p1 END AS w
+       |  FROM und JOIN deg d1 ON d1.v = p1 JOIN deg d2 ON d2.v = p2),
+       |tri AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+       |  FROM ori e1 JOIN ori e2 ON e2.u = e1.w
+       |    JOIN ori e3 ON e3.u = e1.u AND e3.w = e2.w)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin
+
   /** DuckDB rendering of [[supplierOverlap]]. */
   def supplierOverlapOracleSql(k: Int = 50, maxDf: Int = 1000): String =
     s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

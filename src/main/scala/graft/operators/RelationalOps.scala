@@ -232,6 +232,119 @@ object RelationalOps {
         percentile(col("n_chars"), lit(0.75)).as("p75"))
       .orderBy("source")
 
+  /** q70: ROLLUP — hierarchical subtotals (region → nation → grand
+    * total) in ONE aggregation pass. Spark expands the rollup into
+    * grouping sets inside a single Expand+HashAggregate, so the fact
+    * table is scanned and shuffled once for all three levels — the
+    * shape that matters when the fact side is 100 TB (three separate
+    * GROUP BYs would triple the scan). Grouped-out keys surface as
+    * NULL; both engines render them through the same `*ALL*` sentinel
+    * so ordering/hashing is engine-independent. */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    broadcast(Tables.region(s, d))
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      // Column-arg rollup: the name-based overload misfires Spark 4's
+      // ambiguous-self-join detection downstream of any join
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("*ALL*")).as("region"),
+        coalesce(col("n_name"), lit("*ALL*")).as("nation"),
+        col("total"), col("n_orders"))
+      .orderBy("region", "nation")
+
+  /** DuckDB rendering of [[rollupRevenue]]. */
+  def rollupRevenueOracleSql(): String =
+    """SELECT COALESCE(r_name, '*ALL*') AS region,
+      |  COALESCE(n_name, '*ALL*') AS nation,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n_orders
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** q71: PIVOT — long→wide reshape, one row per user with a count
+    * column per event type. The pivot values are declared explicitly
+    * (the production rule at scale: an undeclared pivot forces a
+    * distinct-values collect on the driver), so the plan is a single
+    * groupBy with pivoted partial aggregates — one shuffle on user_id,
+    * output width fixed at plan time. */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy("user_id")
+
+  /** DuckDB rendering of [[pivotEvents]] (conditional aggregation — the
+    * engine-portable spelling of an explicit-values pivot). */
+  def pivotEventsOracleSql(): String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q72: Z-SCORE OUTLIERS — per-event-type mean/stddev from EXACT
+    * decimal sums (sum and sum-of-squares of the DECIMAL(18,4)-cast
+    * value — order-independent, so both engines derive bit-identical
+    * moments), then flag events with |z| > `zCut`. Classic data-quality
+    * / anomaly gate.
+    *
+    * Scale shape: one map-side-combined aggregation to a
+    * type-cardinality stats table, broadcast back onto the event
+    * stream, row-pure z computation — the fact table shuffles zero
+    * times. The double arithmetic downstream of the exact sums
+    * (division, sqrt) is IEEE-deterministic on both engines; the
+    * emitted z is rounded to 6 places. */
+  def valueOutliers(s: SparkSession, d: String, zCut: Double = 2.0): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 8)))
+          .cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+        / (col("n") - 1)))
+    ev.join(broadcast(stats.select("event_type", "mean", "sd")), "event_type")
+      .withColumn("z", round((col("v").cast("double") - col("mean")) / col("sd"), 6))
+      .filter(abs(col("z")) > zCut)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB rendering of [[valueOutliers]]. */
+  def valueOutliersOracleSql(zCut: Double = 2.0): String =
+    s"""WITH ev AS (SELECT event_id, event_type,
+       |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+       |st AS (SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(v) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE) AS s2
+       |  FROM ev GROUP BY event_type),
+       |m AS (SELECT event_type, s1 / n AS mean,
+       |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM st)
+       |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
+       |  ROUND((CAST(v AS DOUBLE) - mean) / sd, 6) AS z
+       |FROM ev JOIN m USING (event_type)
+       |WHERE ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
+       |ORDER BY event_id""".stripMargin
+
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

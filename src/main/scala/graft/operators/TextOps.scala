@@ -730,4 +730,105 @@ object TextOps {
       |  ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) AS avg_df
       |FROM tok JOIN dfreq USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q67: C4-style boilerplate removal — split each document into
+    * consecutive `segLen`-token segments, count exact segment
+    * occurrences CORPUS-WIDE, drop every segment occurring more than
+    * `maxFreq` times (corpus boilerplate: headers, license banners,
+    * nav text), and re-assemble each document from its surviving
+    * segments in original order. Emits per-doc segment/keep counts and
+    * the md5 fingerprint of the rebuilt text so the whole rewrite is
+    * hash-gated.
+    *
+    * Scale shape: segment derivation is MAP-ONLY (slices of the token
+    * array — no explode-then-regroup shuffle); the frequency count is
+    * one segment-keyed shuffle with map-side partial aggregation; the
+    * drop is a shuffle anti-join on the segment value (frequent-segment
+    * set is corpus-boilerplate-sized but unbounded in principle, so no
+    * broadcast assumption); re-assembly is one doc-keyed shuffle. The
+    * rebuilt text never becomes a join/group key — only doc_id and the
+    * fixed-width segment strings do. */
+  def segmentDedup(s: SparkSession, d: String, segLen: Int = 2,
+      maxFreq: Int = 20): DataFrame = {
+    val nSeg = ceil(size(col("toks")).cast("double") / segLen).cast("int")
+    val segs = withToks(s, d)
+      .withColumn("segs", transform(sequence(lit(0), nSeg - 1),
+        j => array_join(slice(col("toks"), j * segLen + 1, lit(segLen)), " ")))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_id", "seg")))
+    val frequent = segs.groupBy("seg")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxFreq)
+      .select("seg")
+    val kept = segs.join(frequent, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          p => p("seg")), " ").as("txt"))
+    segs.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("txt"), lit("")).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[segmentDedup]] (1-based array positions;
+    * `string_agg ... ORDER BY` reproduces the in-order re-assembly). */
+  def segmentDedupOracleSql(segLen: Int = 2, maxFreq: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+       |segs AS (
+       |  SELECT doc_id, (i - 1) // $segLen AS seg_id,
+       |    string_agg(t[i], ' ' ORDER BY i) AS seg
+       |  FROM pos GROUP BY doc_id, (i - 1) // $segLen),
+       |freq AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) > $maxFreq),
+       |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM freq)),
+       |reb AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY seg_id) AS txt
+       |  FROM kept GROUP BY doc_id),
+       |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+       |       FROM segs GROUP BY doc_id)
+       |SELECT ns.doc_id, ns.n_segs,
+       |  COALESCE(reb.n_kept, 0) AS n_kept,
+       |  md5(COALESCE(reb.txt, '')) AS fp
+       |FROM ns LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q69: pattern redaction — the PII-scrub stage of a training
+    * pipeline (emails, phone numbers, keys), expressed as a
+    * configurable regex → placeholder rewrite. The synthetic corpus
+    * carries no PII, so the default pattern redacts a set of entity
+    * words actually present in the data; the operator itself is the
+    * production shape (swap the pattern for the email/phone/ssn
+    * alternation in a real run — same plan).
+    *
+    * Scale shape: MAP-ONLY — regexp_replace + regexp count per row,
+    * fully codegen'd, no shuffle at all beyond the output sort. Both
+    * engines run the same RE2-compatible pattern (word-boundary
+    * alternation, no backtracking semantics involved), and the rewrite
+    * is hash-gated via the md5 of the redacted text. */
+  def redact(s: SparkSession, d: String,
+      pattern: String = "\\b(customer|supplier|part)\\b",
+      replacement: String = "<ENT>"): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("red", regexp_replace(col("text"), pattern, replacement))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("bigint").as("n_hits"),
+        length(col("red")).cast("bigint").as("n_chars_red"),
+        md5(col("red").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  /** DuckDB rendering of [[redact]] ('g' flag = Spark's replace-all). */
+  def redactOracleSql(pattern: String = "\\b(customer|supplier|part)\\b",
+      replacement: String = "<ENT>"): String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pattern')) AS BIGINT) AS n_hits,
+       |  CAST(length(regexp_replace(text, '$pattern', '$replacement', 'g'))
+       |    AS BIGINT) AS n_chars_red,
+       |  md5(regexp_replace(text, '$pattern', '$replacement', 'g')) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -122,6 +122,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 2L)))
   }
 
+  test("triangles_degree_oriented_enumeration_on_known_graphs") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("p1","p2")
+    val outK4 = graft.operators.CooccurrenceOps.trianglesOfEdges(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(outK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle + pendant edge: {1,2,3} in 1 triangle; 4 in none (absent)
+    val tp = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L)).toDF("p1","p2")
+    val outTp = graft.operators.CooccurrenceOps.trianglesOfEdges(tp)
+      .as[(Long, Long)].collect().toMap
+    assert(outTp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // square (4-cycle): no triangles at all
+    val sq = Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L)).toDF("p1","p2")
+    assert(graft.operators.CooccurrenceOps.trianglesOfEdges(sq).count() == 0L)
+  }
+
+  test("segment_dedup_keeps_everything_below_threshold_and_rebuilds_exactly") {
+    import spark.implicits._
+    // with an unreachable threshold nothing is boilerplate: every doc
+    // keeps all segments and the fingerprint equals md5 of the
+    // token-joined text (single-space normalization is the tokenizer's)
+    val out = TextOps.segmentDedup(spark, sf, segLen = 2, maxFreq = Int.MaxValue)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", TextOps.tokens(col("text"))).cast("binary")).as("want"))
+    val joined = out.join(docs, "doc_id")
+    assert(joined.filter(col("n_kept") =!= col("n_segs")).count() == 0L)
+    assert(joined.filter(col("fp") =!= col("want")).count() == 0L)
+    // with threshold 0 everything is boilerplate: all docs empty
+    val gone = TextOps.segmentDedup(spark, sf, segLen = 2, maxFreq = 0)
+    assert(gone.filter(col("n_kept") =!= 0L).count() == 0L)
+  }
+
+  test("redact_rewrites_only_matched_words") {
+    import spark.implicits._
+    val out = TextOps.redact(spark, sf).limit(0) // plan sanity on real data
+    assert(out.columns.toSeq == Seq("doc_id", "n_hits", "n_chars_red", "fp"))
+    // semantics on a hand-built row: word-boundary, replace-all
+    val df = Seq((1L, "customer parts supplier customerx part")).toDF("doc_id", "text")
+    val red = df.withColumn("red",
+      regexp_replace(col("text"), "\\b(customer|supplier|part)\\b", "<ENT>"))
+      .select("red").as[String].head()
+    assert(red == "<ENT> parts <ENT> customerx <ENT>")
+  }
+
   test("asof_join_rejects_colliding_payload") {
     import spark.implicits._
     val l = Seq((1L, 1L, 2L)).toDF("k", "t", "x")

@@ -122,4 +122,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "bucket offsets must join back as a broadcast")
   }
+
+  test("q73 bucketed orders⋈lineitem joins with ZERO exchange below the join") {
+    // disable broadcast so the plan is the one a 100 TB fact-fact join
+    // gets: at toy scale Spark would broadcast the orders side (also
+    // exchange-free, but not the shape under test)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q73_bucketed_join")
+      // both scans are bucketed by the join key with equal bucket
+      // counts, so the SortMergeJoin must consume them directly: the
+      // only exchanges allowed are ABOVE the join (agg + final sort).
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "co-located equi-join expected")
+      assert(p.contains("Bucketed: true"),
+        "both sides must report a bucketed scan")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        "neither join input may shuffle — bucketing must co-locate the join")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("q67 segment derivation is map-only; frequent-segment drop is an anti-join") {
+    val p = plan("q67_segment_dedup")
+    // segments come from array slices of the token array (Generate over
+    // a projected expression), never an explode→regroup shuffle; the
+    // boilerplate drop must appear as a (Broadcast|SortMerge) anti join
+    assert(p.contains("LeftAnti"),
+      "frequent-segment removal must be an anti-join, not a subquery re-scan")
+  }
+
+  test("q69 redact is map-only up to the presentation sort") {
+    val p = plan("q69_redact")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"row-pure redaction must not shuffle the corpus (found $exchanges exchanges)")
+    assert(p.contains("rangepartitioning"),
+      "the single exchange must be the presentation sort")
+  }
+
+  test("q72 outlier stats broadcast back onto an unshuffled event stream") {
+    val p = plan("q72_value_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the type-cardinality stats table must broadcast; the event side must not shuffle for the join")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join in the outlier path")
+  }
+
+  test("q70 rollup computes all grouping sets in one Expand+aggregate pass") {
+    val p = plan("q70_rollup_revenue")
+    assert(p.contains("Expand"),
+      "rollup must expand grouping sets inside one aggregation, not union three GROUP BYs")
+    // one scan of the orders fact side only
+    val ordersScans = "orders\\.parquet".r.findAllIn(p).size
+    assert(ordersScans <= 1, s"fact table must be scanned once (found $ordersScans)")
+  }
 }
