@@ -46,6 +46,9 @@ object SparkEntry {
     "q71_pivot_events"     -> ((s, d) => RelationalOps.pivotEvents(s, d)),
     "q72_value_outliers"   -> ((s, d) => RelationalOps.valueOutliers(s, d)),
     "q73_bucketed_join"    -> ((s, d) => BucketedOps.bucketedRevenueByPriority(s, d)),
+    "q74_running_hour_sum" -> ((s, d) => RelationalOps.runningHourSum(s, d)),
+    "q75_correlation"      -> ((s, d) => RelationalOps.quantityPriceCorr(s, d)),
+    "q76_partition_pruned" -> ((s, d) => BucketedOps.partitionPrunedTypeStats(s, d)),
     // --- training-data pipeline: text ---
     "q20_dedup_exact"      -> ((s, d) => TextOps.dedupExact(s, d)),
     "q21_token_count"      -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -288,6 +291,9 @@ object SparkEntry {
     "q71_pivot_events" -> RelationalOps.pivotEventsOracleSql(),
     "q72_value_outliers" -> RelationalOps.valueOutliersOracleSql(),
     "q73_bucketed_join" -> BucketedOps.bucketedRevenueOracleSql(),
+    "q74_running_hour_sum" -> RelationalOps.runningHourSumOracleSql(),
+    "q75_correlation" -> RelationalOps.quantityPriceCorrOracleSql(),
+    "q76_partition_pruned" -> BucketedOps.partitionPrunedOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q68_triangles" -> CooccurrenceOps.trianglesOracleSql(),

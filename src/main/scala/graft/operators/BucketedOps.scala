@@ -75,4 +75,48 @@ object BucketedOps {
       |    AS DOUBLE) AS revenue
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val partitioned =
+    new graft.core.BoundedCache[(String, String), String]()
+
+  /** Materialize an `event_type`-partitioned copy of `events` (once per
+    * session+dataset) and return its root path — hive-style partition
+    * directories, the layout a warehouse lands high-volume event data
+    * in so per-type queries PRUNE partitions instead of scanning and
+    * filtering. */
+  def ensurePartitionedEvents(s: SparkSession, d: String): String =
+    partitioned.getOrElseUpdate((s.sparkContext.applicationId, d)) {
+      val dir = Files.createTempDirectory("graft_part_events").toFile
+      dir.deleteOnExit()
+      val path = s"${dir.getAbsolutePath}/events"
+      Tables.events(s, d).write.partitionBy("event_type")
+        .mode("overwrite").parquet(path)
+      path
+    }
+
+  /** q76: per-type stats off the PARTITIONED events layout, filtered to
+    * one type — the scan must show the predicate as a PartitionFilter
+    * (directory pruning, zero data files of other types read; pinned in
+    * PlanShapeSpec). Numerically identical to filtering the flat file,
+    * which is exactly what the oracle does. */
+  def partitionPrunedTypeStats(s: SparkSession, d: String,
+      eventType: String = "purchase"): DataFrame = {
+    val path = ensurePartitionedEvents(s, d)
+    s.read.parquet(path)
+      .filter(col("event_type") === eventType)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB rendering of [[partitionPrunedTypeStats]] (flat scan +
+    * filter — partitioning is layout, not semantics). */
+  def partitionPrunedOracleSql(eventType: String = "purchase"): String =
+    s"""SELECT event_type, COUNT(*) AS cnt,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events WHERE event_type = '$eventType'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

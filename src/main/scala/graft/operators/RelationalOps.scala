@@ -313,7 +313,21 @@ object RelationalOps {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         col("value").cast(DecimalType(18, 4)).as("v"))
-    val stats = ev.groupBy("event_type")
+    ev.join(broadcast(valueStats(s, d)), "event_type")
+      .withColumn("z", round((col("v").cast("double") - col("mean")) / col("sd"), 6))
+      .filter(abs(col("z")) > zCut)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** The "trained" half of [[valueOutliers]]: per-type (mean, sd) from
+    * exact decimal moments. Also feeds the streaming outlier gate
+    * (StreamingOps.outlierGateStream) as its broadcast stats table. */
+  def valueStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("value").cast(DecimalType(18, 4)).as("v"))
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("v")).cast("double").as("s1"),
         sum((col("v") * col("v")).cast(DecimalType(38, 8)))
@@ -321,13 +335,7 @@ object RelationalOps {
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n"))
         / (col("n") - 1)))
-    ev.join(broadcast(stats.select("event_type", "mean", "sd")), "event_type")
-      .withColumn("z", round((col("v").cast("double") - col("mean")) / col("sd"), 6))
-      .filter(abs(col("z")) > zCut)
-      .select(col("event_id"), col("event_type"),
-        col("v").cast("double").as("value"), col("z"))
-      .orderBy("event_id")
-  }
+      .select("event_type", "mean", "sd")
 
   /** DuckDB rendering of [[valueOutliers]]. */
   def valueOutliersOracleSql(zCut: Double = 2.0): String =
@@ -344,6 +352,85 @@ object RelationalOps {
        |FROM ev JOIN m USING (event_type)
        |WHERE ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
        |ORDER BY event_id""".stripMargin
+
+  /** q74: TIME-RANGE WINDOW FRAME — per-user running 1-hour sum: for
+    * each event, the exact-decimal sum of `value` over all of that
+    * user's events in the preceding hour (RANGE frame on the raw
+    * nanosecond timestamp, so frame membership is a pure integer
+    * comparison — engine-independent even with timestamp ties, because
+    * RANGE frames include all peers regardless of intra-tie order).
+    *
+    * Scale shape: one hash-partition shuffle on user_id, in-partition
+    * sort by time, single streaming pass per partition — the standard
+    * sliding-window plan. Skewed users cap at one partition's worth of
+    * a single user's events; beyond that, pre-bucket time (q60's trick)
+    * before windowing. */
+  def runningHourSum(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .withColumn("hour_sum", sum(col("v")).over(w).cast("double"))
+      .select("event_id", "user_id", "hour_sum")
+      .orderBy("event_id")
+  }
+
+  /** DuckDB rendering of [[runningHourSum]] (same integer-µs RANGE
+    * frame; `epoch_us(ts)` = Spark's `ts_ns div 1000`, both floor). */
+  def runningHourSumOracleSql(): String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS hour_sum
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q75: EXACT CORRELATION — Pearson r of (quantity, extendedprice)
+    * per return flag, derived entirely from order-independent DECIMAL
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines compute
+    * bit-identical moments; only the final closed-form division/sqrt
+    * runs in (IEEE-deterministic) double, rounded to 6 places. The
+    * shape generalizes to covariance matrices: one map-side-combined
+    * aggregation pass, output cardinality = group count. */
+  def quantityPriceCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"),
+        sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
+        sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"))
+      .withColumn("corr_qty_price",
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+           sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6))
+      .select("l_returnflag", "n", "corr_qty_price")
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB rendering of [[quantityPriceCorr]]. */
+  def quantityPriceCorrOracleSql(): String =
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+      |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((sxy - sx * sy / n) /
+      |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+      |    AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =

@@ -179,6 +179,32 @@ object StreamingOps {
         (col("b_us") - col("a_us")).as("gap_us"))
   }
 
+  /** Streaming z-score outlier gate — the scoring half of the batch
+    * outlier operator (RelationalOps.valueOutliers / q72), run against
+    * PRE-TRAINED per-type moments: the batch job computes mean/sd once
+    * (exact decimal sums), the stream scores each arriving event
+    * row-purely against the broadcast stats and passes only |z| >
+    * `zCut`. This is the production split — train on the warehouse,
+    * gate the firehose — and the streaming side is STATELESS: no
+    * watermark, no state store, throughput scales with input rate, not
+    * history. Batch/stream parity vs q72 is exact by construction
+    * (same decimal-cast value, same broadcast stats, same rounded z —
+    * pinned by StreamingSpec).
+    *
+    * `stats` must carry (event_type, mean, sd) — the aggregate half of
+    * `valueOutliers`. */
+  def outlierGateStream(events: DataFrame, stats: DataFrame,
+      zCut: Double = 2.0): DataFrame =
+    events
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", round(
+        (col("value").cast("decimal(18,4)").cast("double") - col("mean"))
+          / col("sd"), 6))
+      .filter(abs(col("z")) > zCut)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").cast("double").as("value"),
+        col("z"))
+
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -171,6 +171,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "no shuffle join in the outlier path")
   }
 
+  test("q76 per-type query prunes partitions at the scan") {
+    val p = plan("q76_partition_pruned")
+    // the event_type predicate must be a PartitionFilter (directory
+    // pruning — other types' files are never opened), not a post-scan
+    // Filter over the full dataset
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "type predicate must prune partitions, not filter rows")
+    assert(p.contains("(event_type#") && p.contains("= purchase"),
+      "the literal type must appear in the partition filter")
+  }
+
+  test("q74 range-frame window shuffles once on user_id") {
+    val p = plan("q74_running_hour_sum")
+    assert(p.contains("hashpartitioning(user_id"),
+      "window must partition by user, never a single global partition")
+    assert(p.contains("RangeFrame"),
+      "frame must be a RANGE frame on the time column")
+  }
+
   test("q70 rollup computes all grouping sets in one Expand+aggregate pass") {
     val p = plan("q70_rollup_revenue")
     assert(p.contains("Expand"),

@@ -71,6 +71,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_outlier_gate_matches_batch_outliers") {
+    // train on the batch side (exact decimal moments), gate the stream:
+    // output must equal q72's batch outlier set exactly
+    val stats = RelationalOps.valueStats(spark, sf)
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.outlierGateStream(
+        StreamingOps.eventsStream(spark, sf), stats),
+      "outlier_gate_test")
+    val streamed = out.orderBy("event_id")
+      .select("event_id", "event_type", "value", "z").collect().toSeq
+    val batch = RelationalOps.valueOutliers(spark, sf)
+      .select("event_id", "event_type", "value", "z").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_funnel_matches_batch") {
     import graft.operators.TemporalOps
     val out = StreamingOps.runToMemory(spark,
