@@ -49,6 +49,7 @@ object SparkEntry {
     "q74_running_hour_sum" -> ((s, d) => RelationalOps.runningHourSum(s, d)),
     "q75_correlation"      -> ((s, d) => RelationalOps.quantityPriceCorr(s, d)),
     "q76_partition_pruned" -> ((s, d) => BucketedOps.partitionPrunedTypeStats(s, d)),
+    "q77_salted_join"      -> ((s, d) => RelationalOps.saltedRevenueByStatus(s, d)),
     // --- training-data pipeline: text ---
     "q20_dedup_exact"      -> ((s, d) => TextOps.dedupExact(s, d)),
     "q21_token_count"      -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "q74_running_hour_sum" -> RelationalOps.runningHourSumOracleSql(),
     "q75_correlation" -> RelationalOps.quantityPriceCorrOracleSql(),
     "q76_partition_pruned" -> BucketedOps.partitionPrunedOracleSql(),
+    "q77_salted_join" -> RelationalOps.saltedRevenueOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q68_triangles" -> CooccurrenceOps.trianglesOracleSql(),

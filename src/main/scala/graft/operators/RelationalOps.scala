@@ -432,6 +432,57 @@ object RelationalOps {
       |    AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** SKEW-SALTED equi-join: tag each left row with a deterministic salt
+    * in [0, salt) derived from `saltSource` (any left column — ideally
+    * a near-unique id so a hot key's rows spread evenly), replicate the
+    * right side across ALL salt values, and join on (key, salt). A key
+    * carrying 30% of the left table — which would pin one reducer in a
+    * plain shuffle join — now splits across `salt` reducers at the cost
+    * of a `salt`× right-side replication; use it when the right side is
+    * medium (too big to broadcast, small enough to replicate) and AQE's
+    * runtime skew-split can't apply (e.g. the join feeds a co-partition
+    *-preserving downstream op). Semantically identical to the plain
+    * join: every right row meets every left row of its key exactly once
+    * (left salt values partition the left rows; the right copy exists
+    * for each value). */
+  def saltedJoin(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, salt: Int, saltSource: Column): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(salt.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
+  /** q77: revenue by order status through the SALTED lineitem⋈orders
+    * join — bit-identical to the plain join (the oracle runs one), with
+    * the skew-proof physical shape: the shuffle key is (orderkey, salt)
+    * so no single reducer can own a hot order. Pinned in PlanShapeSpec:
+    * the join keys include the salt column. */
+  def saltedRevenueByStatus(s: SparkSession, d: String, salt: Int = 8): DataFrame =
+    saltedJoin(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount")),
+      "l_orderkey",
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey", salt, col("l_linenumber"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+
+  /** DuckDB rendering of [[saltedRevenueByStatus]] (plain join —
+    * salting is a physical rebalance, not a semantic change). */
+  def saltedRevenueOracleSql(): String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -168,6 +168,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(red == "<ENT> parts <ENT> customerx <ENT>")
   }
 
+  test("salted_join_equals_plain_join_on_skewed_input") {
+    import spark.implicits._
+    // hot key 1 carries 90% of the left side; dup right rows too
+    val left = (Seq.tabulate(90)(i => (1L, i.toLong)) ++
+      Seq((2L, 100L), (3L, 101L), (3L, 102L))).toDF("k", "id")
+    val right = Seq((1L, "a"), (1L, "b"), (2L, "c"), (4L, "d")).toDF("rk", "v")
+    val salted = graft.operators.RelationalOps
+      .saltedJoin(left, "k", right, "rk", salt = 4, saltSource = col("id"))
+      .select("k", "id", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "id", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.size == 181) // 90*2 + 1
+  }
+
   test("asof_join_rejects_colliding_payload") {
     import spark.implicits._
     val l = Seq((1L, 1L, 2L)).toDF("k", "t", "x")

@@ -190,6 +190,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "frame must be a RANGE frame on the time column")
   }
 
+  test("q77 salted join shuffles on (orderkey, salt), right side replicated") {
+    // broadcast off: at toy scale the replicated orders side would
+    // broadcast, hiding the salted shuffle shape under test
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q77_salted_join")
+      assert(p.contains("__salt"),
+        "join keys must include the salt column")
+      assert(p.contains("Generate explode") || p.contains("explode"),
+        "right side must replicate via explode over the salt range")
+    } finally spark.conf.set(key, old)
+  }
+
   test("q70 rollup computes all grouping sets in one Expand+aggregate pass") {
     val p = plan("q70_rollup_revenue")
     assert(p.contains("Expand"),
