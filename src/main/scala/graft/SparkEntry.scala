@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BucketedOps, CooccurrenceOps, GraphOps, MultimodalOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
+import graft.operators.{BucketedOps, CooccurrenceOps, GraphOps, MultimodalOps, RelationalOps, SimilarityOps, SketchOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,8 @@ object SparkEntry {
     "q75_correlation"      -> ((s, d) => RelationalOps.quantityPriceCorr(s, d)),
     "q76_partition_pruned" -> ((s, d) => BucketedOps.partitionPrunedTypeStats(s, d)),
     "q77_salted_join"      -> ((s, d) => RelationalOps.saltedRevenueByStatus(s, d)),
+    "q78_hll_distinct"     -> ((s, d) => SketchOps.hllDistinctShingles(s, d)),
+    "q79_countmin_topk"    -> ((s, d) => SketchOps.countMinTokens(s, d)),
     // --- training-data pipeline: text ---
     "q20_dedup_exact"      -> ((s, d) => TextOps.dedupExact(s, d)),
     "q21_token_count"      -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -296,6 +298,8 @@ object SparkEntry {
     "q75_correlation" -> RelationalOps.quantityPriceCorrOracleSql(),
     "q76_partition_pruned" -> BucketedOps.partitionPrunedOracleSql(),
     "q77_salted_join" -> RelationalOps.saltedRevenueOracleSql(),
+    "q78_hll_distinct" -> SketchOps.hllOracleSql(),
+    "q79_countmin_topk" -> SketchOps.countMinOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q68_triangles" -> CooccurrenceOps.trianglesOracleSql(),

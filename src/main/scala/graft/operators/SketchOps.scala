@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Probabilistic sketches — the sublinear-memory summaries a 100 TB
+  * pipeline runs where exact answers don't fit (cardinality of a
+  * trillion-shingle stream, per-token frequencies of an unbounded
+  * vocabulary). Both sketches here are built from md5-derived hash
+  * values and exact integer/power-of-two arithmetic, so — unusually for
+  * sketches — their ESTIMATES are deterministic and bit-reproducible in
+  * DuckDB: the oracle doesn't just sanity-check rows, it recomputes the
+  * whole sketch.
+  *
+  * Scale shapes:
+  *  - [[hllDistinctShingles]]: map-side (bucket, rank) extraction, one
+  *    256-key max-aggregation — the sketch state is 256 small ints no
+  *    matter the input size, and merging partitions is the same MAX, so
+  *    the plan is a textbook partial+final aggregate with constant
+  *    output.
+  *  - [[countMinTokens]]: vocabulary-keyed count (the only input-sized
+  *    shuffle), then a 4×256-cell table; point queries join the tiny
+  *    cell table back by broadcast. Heavy-hitter reporting off the
+  *    sketch costs O(vocab) map work + a top-k.
+  */
+object SketchOps {
+
+  private val M = 256 // HLL buckets (2^8): ±6.5% standard error
+
+  /** q78: HyperLogLog distinct-count estimate of the corpus' 3-gram
+    * shingle vocabulary, next to the exact count and the relative
+    * error. Hash = md5: first 2 hex digits pick the bucket, the next 15
+    * (60 bits) feed the leading-zero rank via `bin()` string length —
+    * both engines render binary without leading zeros, so rank is pure
+    * integer arithmetic. The harmonic sum Σ 2^(−Mⱼ) is carried as the
+    * EXACT integer Σ 2^(61−Mⱼ) in DECIMAL(38,0) (every term a power of
+    * two ≤ 2⁶¹, sum ≤ 2⁶⁹), so the only floating-point steps are the
+    * final division and rounding — IEEE-deterministic on both engines.
+    * The small-range linear-counting branch (raw ≤ 2.5m with empty
+    * buckets) uses ln(), whose last ulp is libm-dependent; on this
+    * corpus raw ≫ 2.5m so the oracle never exercises it — flagged in
+    * the scaladoc rather than silently assumed. */
+  def hllDistinctShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.shingleRows(s, d).select("sh")
+    val ranks = sh
+      .withColumn("h", md5(col("sh").cast("binary")))
+      .select(
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("bucket"),
+        conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("w"))
+      .withColumn("rank",
+        when(col("w") === 0L, lit(61L))
+          .otherwise(lit(61L) - length(bin(col("w"))).cast("long")))
+    val mj = s.range(M).select(col("id").as("bucket"))
+      .join(ranks.groupBy("bucket").agg(max("rank").as("mx")),
+        Seq("bucket"), "left")
+      .select(coalesce(col("mx"), lit(0L)).as("mj"))
+    val agg = mj.agg(
+      sum(pow(lit(2.0), lit(61.0) - col("mj")).cast(DecimalType(38, 0)))
+        .cast("double").as("harm"),
+      sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v0"))
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val est = agg.select(
+      round(when(col("v0") > 0 &&
+          lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm")
+            <= lit(2.5 * M),
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v0")))
+        .otherwise(
+          lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm")), 4)
+        .as("hll_estimate"))
+    val exact = sh.agg(countDistinct(col("sh")).as("n_exact"))
+    exact.crossJoin(est)
+      .withColumn("rel_err",
+        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+  }
+
+  /** DuckDB rendering of [[hllDistinctShingles]]. */
+  def hllOracleSql(): String = {
+    val bucket = OracleSql.hexPoly("h", 1, 2)
+    val w = OracleSql.hexPoly("h", 3, 15)
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $M))"
+    s"""WITH ${TextOps.shingleCtesSql},
+       |hh AS (SELECT md5(sh) AS h FROM sh),
+       |br AS (SELECT CAST($bucket AS BIGINT) AS bucket,
+       |         CAST($w AS BIGINT) AS w FROM hh),
+       |rk AS (SELECT bucket,
+       |         CASE WHEN w = 0 THEN 61
+       |           ELSE 61 - CAST(length(bin(w)) AS BIGINT) END AS rank
+       |       FROM br),
+       |bk AS (SELECT range AS bucket FROM range($M)),
+       |mx AS (SELECT bk.bucket, COALESCE(MAX(rk.rank), 0) AS mj
+       |       FROM bk LEFT JOIN rk USING (bucket) GROUP BY bk.bucket),
+       |ag AS (SELECT CAST(SUM(CAST(power(2, 61 - mj) AS DECIMAL(38,0)))
+       |           AS DOUBLE) AS harm,
+       |         SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v0
+       |       FROM mx),
+       |ex AS (SELECT COUNT(DISTINCT sh) AS n_exact FROM sh),
+       |es AS (SELECT ROUND(CASE WHEN v0 > 0 AND
+       |             $alpha * $M * $M * power(2, 61) / harm <= 2.5 * $M
+       |           THEN $M * ln($M / v0)
+       |           ELSE $alpha * $M * $M * power(2, 61) / harm END, 4)
+       |           AS hll_estimate
+       |       FROM ag)
+       |SELECT n_exact, hll_estimate,
+       |  ROUND(ABS(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+       |FROM ex, es""".stripMargin
+  }
+
+  private val CmD = 4 // count-min depth (hash rows); width = 256 (one
+                      // 2-hex-digit md5 slice per row)
+
+  /** q79: Count-Min heavy hitters — estimate each token's corpus
+    * frequency from a 4×256-cell integer sketch and report the top-k by
+    * estimated count with the exact count alongside (the estimate is
+    * an upper bound: cell collisions only ever ADD). Every value is an
+    * exact integer, so the full sketch — cells, point queries, ranking
+    * — reproduces bit-for-bit in DuckDB. The 4 row-hashes are disjoint
+    * 8-bit slices of the token's md5 (hex digits 1-2, 3-4, 5-6, 7-8) —
+    * independent uniform bits, no multiply-mod arithmetic that could
+    * overflow BIGINT on either engine.
+    *
+    * At 100 TB the token→count aggregation is the only input-sized
+    * step (map-side combined); the sketch itself is 1 KB and the
+    * reporting pass is vocabulary-sized. */
+  def countMinTokens(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val withRows = (0 until CmD).foldLeft(toks) { case (df, i) =>
+      df.withColumn(s"b$i",
+        conv(substring(col("h"), 1 + 2 * i, 2), 16, 10).cast("long"))
+    }
+    // cell table: 4 rows × 256 buckets of summed counts
+    val cells = (0 until CmD).map { i =>
+      withRows.groupBy(col(s"b$i").as("bucket"))
+        .agg(sum("cnt").as("cell"))
+        .withColumn("row", lit(i))
+    }.reduce(_ unionByName _)
+    val est = (0 until CmD).foldLeft(withRows) { case (df, i) =>
+      df.join(broadcast(cells.filter(col("row") === i)
+          .select(col("bucket").as(s"b$i"), col("cell").as(s"c$i"))),
+        Seq(s"b$i"))
+    }.withColumn("cm_estimate",
+      least((0 until CmD).map(i => col(s"c$i")): _*))
+    est.select(col("tok"), col("cnt").as("n_exact"), col("cm_estimate"))
+      .orderBy(col("cm_estimate").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[countMinTokens]]. */
+  def countMinOracleSql(k: Int = 10): String = {
+    val rows = 0 until CmD
+    val bCols = rows.map { i =>
+      s"CAST(${OracleSql.hexPoly("md5(tok)", 1 + 2 * i, 2)} AS BIGINT) AS b$i"
+    }.mkString(",\n    ")
+    val cellUnion = rows.map { i =>
+      s"SELECT $i AS row, b$i AS bucket, SUM(cnt) AS cell FROM tc GROUP BY b$i"
+    }.mkString("\n  UNION ALL ")
+    val joins = rows.map { i =>
+      s"JOIN cells c$i ON c$i.row = $i AND c$i.bucket = tc.b$i" }
+      .mkString("\n  ")
+    s"""WITH t0 AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tc AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    $bCols
+       |  FROM t0 GROUP BY tok),
+       |cells AS (
+       |  $cellUnion)
+       |SELECT tok, cnt AS n_exact,
+       |  LEAST(c0.cell, c1.cell, c2.cell, c3.cell) AS cm_estimate
+       |FROM tc
+       |  $joins
+       |ORDER BY cm_estimate DESC, tok LIMIT $k""".stripMargin
+  }
+}

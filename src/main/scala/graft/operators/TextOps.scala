@@ -209,7 +209,7 @@ object TextOps {
   /** DuckDB CTEs deriving the distinct (doc_id, sh) shingle rows — the
     * oracle-side twin of [[shingleRows]], shared by every
     * shingle-consuming oracle below. */
-  private val shingleCtesSql: String =
+  private[operators] val shingleCtesSql: String =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents),

@@ -183,6 +183,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plain.size == 181) // 90*2 + 1
   }
 
+  test("hll_estimate_within_standard_error_of_exact") {
+    // m=256 buckets → ~6.5% standard error; allow 3σ
+    val row = graft.operators.SketchOps.hllDistinctShingles(spark, sf)
+      .select("n_exact", "hll_estimate", "rel_err").head()
+    val (exact, est, relErr) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(exact > 0)
+    assert(relErr < 0.20, s"HLL estimate $est vs exact $exact (err $relErr)")
+  }
+
+  test("countmin_estimate_is_an_upper_bound_on_exact") {
+    // cell collisions only add counts, so estimate >= exact always
+    val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
+      .select("n_exact", "cm_estimate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        s"count-min must upper-bound: ${r.getLong(1)} < ${r.getLong(0)}")
+    }
+  }
+
   test("asof_join_rejects_colliding_payload") {
     import spark.implicits._
     val l = Seq((1L, 1L, 2L)).toDF("k", "t", "x")
