@@ -52,6 +52,9 @@ object SparkEntry {
     "q77_salted_join"      -> ((s, d) => RelationalOps.saltedRevenueByStatus(s, d)),
     "q78_hll_distinct"     -> ((s, d) => SketchOps.hllDistinctShingles(s, d)),
     "q79_countmin_topk"    -> ((s, d) => SketchOps.countMinTokens(s, d)),
+    "q80_full_outer"       -> ((s, d) => RelationalOps.fullOuterNationCounts(s, d)),
+    "q81_set_ops"          -> ((s, d) => RelationalOps.nationSetOps(s, d)),
+    "q82_fuzzy_match"      -> ((s, d) => RelationalOps.fuzzySupplierPairs(s, d)),
     // --- training-data pipeline: text ---
     "q20_dedup_exact"      -> ((s, d) => TextOps.dedupExact(s, d)),
     "q21_token_count"      -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -300,6 +303,9 @@ object SparkEntry {
     "q77_salted_join" -> RelationalOps.saltedRevenueOracleSql(),
     "q78_hll_distinct" -> SketchOps.hllOracleSql(),
     "q79_countmin_topk" -> SketchOps.countMinOracleSql(),
+    "q80_full_outer" -> RelationalOps.fullOuterOracleSql(),
+    "q81_set_ops" -> RelationalOps.nationSetOpsOracleSql(),
+    "q82_fuzzy_match" -> RelationalOps.fuzzySupplierOracleSql(),
     "q57_copurchase" -> CooccurrenceOps.copurchaseOracleSql(),
     "q58_supplier_overlap" -> CooccurrenceOps.supplierOverlapOracleSql(),
     "q68_triangles" -> CooccurrenceOps.trianglesOracleSql(),

@@ -483,6 +483,96 @@ object RelationalOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q80: FULL OUTER join — per-nation customer and supplier counts
+    * side by side, keeping nations that have only one of the two
+    * (rendered as 0 via coalesce). Both inputs are pre-aggregated to
+    * key cardinality BEFORE the join — at 100 TB the full-outer join
+    * runs on two nation-sized tables, not on the raw fact rows. */
+  def fullOuterNationCounts(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** DuckDB rendering of [[fullOuterNationCounts]]. */
+  def fullOuterOracleSql(): String =
+    """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      |           FROM customer GROUP BY 1),
+      |p AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      |      FROM supplier GROUP BY 1)
+      |SELECT COALESCE(c.nationkey, p.nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN p ON c.nationkey = p.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** q81: SET OPERATORS — INTERSECT and EXCEPT over the customer- and
+    * supplier-nation key sets, tagged and unioned into one result
+    * (nations with both kinds / customers only / suppliers only). Set
+    * ops compile to aggregate/anti-join plans on key-cardinality
+    * inputs — no fact-table shuffle survives the pre-aggregation. */
+  def nationSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+    val p = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(p).withColumn("which", lit("both"))
+      .unionByName(c.except(p).withColumn("which", lit("customer_only")))
+      .unionByName(p.except(c).withColumn("which", lit("supplier_only")))
+      .orderBy("which", "nationkey")
+  }
+
+  /** DuckDB rendering of [[nationSetOps]]. */
+  def nationSetOpsOracleSql(): String =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |p AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      |SELECT nationkey, which FROM (
+      |  SELECT nationkey, 'both' AS which FROM (
+      |    SELECT nationkey FROM c INTERSECT SELECT nationkey FROM p)
+      |  UNION ALL
+      |  SELECT nationkey, 'customer_only' FROM (
+      |    SELECT nationkey FROM c EXCEPT SELECT nationkey FROM p)
+      |  UNION ALL
+      |  SELECT nationkey, 'supplier_only' FROM (
+      |    SELECT nationkey FROM p EXCEPT SELECT nationkey FROM c))
+      |ORDER BY which, nationkey""".stripMargin
+
+  /** q82: BLOCKED FUZZY MATCHING — near-identical supplier-name pairs
+    * by Levenshtein distance ≤ `maxDist`, candidates restricted to the
+    * same nation (the blocking key). Both engines implement the same
+    * textbook edit-distance DP, so the integer distances agree exactly.
+    *
+    * Scale shape: the all-pairs trap is avoided by BLOCKING — pairs are
+    * generated per nation via an equi-join, Σ_b |block|² work instead of
+    * n²; production entity resolution swaps the block key for a cheap
+    * canopy (sorted-neighborhood key, phonetic code, length band) with
+    * the same plan. The quadratic step never leaves the shuffle
+    * partition of its block. */
+  def fuzzySupplierPairs(s: SparkSession, d: String, maxDist: Int = 2): DataFrame = {
+    val sp = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nk"), col("s_suppkey"), col("s_name"))
+    sp.select(col("nk"), col("s_suppkey").as("k1"), col("s_name").as("n1"))
+      .join(sp.select(col("nk"), col("s_suppkey").as("k2"), col("s_name").as("n2")),
+        "nk")
+      .filter(col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("k1"), col("k2"), col("dist").cast("bigint").as("dist"))
+      .orderBy("k1", "k2")
+  }
+
+  /** DuckDB rendering of [[fuzzySupplierPairs]]. */
+  def fuzzySupplierOracleSql(maxDist: Int = 2): String =
+    s"""SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+       |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+       |FROM supplier a JOIN supplier b
+       |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+       |WHERE levenshtein(a.s_name, b.s_name) <= $maxDist
+       |ORDER BY k1, k2""".stripMargin
+
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
