@@ -27,13 +27,28 @@ import graft.Tables
   */
 object BucketedOps {
 
+  // eviction drops the catalog entries so a long-lived daemon cycling
+  // datasets doesn't accumulate stale bucketed tables (the temp dirs
+  // themselves are deleteOnExit)
   private val ensured =
-    new graft.core.BoundedCache[(String, String), (String, String)]()
+    new graft.core.BoundedCache[(String, String), (SparkSession, String, String)](
+      release = { case (sess, ot, lt) =>
+        try {
+          sess.sql(s"DROP TABLE IF EXISTS $ot")
+          sess.sql(s"DROP TABLE IF EXISTS $lt")
+        } catch { case _: Throwable => () }
+      })
 
   /** Materialize bucketed `orders`/`lineitem` copies for `d` (once per
     * session+dataset) and return their catalog table names. */
   def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8):
-      (String, String) =
+      (String, String) = {
+    val (_, ot, lt) = ensuredEntry(s, d, buckets)
+    (ot, lt)
+  }
+
+  private def ensuredEntry(s: SparkSession, d: String, buckets: Int):
+      (SparkSession, String, String) =
     ensured.getOrElseUpdate((s.sparkContext.applicationId, d)) {
       val sfx = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -48,7 +63,7 @@ object BucketedOps {
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"${dir.getAbsolutePath}/$lt")
         .mode("overwrite").saveAsTable(lt)
-      (ot, lt)
+      (s, ot, lt)
     }
 
   /** q73: revenue by order priority off the BUCKETED orders⋈lineitem

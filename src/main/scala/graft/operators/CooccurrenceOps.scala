@@ -154,8 +154,17 @@ object CooccurrenceOps {
   }
 
   /** [[triangles]] over an explicit undirected edge list (`p1 < p2`,
-    * distinct) — the unit-testable degree-oriented enumeration core. */
-  def trianglesOfEdges(und: DataFrame): DataFrame = {
+    * distinct) — the unit-testable degree-oriented enumeration core.
+    *
+    * The edge list, the oriented edge list, and the triangle list are
+    * each MATERIALIZED (localCheckpoint) because each is referenced 2-3
+    * times downstream: left as views, Catalyst re-expands every
+    * reference multiplicatively (measured: 318 joins / 360 scans in
+    * the q68 physical plan; materialized: 6 joins). At cluster scale
+    * the same three frames are the ones a production job would persist
+    * or write between stages. */
+  def trianglesOfEdges(undRaw: DataFrame): DataFrame = {
+    val und = undRaw.localCheckpoint(true)
     val deg = und.select(col("p1").as("v"))
       .union(und.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -171,10 +180,14 @@ object CooccurrenceOps {
         when(col("d1") < col("d2") ||
           (col("d1") === col("d2") && col("p1") < col("p2")),
           col("p2")).otherwise(col("p1")).as("w"))
+      .localCheckpoint(true)
     val tri = oriented.select(col("u").as("a"), col("w").as("b"))
       .join(oriented.select(col("u").as("b"), col("w").as("c")), "b")
       .join(oriented.select(col("u").as("a"), col("w").as("c")),
         Seq("a", "c"))
+      .localCheckpoint(true)
+    // und/oriented checkpoint blocks are released by ContextCleaner once
+    // unreferenced (tri is itself materialized, so nothing re-reads them)
     tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))

@@ -313,7 +313,11 @@ object RelationalOps {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         col("value").cast(DecimalType(18, 4)).as("v"))
+    // sd > 0 guard: a constant-valued group yields 0/0 z-scores whose
+    // NaN comparison semantics differ across engines — exclude the
+    // degenerate group identically on both sides
     ev.join(broadcast(valueStats(s, d)), "event_type")
+      .filter(col("sd") > 0)
       .withColumn("z", round((col("v").cast("double") - col("mean")) / col("sd"), 6))
       .filter(abs(col("z")) > zCut)
       .select(col("event_id"), col("event_type"),
@@ -350,7 +354,8 @@ object RelationalOps {
        |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
        |  ROUND((CAST(v AS DOUBLE) - mean) / sd, 6) AS z
        |FROM ev JOIN m USING (event_type)
-       |WHERE ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
+       |WHERE sd > 0
+       |  AND ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
        |ORDER BY event_id""".stripMargin
 
   /** q74: TIME-RANGE WINDOW FRAME — per-user running 1-hour sum: for

@@ -751,10 +751,14 @@ object TextOps {
   def segmentDedup(s: SparkSession, d: String, segLen: Int = 2,
       maxFreq: Int = 20): DataFrame = {
     val nSeg = ceil(size(col("toks")).cast("double") / segLen).cast("int")
+    // materialized once: three downstream branches (frequency count,
+    // anti-join, per-doc totals) reference the segment frame, and as a
+    // view each branch would re-tokenize and re-slice the whole corpus
     val segs = withToks(s, d)
       .withColumn("segs", transform(sequence(lit(0), nSeg - 1),
         j => array_join(slice(col("toks"), j * segLen + 1, lit(segLen)), " ")))
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_id", "seg")))
+      .localCheckpoint(true)
     val frequent = segs.groupBy("seg")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxFreq)
