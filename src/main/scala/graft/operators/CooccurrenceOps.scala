@@ -52,7 +52,9 @@ object CooccurrenceOps {
       k, maxBasket)
 
   /** [[copurchasePairs]] over an explicit (okey, pkey) membership frame
-    * — the unit-testable core. */
+    * — the unit-testable core. The df-capped `kept` frame feeds BOTH
+    * sides of the pair self-join; materialized so the cap join runs
+    * once, not once per side. */
   def copurchasePairsOf(memb: DataFrame, k: Int, maxBasket: Int): DataFrame = {
     val lp = memb.select("okey", "pkey").distinct()
     val kept = lp.join(
@@ -60,6 +62,7 @@ object CooccurrenceOps {
         .filter(col("bsize") <= maxBasket)
         .select("okey"),
       "okey")
+      .localCheckpoint(true)
     val a = kept.select(col("okey"), col("pkey").as("p1"))
     val b = kept.select(col("okey"), col("pkey").as("p2"))
     a.join(b, "okey").filter(col("p1") < col("p2"))
@@ -98,11 +101,13 @@ object CooccurrenceOps {
     val sp = memb(s, d, "supp_part", ("l_suppkey", "l_partkey"))
       .select(col("a").as("sk"), col("b").as("pk"))
     val sizes = sp.groupBy("sk").agg(count(lit(1)).as("nparts"))
+    // materialized: both sides of the candidate self-join read it
     val kept = sp.join(
       sp.groupBy("pk").agg(count(lit(1)).as("pdeg"))
         .filter(col("pdeg") <= maxDf)
         .select("pk"),
       "pk")
+      .localCheckpoint(true)
     val shared = kept.select(col("pk"), col("sk").as("s1"))
       .join(kept.select(col("pk"), col("sk").as("s2")), "pk")
       .filter(col("s1") < col("s2"))

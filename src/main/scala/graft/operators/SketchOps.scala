@@ -43,26 +43,33 @@ object SketchOps {
     * buckets) uses ln(), whose last ulp is libm-dependent; on this
     * corpus raw ≫ 2.5m so the oracle never exercises it — flagged in
     * the scaladoc rather than silently assumed. */
-  def hllDistinctShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = TextOps.shingleRows(s, d).select("sh")
-    val ranks = sh
-      .withColumn("h", md5(col("sh").cast("binary")))
+  /** Row-pure (bucket, rank) extraction from a string column `v` — the
+    * map side of the HLL sketch, shared by the batch operator and the
+    * streaming sketch maintenance (StreamingOps.hllTokenStream). */
+  def hllRanks(values: DataFrame): DataFrame =
+    values
+      .withColumn("h", md5(col("v").cast("binary")))
       .select(
         conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("bucket"),
         conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("w"))
       .withColumn("rank",
         when(col("w") === 0L, lit(61L))
           .otherwise(lit(61L) - length(bin(col("w"))).cast("long")))
+
+  /** Fold a (bucket, mx) bucket-maxima frame (missing buckets allowed)
+    * into the one-row HLL estimate — the merge+estimate side, shared
+    * with the streaming spec so stream-maintained sketch state proves
+    * batch parity through the identical formula. */
+  def hllEstimateOf(s: SparkSession, bucketMax: DataFrame): DataFrame = {
     val mj = s.range(M).select(col("id").as("bucket"))
-      .join(ranks.groupBy("bucket").agg(max("rank").as("mx")),
-        Seq("bucket"), "left")
+      .join(bucketMax, Seq("bucket"), "left")
       .select(coalesce(col("mx"), lit(0L)).as("mj"))
     val agg = mj.agg(
       sum(pow(lit(2.0), lit(61.0) - col("mj")).cast(DecimalType(38, 0)))
         .cast("double").as("harm"),
       sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v0"))
     val alpha = 0.7213 / (1.0 + 1.079 / M)
-    val est = agg.select(
+    agg.select(
       round(when(col("v0") > 0 &&
           lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm")
             <= lit(2.5 * M),
@@ -70,7 +77,13 @@ object SketchOps {
         .otherwise(
           lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm")), 4)
         .as("hll_estimate"))
-    val exact = sh.agg(countDistinct(col("sh")).as("n_exact"))
+  }
+
+  def hllDistinctShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.shingleRows(s, d).select(col("sh").as("v"))
+    val est = hllEstimateOf(s,
+      hllRanks(sh).groupBy("bucket").agg(max("rank").as("mx")))
+    val exact = sh.agg(countDistinct(col("v")).as("n_exact"))
     exact.crossJoin(est)
       .withColumn("rel_err",
         round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))

@@ -205,6 +205,21 @@ object StreamingOps {
         col("value").cast("decimal(18,4)").cast("double").as("value"),
         col("z"))
 
+  /** Streaming HyperLogLog maintenance over the document token stream:
+    * the row-pure (bucket, rank) extraction (shared with the batch
+    * sketch, SketchOps.hllRanks) followed by an Update-mode
+    * groupBy(bucket).max(rank). The streaming STATE is the sketch
+    * itself — 256 small integers regardless of stream length, the
+    * canonical unbounded-cardinality-tracking shape (no watermark
+    * needed; the state never grows). Batch parity is exact: folding the
+    * maintained bucket maxima through the shared estimate formula
+    * yields bit-identically the batch estimate over the same tokens
+    * (pinned in StreamingSpec). */
+  def hllTokenStream(docs: DataFrame): DataFrame =
+    graft.operators.SketchOps.hllRanks(
+      docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("v")))
+      .groupBy("bucket").agg(max("rank").as("mx"))
+
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -87,6 +87,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_hll_sketch_state_matches_batch_estimate") {
+    import graft.operators.SketchOps
+    // maintain the 256-cell sketch over the token stream (update mode
+    // emits each bucket's running max; fold the LAST state per bucket)
+    val sink = StreamingOps.runToMemory(spark,
+      StreamingOps.hllTokenStream(StreamingOps.documentsStream(spark, sf)),
+      "hll_stream_test", OutputMode.Update)
+    val streamedState = sink.groupBy("bucket").agg(max("mx").as("mx"))
+    val streamedEst = SketchOps.hllEstimateOf(spark, streamedState)
+      .head().getDouble(0)
+    // batch: same tokens, same extraction, same formula
+    val batchTokens = Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("v"))
+    val batchEst = SketchOps.hllEstimateOf(spark,
+      SketchOps.hllRanks(batchTokens).groupBy("bucket").agg(max("rank").as("mx")))
+      .head().getDouble(0)
+    assert(streamedEst == batchEst,
+      s"stream-maintained sketch must equal batch: $streamedEst vs $batchEst")
+    assert(batchEst > 0.0)
+  }
+
   test("streaming_funnel_matches_batch") {
     import graft.operators.TemporalOps
     val out = StreamingOps.runToMemory(spark,
