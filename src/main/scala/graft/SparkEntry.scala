@@ -76,6 +76,7 @@ object SparkEntry {
     "q62_mixture_resample" -> ((s, d) => TextOps.mixtureResample(s, d)),
     "q67_segment_dedup"    -> ((s, d) => TextOps.segmentDedup(s, d)),
     "q69_redact"           -> ((s, d) => TextOps.redact(s, d)),
+    "q83_chunk_overlap"    -> ((s, d) => TextOps.chunkOverlap(s, d)),
 
     "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
     "q58_supplier_overlap" -> ((s, d) => CooccurrenceOps.supplierOverlap(s, d)),
@@ -293,6 +294,7 @@ object SparkEntry {
     "q62_mixture_resample" -> TextOps.mixtureResampleOracleSql(),
     "q67_segment_dedup" -> TextOps.segmentDedupOracleSql(),
     "q69_redact" -> TextOps.redactOracleSql(),
+    "q83_chunk_overlap" -> TextOps.chunkOverlapOracleSql(),
     "q70_rollup_revenue" -> RelationalOps.rollupRevenueOracleSql(),
     "q71_pivot_events" -> RelationalOps.pivotEventsOracleSql(),
     "q72_value_outliers" -> RelationalOps.valueOutliersOracleSql(),

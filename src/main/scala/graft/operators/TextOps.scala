@@ -826,6 +826,45 @@ object TextOps {
         md5(col("red").cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  /** q83: OVERLAPPING WINDOW CHUNKING — the RAG/pretraining prep step
+    * that splits each document into `chunkLen`-token windows starting
+    * every `stride` tokens (50% overlap at the defaults), so no span of
+    * meaning is cut at a hard boundary. Emits (doc_id, chunk_id,
+    * n_tokens, md5(chunk)); the trailing chunks are naturally shorter
+    * (slice clamps on both engines identically).
+    *
+    * Scale shape: MAP-ONLY — chunk starts come from a per-row sequence
+    * over the token array (no explode-then-window shuffle), each chunk
+    * a bounded array slice; output is ~n/stride rows per doc. The only
+    * exchange is the presentation sort. */
+  def chunkOverlap(s: SparkSession, d: String, chunkLen: Int = 8,
+      stride: Int = 4): DataFrame = {
+    val nChunk = ceil(size(col("toks")).cast("double") / stride).cast("int")
+    withToks(s, d)
+      .withColumn("chunks", transform(sequence(lit(0), nChunk - 1),
+        j => slice(col("toks"), j * stride + 1, lit(chunkLen))))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "ck")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        size(col("ck")).cast("bigint").as("n_tokens"),
+        md5(array_join(col("ck"), " ").cast("binary")).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** DuckDB rendering of [[chunkOverlap]] (1-based inclusive list
+    * slices clamp at the array end, same as Spark's `slice`). */
+  def chunkOverlapOracleSql(chunkLen: Int = 8, stride: Int = 4): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |st AS (SELECT doc_id, t,
+       |    unnest(range(0, CAST(ceil(len(t) / CAST($stride AS DOUBLE))
+       |      AS BIGINT))) AS j
+       |  FROM toks)
+       |SELECT doc_id, j AS chunk_id,
+       |  CAST(len(t[j*$stride+1 : j*$stride+$chunkLen]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(t[j*$stride+1 : j*$stride+$chunkLen], ' ')) AS fp
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
   /** DuckDB rendering of [[redact]] ('g' flag = Spark's replace-all). */
   def redactOracleSql(pattern: String = "\\b(customer|supplier|part)\\b",
       replacement: String = "<ENT>"): String =
