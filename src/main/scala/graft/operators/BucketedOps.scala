@@ -27,31 +27,46 @@ import graft.Tables
   */
 object BucketedOps {
 
-  // eviction drops the catalog entries so a long-lived daemon cycling
-  // datasets doesn't accumulate stale bucketed tables (the temp dirs
-  // themselves are deleteOnExit)
-  private val ensured =
-    new graft.core.BoundedCache[(String, String), (SparkSession, String, String)](
-      release = { case (sess, ot, lt) =>
-        try {
-          sess.sql(s"DROP TABLE IF EXISTS $ot")
-          sess.sql(s"DROP TABLE IF EXISTS $lt")
-        } catch { case _: Throwable => () }
-      })
+  /** Best-effort recursive delete — external-table DROP keeps files and
+    * deleteOnExit can't remove non-empty dirs, so eviction has to walk. */
+  private def rmTree(root: java.io.File): Unit =
+    try {
+      val fs = Option(root.listFiles()).getOrElse(Array.empty)
+      fs.foreach(f => if (f.isDirectory) rmTree(f) else { f.delete(); () })
+      root.delete(); ()
+    } catch { case _: Throwable => () }
+
+  // eviction drops the catalog entries AND the on-disk copies, so a
+  // long-lived daemon cycling datasets doesn't accumulate stale
+  // bucketed tables or orphaned parquet under /tmp (DROP TABLE on a
+  // path-backed table removes only metadata)
+  private val ensured = new graft.core.BoundedCache[(String, String, Int),
+      (SparkSession, String, String, java.io.File)](
+    release = { case (sess, ot, lt, dir) =>
+      try {
+        sess.sql(s"DROP TABLE IF EXISTS $ot")
+        sess.sql(s"DROP TABLE IF EXISTS $lt")
+      } catch { case _: Throwable => () }
+      rmTree(dir)
+    })
 
   /** Materialize bucketed `orders`/`lineitem` copies for `d` (once per
-    * session+dataset) and return their catalog table names. */
+    * session+dataset+bucket-count) and return their catalog table
+    * names. `buckets` is part of the cache key: co-locating against
+    * another table requires matching bucket counts, so an 8-bucket
+    * cache hit must never satisfy a 16-bucket request. */
   def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8):
       (String, String) = {
-    val (_, ot, lt) = ensuredEntry(s, d, buckets)
+    val (_, ot, lt, _) = ensuredEntry(s, d, buckets)
     (ot, lt)
   }
 
   private def ensuredEntry(s: SparkSession, d: String, buckets: Int):
-      (SparkSession, String, String) =
-    ensured.getOrElseUpdate((s.sparkContext.applicationId, d)) {
+      (SparkSession, String, String, java.io.File) =
+    ensured.getOrElseUpdate((s.sparkContext.applicationId, d, buckets)) {
       val sfx = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest(s"$d#$buckets".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
       val dir = Files.createTempDirectory(s"graft_bucketed_$sfx").toFile
       dir.deleteOnExit()
       val (ot, lt) = (s"graft_orders_$sfx", s"graft_lineitem_$sfx")
@@ -63,7 +78,7 @@ object BucketedOps {
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"${dir.getAbsolutePath}/$lt")
         .mode("overwrite").saveAsTable(lt)
-      (s, ot, lt)
+      (s, ot, lt, dir)
     }
 
   /** q73: revenue by order priority off the BUCKETED orders⋈lineitem
@@ -91,23 +106,27 @@ object BucketedOps {
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // eviction deletes the partitioned copy from disk (same rationale as
+  // the bucketed cache: deleteOnExit can't remove non-empty dirs)
   private val partitioned =
-    new graft.core.BoundedCache[(String, String), String]()
+    new graft.core.BoundedCache[(String, String), java.io.File](
+      release = rmTree)
 
   /** Materialize an `event_type`-partitioned copy of `events` (once per
     * session+dataset) and return its root path — hive-style partition
     * directories, the layout a warehouse lands high-volume event data
     * in so per-type queries PRUNE partitions instead of scanning and
     * filtering. */
-  def ensurePartitionedEvents(s: SparkSession, d: String): String =
-    partitioned.getOrElseUpdate((s.sparkContext.applicationId, d)) {
-      val dir = Files.createTempDirectory("graft_part_events").toFile
-      dir.deleteOnExit()
-      val path = s"${dir.getAbsolutePath}/events"
+  def ensurePartitionedEvents(s: SparkSession, d: String): String = {
+    val dir = partitioned.getOrElseUpdate((s.sparkContext.applicationId, d)) {
+      val tmp = Files.createTempDirectory("graft_part_events").toFile
+      tmp.deleteOnExit()
       Tables.events(s, d).write.partitionBy("event_type")
-        .mode("overwrite").parquet(path)
-      path
+        .mode("overwrite").parquet(s"${tmp.getAbsolutePath}/events")
+      tmp
     }
+    s"${dir.getAbsolutePath}/events"
+  }
 
   /** q76: per-type stats off the PARTITIONED events layout, filtered to
     * one type — the scan must show the predicate as a PartitionFilter

@@ -144,11 +144,14 @@ object CooccurrenceOps {
       maxBasket: Int = 64): DataFrame = {
     val lp = memb(s, d, "order_part", ("l_orderkey", "l_partkey"))
       .select(col("a").as("okey"), col("b").as("pkey"))
+    // same materialize-once treatment as copurchasePairsOf: both sides
+    // of the pair self-join read the capped frame
     val kept = lp.join(
       lp.groupBy("okey").agg(count(lit(1)).as("bsize"))
         .filter(col("bsize") <= maxBasket)
         .select("okey"),
       "okey")
+      .localCheckpoint(true)
     val und = kept.select(col("okey"), col("pkey").as("p1"))
       .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
       .filter(col("p1") < col("p2"))

@@ -350,7 +350,7 @@ object RelationalOps {
        |    CAST(SUM(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE) AS s2
        |  FROM ev GROUP BY event_type),
        |m AS (SELECT event_type, s1 / n AS mean,
-       |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM st)
+       |    sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0)) AS sd FROM st)
        |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
        |  ROUND((CAST(v AS DOUBLE) - mean) / sd, 6) AS z
        |FROM ev JOIN m USING (event_type)
@@ -411,10 +411,15 @@ object RelationalOps {
         sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"),
         sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sxx"),
         sum((y * y).cast(DecimalType(38, 4))).cast("double").as("syy"))
+      // zero/epsilon-negative variance (constant column, double
+      // rounding) → NULL identically on both engines: DuckDB would
+      // hard-error on sqrt(negative) and NULL on x/0, Spark would NaN
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
       .withColumn("corr_qty_price",
-        round((col("sxy") - col("sx") * col("sy") / col("n")) /
-          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-           sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6))
+        when(col("vx") > 0 && col("vy") > 0,
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("vx")) * sqrt(col("vy"))), 6)))
       .select("l_returnflag", "n", "corr_qty_price")
       .orderBy("l_returnflag")
   }
@@ -432,9 +437,10 @@ object RelationalOps {
       |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  ROUND((sxy - sx * sy / n) /
-      |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
-      |    AS corr_qty_price
+      |  CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+      |    THEN ROUND((sxy - sx * sy / n) /
+      |      (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+      |    ELSE NULL END AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** SKEW-SALTED equi-join: tag each left row with a deterministic salt

@@ -30,19 +30,6 @@ object SketchOps {
 
   private val M = 256 // HLL buckets (2^8): ±6.5% standard error
 
-  /** q78: HyperLogLog distinct-count estimate of the corpus' 3-gram
-    * shingle vocabulary, next to the exact count and the relative
-    * error. Hash = md5: first 2 hex digits pick the bucket, the next 15
-    * (60 bits) feed the leading-zero rank via `bin()` string length —
-    * both engines render binary without leading zeros, so rank is pure
-    * integer arithmetic. The harmonic sum Σ 2^(−Mⱼ) is carried as the
-    * EXACT integer Σ 2^(61−Mⱼ) in DECIMAL(38,0) (every term a power of
-    * two ≤ 2⁶¹, sum ≤ 2⁶⁹), so the only floating-point steps are the
-    * final division and rounding — IEEE-deterministic on both engines.
-    * The small-range linear-counting branch (raw ≤ 2.5m with empty
-    * buckets) uses ln(), whose last ulp is libm-dependent; on this
-    * corpus raw ≫ 2.5m so the oracle never exercises it — flagged in
-    * the scaladoc rather than silently assumed. */
   /** Row-pure (bucket, rank) extraction from a string column `v` — the
     * map side of the HLL sketch, shared by the batch operator and the
     * streaming sketch maintenance (StreamingOps.hllTokenStream). */
@@ -79,6 +66,19 @@ object SketchOps {
         .as("hll_estimate"))
   }
 
+  /** q78: HyperLogLog distinct-count estimate of the corpus' 3-gram
+    * shingle vocabulary, next to the exact count and the relative
+    * error. Hash = md5: first 2 hex digits pick the bucket, the next 15
+    * (60 bits) feed the leading-zero rank via `bin()` string length —
+    * both engines render binary without leading zeros, so rank is pure
+    * integer arithmetic. The harmonic sum Σ 2^(−Mⱼ) is carried as the
+    * EXACT integer Σ 2^(61−Mⱼ) in DECIMAL(38,0) (every term a power of
+    * two ≤ 2⁶¹, sum ≤ 2⁶⁹), so the only floating-point steps are the
+    * final division and rounding — IEEE-deterministic on both engines.
+    * The small-range linear-counting branch (raw ≤ 2.5m with empty
+    * buckets) uses ln(), whose last ulp is libm-dependent; on this
+    * corpus raw ≫ 2.5m so the oracle never exercises it — flagged here
+    * rather than silently assumed. */
   def hllDistinctShingles(s: SparkSession, d: String): DataFrame = {
     val sh = TextOps.shingleRows(s, d).select(col("sh").as("v"))
     val est = hllEstimateOf(s,
@@ -142,16 +142,20 @@ object SketchOps {
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok").cast("binary")))
+    // materialized: the 4 cell aggregations + the estimate base all
+    // read this input-sized frame — as a view each reference would
+    // re-run the corpus tokenization+count
     val withRows = (0 until CmD).foldLeft(toks) { case (df, i) =>
       df.withColumn(s"b$i",
         conv(substring(col("h"), 1 + 2 * i, 2), 16, 10).cast("long"))
-    }
-    // cell table: 4 rows × 256 buckets of summed counts
+    }.localCheckpoint(true)
+    // cell table: 4 rows × 256 buckets of summed counts (materialized:
+    // referenced once per row in the point-query joins)
     val cells = (0 until CmD).map { i =>
       withRows.groupBy(col(s"b$i").as("bucket"))
         .agg(sum("cnt").as("cell"))
         .withColumn("row", lit(i))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint(true)
     val est = (0 until CmD).foldLeft(withRows) { case (df, i) =>
       df.join(broadcast(cells.filter(col("row") === i)
           .select(col("bucket").as(s"b$i"), col("cell").as(s"c$i"))),

@@ -197,6 +197,7 @@ object StreamingOps {
       zCut: Double = 2.0): DataFrame =
     events
       .join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0) // same zero-variance guard as the batch op
       .withColumn("z", round(
         (col("value").cast("decimal(18,4)").cast("double") - col("mean"))
           / col("sd"), 6))
