@@ -77,6 +77,8 @@ object SparkEntry {
     "q67_segment_dedup"    -> ((s, d) => TextOps.segmentDedup(s, d)),
     "q69_redact"           -> ((s, d) => TextOps.redact(s, d)),
     "q83_chunk_overlap"    -> ((s, d) => TextOps.chunkOverlap(s, d)),
+    "q84_exact_k_sample"   -> ((s, d) => TextOps.exactKSample(s, d)),
+    "q85_price_quartiles"  -> ((s, d) => RelationalOps.priceQuartiles(s, d)),
 
     "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
     "q58_supplier_overlap" -> ((s, d) => CooccurrenceOps.supplierOverlap(s, d)),
@@ -295,6 +297,8 @@ object SparkEntry {
     "q67_segment_dedup" -> TextOps.segmentDedupOracleSql(),
     "q69_redact" -> TextOps.redactOracleSql(),
     "q83_chunk_overlap" -> TextOps.chunkOverlapOracleSql(),
+    "q84_exact_k_sample" -> TextOps.exactKSampleOracleSql(),
+    "q85_price_quartiles" -> RelationalOps.priceQuartilesOracleSql(),
     "q70_rollup_revenue" -> RelationalOps.rollupRevenueOracleSql(),
     "q71_pivot_events" -> RelationalOps.pivotEventsOracleSql(),
     "q72_value_outliers" -> RelationalOps.valueOutliersOracleSql(),

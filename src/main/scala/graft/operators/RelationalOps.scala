@@ -584,6 +584,49 @@ object RelationalOps {
        |WHERE levenshtein(a.s_name, b.s_name) <= $maxDist
        |ORDER BY k1, k2""".stripMargin
 
+  /** q85: NTILE + DENSE_RANK — quartile assignment of orders by price
+    * within each priority class, rolled up to per-(priority, quartile)
+    * counts and exact price sums, plus the dense rank of each
+    * quartile's price ceiling. Covers the two window functions the
+    * pack didn't yet exercise; the window ORDER BY carries the unique
+    * orderkey tie-break so NTILE boundaries are engine-deterministic.
+    *
+    * Scale shape: one hash-partition shuffle on the priority key,
+    * in-partition sort, single window pass, then a map-side-combined
+    * rollup to (priority × 4) rows. */
+  def priceQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("price_rank",
+        dense_rank().over(Window.partitionBy("o_orderpriority")
+          .orderBy(col("max_price"))).cast("bigint"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  /** DuckDB rendering of [[priceQuartiles]]. */
+  def priceQuartilesOracleSql(): String =
+    """WITH q AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    MAX(o_totalprice) AS max_price
+      |  FROM q GROUP BY 1, 2)
+      |SELECT o_orderpriority, quartile, n_orders, sum_price, max_price,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY max_price) AS BIGINT) AS price_rank
+      |FROM g ORDER BY o_orderpriority, quartile""".stripMargin
+
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -865,6 +865,40 @@ object TextOps {
        |  md5(array_to_string(t[j*$stride+1 : j*$stride+$chunkLen], ' ')) AS fp
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q84: EXACT-K DETERMINISTIC SAMPLE — exactly `k` documents per
+    * source (fewer only if the stratum is smaller), chosen by md5
+    * priority: rank doc ids by their hash and keep the top k. Unlike
+    * the rate-based gate (q47, keeps a deterministic ~p% of any
+    * stream), this is the fixed-budget variant — "give me exactly 100
+    * eval docs per source, reproducibly, regardless of corpus growth
+    * upstream of the snapshot".
+    *
+    * Scale shape: one hash-partition shuffle on source + in-partition
+    * top-k (rank window with a pushed-down limit predicate); no global
+    * sort, no driver collect. Skew bound: a partition holds one
+    * stratum's rows. */
+  def exactKSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("pri"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string").cast("binary")).as("pri"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "doc_id", "pri")
+      .orderBy("source", "rk")
+  }
+
+  /** DuckDB rendering of [[exactKSample]]. */
+  def exactKSampleOracleSql(k: Int = 20): String =
+    s"""SELECT source, rk, doc_id, pri FROM (
+       |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $k ORDER BY source, rk""".stripMargin
+
   /** DuckDB rendering of [[redact]] ('g' flag = Spark's replace-all). */
   def redactOracleSql(pattern: String = "\\b(customer|supplier|part)\\b",
       replacement: String = "<ENT>"): String =

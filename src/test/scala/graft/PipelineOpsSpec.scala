@@ -204,6 +204,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles_match_brute_force_on_random_graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random graphs on ≤10 nodes vs an O(n³) in-test brute force
+    val gen = for {
+      n <- Gen.choose(4, 10)
+      edges <- Gen.someOf(
+        (1 to n).flatMap(a => (a + 1 to n).map(b => (a.toLong, b.toLong))))
+    } yield edges.toSeq
+    (0 until 4).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)).foreach { edges =>
+        val adj = edges.toSet
+        def linked(a: Long, b: Long) = adj((a min b, a max b))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val expected = scala.collection.mutable.Map.empty[Long, Long]
+        for {
+          a <- nodes; b <- nodes if a < b && linked(a, b)
+          c <- nodes if b < c && linked(b, c) && linked(a, c)
+        } Seq(a, b, c).foreach(v =>
+          expected(v) = expected.getOrElse(v, 0L) + 1)
+        if (edges.nonEmpty) {
+          val got = graft.operators.CooccurrenceOps
+            .trianglesOfEdges(edges.toDF("p1", "p2"))
+            .as[(Long, Long)].collect().toMap
+          assert(got == expected.toMap, s"edges=$edges")
+        }
+      }
+    }
+  }
+
+  test("salted_join_matches_plain_join_on_random_inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 30)
+      nr <- Gen.choose(0, 10)
+      lks <- Gen.listOfN(nl, Gen.choose(1L, 5L))
+      rks <- Gen.listOfN(nr, Gen.choose(1L, 6L))
+      salt <- Gen.choose(1, 5)
+    } yield (lks.zipWithIndex.map { case (k, i) => (k, i.toLong) },
+      rks.zipWithIndex.map { case (k, i) => (k, s"v$i") }, salt)
+    (0 until 3).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(11L + i)).foreach {
+        case (lrows, rrows, salt) =>
+          val left = lrows.toDF("k", "id")
+          val right = rrows.toDF("rk", "v")
+          val got = graft.operators.RelationalOps
+            .saltedJoin(left, "k", right, "rk", salt, col("id"))
+            .select("k", "id", "v").as[(Long, Long, String)]
+            .collect().sorted.toSeq
+          val want = left.join(right, col("k") === col("rk"))
+            .select("k", "id", "v").as[(Long, Long, String)]
+            .collect().sorted.toSeq
+          assert(got == want, s"salt=$salt")
+      }
+    }
+  }
+
   test("asof_join_rejects_colliding_payload") {
     import spark.implicits._
     val l = Seq((1L, 1L, 2L)).toDF("k", "t", "x")
