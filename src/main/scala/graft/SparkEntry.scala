@@ -78,6 +78,7 @@ object SparkEntry {
     "q69_redact"           -> ((s, d) => TextOps.redact(s, d)),
     "q83_chunk_overlap"    -> ((s, d) => TextOps.chunkOverlap(s, d)),
     "q84_exact_k_sample"   -> ((s, d) => TextOps.exactKSample(s, d)),
+    "q86_incremental_dedup" -> ((s, d) => TextOps.incrementalDedup(s, d)),
     "q85_price_quartiles"  -> ((s, d) => RelationalOps.priceQuartiles(s, d)),
 
     "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "q69_redact" -> TextOps.redactOracleSql(),
     "q83_chunk_overlap" -> TextOps.chunkOverlapOracleSql(),
     "q84_exact_k_sample" -> TextOps.exactKSampleOracleSql(),
+    "q86_incremental_dedup" -> TextOps.incrementalDedupOracleSql(),
     "q85_price_quartiles" -> RelationalOps.priceQuartilesOracleSql(),
     "q70_rollup_revenue" -> RelationalOps.rollupRevenueOracleSql(),
     "q71_pivot_events" -> RelationalOps.pivotEventsOracleSql(),

@@ -899,6 +899,58 @@ object TextOps {
        |  FROM documents)
        |WHERE rk <= $k ORDER BY source, rk""".stripMargin
 
+  /** q86: INCREMENTAL DEDUP — dedup an arriving batch against the
+    * historical corpus, the shape an ongoing ingestion pipeline runs
+    * nightly: new documents (here: `doc_id % 5 == 4`, a deterministic
+    * 20% slice standing in for "today's crawl") are fingerprinted,
+    * dropped if the fingerprint already exists in history
+    * (`dup_historical`), deduped within the batch keeping the lowest id
+    * (`dup_in_batch`), and kept otherwise. History is NEVER re-deduped
+    * — that's the point of incremental: cost scales with the batch,
+    * not the corpus.
+    *
+    * Scale shape: fingerprints on both sides are md5 (map-only); the
+    * history probe is a fingerprint-keyed LEFT SEMI/ANTI shuffle join
+    * (history side can be arbitrarily large — no broadcast assumption;
+    * in production it's the bloom-filter-then-join pattern); in-batch
+    * dedup is one batch-sized groupBy. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "\\s+", "").cast("binary"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
+    val hist = docs.filter(col("doc_id") % 5 =!= 4).select("fp").distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val inHist = batch.join(hist, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"), lit("dup_historical").as("status"))
+    val fresh = batch.join(hist, Seq("fp"), "left_anti")
+    val firstPerFp = fresh.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val inBatch = fresh.join(firstPerFp, "fp")
+      .select(col("doc_id"), col("fp"),
+        when(col("doc_id") === col("keep_id"), "kept")
+          .otherwise("dup_in_batch").as("status"))
+    inHist.unionByName(inBatch).orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[incrementalDedup]]. */
+  def incrementalDedupOracleSql(): String =
+    """WITH fps AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 4),
+      |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 4),
+      |fresh AS (SELECT * FROM batch
+      |          WHERE fp NOT IN (SELECT fp FROM hist)),
+      |first AS (SELECT fp, MIN(doc_id) AS keep_id FROM fresh GROUP BY fp)
+      |SELECT doc_id, fp, status FROM (
+      |  SELECT doc_id, fp, 'dup_historical' AS status FROM batch
+      |  WHERE fp IN (SELECT fp FROM hist)
+      |  UNION ALL
+      |  SELECT f.doc_id, f.fp,
+      |    CASE WHEN f.doc_id = fi.keep_id THEN 'kept'
+      |      ELSE 'dup_in_batch' END
+      |  FROM fresh f JOIN first fi USING (fp))
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB rendering of [[redact]] ('g' flag = Spark's replace-all). */
   def redactOracleSql(pattern: String = "\\b(customer|supplier|part)\\b",
       replacement: String = "<ENT>"): String =

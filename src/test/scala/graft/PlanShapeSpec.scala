@@ -205,6 +205,15 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("q86 incremental dedup probes history via semi/anti joins on the fingerprint") {
+    val p = plan("q86_incremental_dedup")
+    assert(p.contains("LeftSemi"), "historical-dup detection must be a semi join")
+    assert(p.contains("LeftAnti"), "fresh set must come from an anti join")
+    // history is only ever projected to its fingerprint column
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+      "history side must not read full document rows")
+  }
+
   test("q70 rollup computes all grouping sets in one Expand+aggregate pass") {
     val p = plan("q70_rollup_revenue")
     assert(p.contains("Expand"),
