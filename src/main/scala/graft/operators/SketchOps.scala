@@ -137,18 +137,33 @@ object SketchOps {
     * At 100 TB the token→count aggregation is the only input-sized
     * step (map-side combined); the sketch itself is 1 KB and the
     * reporting pass is vocabulary-sized. */
+  /** The 4 per-row bucket columns (b0..b3) of a `tok` column — the
+    * row-pure hash side of the count-min sketch, shared by the batch
+    * operator and streaming maintenance (StreamingOps.cmCellStream). */
+  def cmBuckets(toks: DataFrame): DataFrame = {
+    val withH = toks.withColumn("h", md5(col("tok").cast("binary")))
+    (0 until CmD).foldLeft(withH) { case (df, i) =>
+      df.withColumn(s"b$i",
+        conv(substring(col("h"), 1 + 2 * i, 2), 16, 10).cast("long"))
+    }
+  }
+
+  /** Per-occurrence (row, bucket) pairs of a `tok` column — one pair
+    * per sketch row per token occurrence; grouping these by (row,
+    * bucket) with a count IS the cell table, batch or streaming. */
+  def cmRowBuckets(toks: DataFrame): DataFrame =
+    cmBuckets(toks)
+      .select(posexplode(array((0 until CmD).map(i => col(s"b$i")): _*))
+        .as(Seq("row", "bucket")))
+
   def countMinTokens(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("tok").cast("binary")))
     // materialized: the 4 cell aggregations + the estimate base all
     // read this input-sized frame — as a view each reference would
     // re-run the corpus tokenization+count
-    val withRows = (0 until CmD).foldLeft(toks) { case (df, i) =>
-      df.withColumn(s"b$i",
-        conv(substring(col("h"), 1 + 2 * i, 2), 16, 10).cast("long"))
-    }.localCheckpoint(true)
+    val withRows = cmBuckets(toks).localCheckpoint(true)
     // cell table: 4 rows × 256 buckets of summed counts (materialized:
     // referenced once per row in the point-query joins)
     val cells = (0 until CmD).map { i =>

@@ -221,6 +221,18 @@ object StreamingOps {
       docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("v")))
       .groupBy("bucket").agg(max("rank").as("mx"))
 
+  /** Streaming Count-Min maintenance over the document token stream:
+    * row-pure (row, bucket) extraction per token occurrence (shared
+    * with the batch sketch, SketchOps.cmRowBuckets) + an Update-mode
+    * count — the state is the 4×256 cell table, constant size, no
+    * watermark, same shape as [[hllTokenStream]]. Folded cell counts
+    * equal the batch cells over the same tokens exactly (integer
+    * counts; pinned in StreamingSpec). */
+  def cmCellStream(docs: DataFrame): DataFrame =
+    graft.operators.SketchOps.cmRowBuckets(
+      docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
+
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =

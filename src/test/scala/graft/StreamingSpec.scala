@@ -108,6 +108,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchEst > 0.0)
   }
 
+  test("streaming_countmin_cells_match_batch") {
+    import graft.operators.{SketchOps, TextOps}
+    val sink = StreamingOps.runToMemory(spark,
+      StreamingOps.cmCellStream(StreamingOps.documentsStream(spark, sf)),
+      "cm_stream_test", OutputMode.Update)
+    // update mode emits running counts; the final state per cell is max
+    val streamed = sink.groupBy("row", "bucket")
+      .agg(max("cell").as("cell"))
+      .orderBy("row", "bucket").collect().toSeq
+    val batch = SketchOps.cmRowBuckets(
+      Tables.documents(spark, sf)
+        .select(explode(TextOps.tokens(col("text"))).as("tok")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
+      .orderBy("row", "bucket").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_funnel_matches_batch") {
     import graft.operators.TemporalOps
     val out = StreamingOps.runToMemory(spark,
