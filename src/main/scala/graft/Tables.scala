@@ -32,4 +32,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Format-agnostic reader: the same table from csv / json / orc /
+    * parquet landings. CSV and JSON are schema-applied (never inferred
+    * — inference is a full extra pass over the data and type-drifts on
+    * partial reads at scale); ORC and parquet carry their own schema.
+    * All four go through the DataSource scan node, so column pruning
+    * and (orc/parquet) predicate pushdown apply unchanged. */
+  def fromFormat(s: SparkSession, path: String, format: String,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    val r = s.read.format(format)
+    val withSchema = if (schema != null) r.schema(schema) else r
+    format match {
+      case "csv" =>
+        require(schema != null, "csv requires an explicit schema")
+        withSchema.option("header", "true").load(path)
+      case "json" =>
+        require(schema != null, "json requires an explicit schema")
+        withSchema.load(path)
+      case _ => withSchema.load(path)
+    }
+  }
 }

@@ -35,6 +35,28 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(old.nodeCount == 2 && old.relationshipCount == 1)
   }
 
+  test("multi_format_sources_roundtrip_identically") {
+    // the same table landed as csv / json / orc reads back row-identical
+    // to the parquet source (csv via string casts: it is typeless)
+    val src = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val want = src.orderBy("s_suppkey").collect().toSeq
+    val dir = tmpDir("fmt_roundtrip")
+    Seq("csv", "json", "orc").foreach { fmt =>
+      src.write.format(fmt).option("header", "true").save(s"$dir/$fmt")
+      val got = Tables.fromFormat(spark, s"$dir/$fmt", fmt, src.schema)
+        .orderBy("s_suppkey").collect().toSeq
+      assert(got == want, s"format $fmt must round-trip row-identically")
+    }
+    // orc keeps pushdown: the filter must reach the scan
+    val orcPlan = Tables.fromFormat(spark, s"$dir/orc", "orc", src.schema)
+      .filter(col("s_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(orcPlan.contains("PushedFilters: [") &&
+      orcPlan.contains("EqualTo(s_nationkey,3)"),
+      "orc scan must receive the pushed filter")
+  }
+
   test("exporters_shapes") {
     val s = new GraphSession(spark)
     s.execute("CREATE (:Person {name: 'Ada'});")
