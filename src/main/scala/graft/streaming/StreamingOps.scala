@@ -233,6 +233,28 @@ object StreamingOps {
       docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
 
+  /** Streaming incremental dedup — the streaming twin of the batch
+    * q86: arriving documents are fingerprinted (same md5-normalized
+    * expression), dropped if the fingerprint exists in the STATIC
+    * historical fingerprint table (stream-static anti-join — Spark
+    * broadcasts or re-reads the static side per micro-batch; at scale
+    * this is the bloom-filter-then-join slot), then deduped WITHIN the
+    * stream by fingerprint (`dropDuplicates` state keyed by fp; bound
+    * it with a watermark column in production via
+    * dropDuplicatesWithinWatermark, as [[dedupStream]] does).
+    *
+    * Which duplicate of a fingerprint survives depends on arrival
+    * order, so exact-parity with the batch op is on the SURVIVING
+    * FINGERPRINT SET (identical by construction), not row ids —
+    * pinned that way in StreamingSpec. */
+  def incrementalDedupStream(docs: DataFrame, histFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(regexp_replace(lower(col("text")), "\\s+", "").cast("binary")))
+      .join(histFps, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+      .select("doc_id", "fp")
+
   /** File-stream source over the documents parquet — continuous corpus
     * ingest for the training-data pipeline ops. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -126,6 +126,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_incremental_dedup_survivor_set_matches_batch") {
+    import graft.operators.TextOps
+    // history: the batch op's historical slice (doc_id % 5 != 4)
+    val hist = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 4)
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", "")
+        .cast("binary")).as("fp"))
+      .distinct()
+    // stream the batch slice only (same filter applied on the stream)
+    val out = StreamingOps.runToMemory(spark,
+      StreamingOps.incrementalDedupStream(
+        StreamingOps.documentsStream(spark, sf)
+          .filter(col("doc_id") % 5 === 4),
+        hist),
+      "inc_dedup_stream_test")
+    val streamedFps = out.select("fp").collect().map(_.getString(0)).toSet
+    // batch q86: surviving fingerprints are the 'kept' rows' fps
+    val batchFps = TextOps.incrementalDedup(spark, sf)
+      .filter(col("status") === "kept")
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamedFps == batchFps)
+    assert(streamedFps.nonEmpty)
+    // one survivor per fingerprint
+    assert(out.count() == streamedFps.size)
+  }
+
   test("streaming_funnel_matches_batch") {
     import graft.operators.TemporalOps
     val out = StreamingOps.runToMemory(spark,
