@@ -52,6 +52,7 @@ object SparkEntry {
     "q77_salted_join"      -> ((s, d) => RelationalOps.saltedRevenueByStatus(s, d)),
     "q78_hll_distinct"     -> ((s, d) => SketchOps.hllDistinctShingles(s, d)),
     "q79_countmin_topk"    -> ((s, d) => SketchOps.countMinTokens(s, d)),
+    "q87_hist_quantiles"   -> ((s, d) => SketchOps.histogramQuantiles(s, d)),
     "q80_full_outer"       -> ((s, d) => RelationalOps.fullOuterNationCounts(s, d)),
     "q81_set_ops"          -> ((s, d) => RelationalOps.nationSetOps(s, d)),
     "q82_fuzzy_match"      -> ((s, d) => RelationalOps.fuzzySupplierPairs(s, d)),
@@ -311,6 +312,7 @@ object SparkEntry {
     "q77_salted_join" -> RelationalOps.saltedRevenueOracleSql(),
     "q78_hll_distinct" -> SketchOps.hllOracleSql(),
     "q79_countmin_topk" -> SketchOps.countMinOracleSql(),
+    "q87_hist_quantiles" -> SketchOps.histogramQuantilesOracleSql(),
     "q80_full_outer" -> RelationalOps.fullOuterOracleSql(),
     "q81_set_ops" -> RelationalOps.nationSetOpsOracleSql(),
     "q82_fuzzy_match" -> RelationalOps.fuzzySupplierOracleSql(),

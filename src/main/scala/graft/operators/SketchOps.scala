@@ -121,6 +121,89 @@ object SketchOps {
        |FROM ex, es""".stripMargin
   }
 
+  private val HB = 64 // histogram-quantile buckets
+
+  /** q87: HISTOGRAM QUANTILE SKETCH — approximate per-source p25/p50/
+    * p75 of document length from a fixed 64-bucket equi-width
+    * histogram, the mergeable sublinear stand-in for exact percentiles
+    * that q64's scaladoc promises at corpus scale (exact percentile
+    * shuffles every group value; the histogram shuffles 64 counters
+    * per group and merges by addition — the same role t-digest/GK play,
+    * in a form both engines can reproduce EXACTLY). Bucket assignment
+    * is pure integer arithmetic off the global max; the quantile read
+    * interpolates inside the bucket from exact integer counts, so the
+    * estimates are bit-identical in DuckDB. Alongside each estimate:
+    * the exact quantile's bucket-width error bound is ±(max+1)/64 by
+    * construction (documented, not asserted — the oracle pins the
+    * estimate itself).
+    *
+    * Scale shape: one max aggregation (scalar), one map-side-combined
+    * (source, bucket) count, one tiny per-source window pass over ≤64
+    * rows per source. The corpus shuffles counters, never values. */
+  def histogramQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val mx = docs.agg(max("n_chars").as("mx"))
+    val hist = docs.crossJoin(broadcast(mx))
+      // integer div on both engines: Spark `div`, DuckDB `//` — a
+      // double-division-then-cast would round in DuckDB but truncate
+      // in Spark
+      .select(col("source"),
+        expr(s"n_chars * $HB div (mx + 1)").as("bucket"), col("mx"))
+      .groupBy("source", "bucket", "mx").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    // for quantile q: the first bucket whose cumulative count reaches
+    // ceil(q*n); interpolate position within the bucket
+    def est(q: Double, name: String): DataFrame = cum
+      .withColumn("target", ceil(lit(q) * col("n")).cast("long"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("source").agg(
+        min(struct(col("bucket"), col("cum"), col("cnt"), col("mx"),
+          col("target"))).as("st"))
+      .select(col("source"),
+        round((col("st.bucket") +
+          (col("st.target") - (col("st.cum") - col("st.cnt")))
+            .cast("double") / col("st.cnt"))
+          * (col("st.mx") + 1).cast("double") / HB, 4).as(name))
+    est(0.25, "p25_est")
+      .join(est(0.5, "p50_est"), "source")
+      .join(est(0.75, "p75_est"), "source")
+      .orderBy("source")
+  }
+
+  /** DuckDB rendering of [[histogramQuantiles]]. */
+  def histogramQuantilesOracleSql(): String = {
+    def est(q: Double, name: String) =
+      s"""SELECT source,
+         |  ROUND((bucket + CAST(target - (cum - cnt) AS DOUBLE) / cnt)
+         |    * CAST(mx + 1 AS DOUBLE) / $HB, 4) AS $name
+         |FROM (
+         |  SELECT source, bucket, cum, cnt, mx, target,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY bucket) AS pick
+         |  FROM (SELECT *, CAST(ceil($q * n) AS BIGINT) AS target FROM cum)
+         |  WHERE cum >= CAST(ceil($q * n) AS BIGINT))
+         |WHERE pick = 1""".stripMargin
+    s"""WITH mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+       |hist AS (
+       |  SELECT source, (n_chars * $HB) // (mx + 1) AS bucket,
+       |    mx, COUNT(*) AS cnt
+       |  FROM documents, mx GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT source, bucket, cnt, mx,
+       |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY source) AS n
+       |  FROM hist)
+       |SELECT a.source, a.p25_est, b.p50_est, c.p75_est
+       |FROM (${est(0.25, "p25_est")}) a
+       |  JOIN (${est(0.5, "p50_est")}) b USING (source)
+       |  JOIN (${est(0.75, "p75_est")}) c USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   private val CmD = 4 // count-min depth (hash rows); width = 256 (one
                       // 2-hex-digit md5 slice per row)
 

@@ -193,6 +193,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(relErr < 0.20, s"HLL estimate $est vs exact $exact (err $relErr)")
   }
 
+  test("histogram_quantiles_within_one_bucket_width_of_exact") {
+    import graft.operators.{RelationalOps, SketchOps}
+    val mx = Tables.documents(spark, sf).agg(max("n_chars")).head().getLong(0)
+    val width = (mx + 1).toDouble / 64
+    val est = SketchOps.histogramQuantiles(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = RelationalOps.lengthQuantiles(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (src, (e25, e50, e75)) =>
+      val (x25, x50, x75) = exact(src)
+      assert(math.abs(e25 - x25) <= width + 1e-9, s"$src p25: $e25 vs $x25")
+      assert(math.abs(e50 - x50) <= width + 1e-9, s"$src p50: $e50 vs $x50")
+      assert(math.abs(e75 - x75) <= width + 1e-9, s"$src p75: $e75 vs $x75")
+    }
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
