@@ -81,6 +81,7 @@ object SparkEntry {
     "q84_exact_k_sample"   -> ((s, d) => TextOps.exactKSample(s, d)),
     "q86_incremental_dedup" -> ((s, d) => TextOps.incrementalDedup(s, d)),
     "q85_price_quartiles"  -> ((s, d) => RelationalOps.priceQuartiles(s, d)),
+    "q88_top_supplier_lists" -> ((s, d) => RelationalOps.topSupplierLists(s, d)),
 
     "q57_copurchase"       -> ((s, d) => CooccurrenceOps.copurchasePairs(s, d)),
     "q58_supplier_overlap" -> ((s, d) => CooccurrenceOps.supplierOverlap(s, d)),
@@ -302,6 +303,7 @@ object SparkEntry {
     "q84_exact_k_sample" -> TextOps.exactKSampleOracleSql(),
     "q86_incremental_dedup" -> TextOps.incrementalDedupOracleSql(),
     "q85_price_quartiles" -> RelationalOps.priceQuartilesOracleSql(),
+    "q88_top_supplier_lists" -> RelationalOps.topSupplierListsOracleSql(),
     "q70_rollup_revenue" -> RelationalOps.rollupRevenueOracleSql(),
     "q71_pivot_events" -> RelationalOps.pivotEventsOracleSql(),
     "q72_value_outliers" -> RelationalOps.valueOutliersOracleSql(),

@@ -627,6 +627,44 @@ object RelationalOps {
       |    ORDER BY max_price) AS BIGINT) AS price_rank
       |FROM g ORDER BY o_orderpriority, quartile""".stripMargin
 
+  /** q88: ORDERED LIST AGGREGATION — per nation, the pipe-joined list
+    * of its top-3 suppliers by account balance. `collect_list` carries
+    * no ordering guarantee across partitions, so the deterministic
+    * spelling is collect structs → array_sort → project — the same
+    * rebuild trick as the segment dedup; the oracle's
+    * `string_agg(... ORDER BY)` is its SQL twin. Nested/array results
+    * are the hand-off format for feature lists and grouped exports.
+    *
+    * Scale shape: rank-window per nation (WindowGroupLimit pushes the
+    * top-3 below the exchange), then a nation-keyed aggregation whose
+    * payload is capped at 3 rows per key — no unbounded group blowup. */
+  def topSupplierLists(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_top"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("s_name")))),
+          p => p("s_name")), "|").as("top_names"))
+      .orderBy("nationkey")
+  }
+
+  /** DuckDB rendering of [[topSupplierLists]]. */
+  def topSupplierListsOracleSql(k: Int = 3): String =
+    s"""WITH r AS (
+       |  SELECT s_nationkey, s_name,
+       |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+       |      ORDER BY s_acctbal DESC, s_suppkey) AS rk
+       |  FROM supplier)
+       |SELECT s_nationkey AS nationkey, COUNT(*) AS n_top,
+       |  string_agg(s_name, '|' ORDER BY rk) AS top_names
+       |FROM r WHERE rk <= $k
+       |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
+
   /** Global min/max/count/count-distinct stats in one pass. */
   def globalStats(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
