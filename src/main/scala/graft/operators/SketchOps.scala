@@ -132,10 +132,13 @@ object SketchOps {
     * in a form both engines can reproduce EXACTLY). Bucket assignment
     * is pure integer arithmetic off the global max; the quantile read
     * interpolates inside the bucket from exact integer counts, so the
-    * estimates are bit-identical in DuckDB. Alongside each estimate:
-    * the exact quantile's bucket-width error bound is ±(max+1)/64 by
-    * construction (documented, not asserted — the oracle pins the
-    * estimate itself).
+    * estimates are bit-identical in DuckDB. Error bound: the estimate
+    * lands in the bucket holding the ceil(q·n)-th ORDER STATISTIC, so
+    * it is within one bucket width (max+1)/64 of that order statistic
+    * (property-tested). It is NOT bounded relative to the interpolated
+    * percentile (q64's definition): adjacent order statistics can span
+    * many buckets on sparse data — the accuracy/memory trade every
+    * fixed-histogram sketch makes.
     *
     * Scale shape: one max aggregation (scalar), one map-side-combined
     * (source, bucket) count, one tiny per-source window pass over ≤64
@@ -152,9 +155,12 @@ object SketchOps {
         expr(s"n_chars * $HB div (mx + 1)").as("bucket"), col("mx"))
       .groupBy("source", "bucket", "mx").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("source").orderBy("bucket")
+    // materialized: the three est() branches each read it — as a view
+    // each would re-run the corpus histogram aggregation
     val cum = hist
       .withColumn("cum", sum("cnt").over(w))
       .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      .localCheckpoint(true)
     // for quantile q: the first bucket whose cumulative count reaches
     // ceil(q*n); interpolate position within the bucket
     def est(q: Double, name: String): DataFrame = cum
@@ -207,19 +213,6 @@ object SketchOps {
   private val CmD = 4 // count-min depth (hash rows); width = 256 (one
                       // 2-hex-digit md5 slice per row)
 
-  /** q79: Count-Min heavy hitters — estimate each token's corpus
-    * frequency from a 4×256-cell integer sketch and report the top-k by
-    * estimated count with the exact count alongside (the estimate is
-    * an upper bound: cell collisions only ever ADD). Every value is an
-    * exact integer, so the full sketch — cells, point queries, ranking
-    * — reproduces bit-for-bit in DuckDB. The 4 row-hashes are disjoint
-    * 8-bit slices of the token's md5 (hex digits 1-2, 3-4, 5-6, 7-8) —
-    * independent uniform bits, no multiply-mod arithmetic that could
-    * overflow BIGINT on either engine.
-    *
-    * At 100 TB the token→count aggregation is the only input-sized
-    * step (map-side combined); the sketch itself is 1 KB and the
-    * reporting pass is vocabulary-sized. */
   /** The 4 per-row bucket columns (b0..b3) of a `tok` column — the
     * row-pure hash side of the count-min sketch, shared by the batch
     * operator and streaming maintenance (StreamingOps.cmCellStream). */
@@ -239,6 +232,19 @@ object SketchOps {
       .select(posexplode(array((0 until CmD).map(i => col(s"b$i")): _*))
         .as(Seq("row", "bucket")))
 
+  /** q79: Count-Min heavy hitters — estimate each token's corpus
+    * frequency from a 4×256-cell integer sketch and report the top-k by
+    * estimated count with the exact count alongside (the estimate is
+    * an upper bound: cell collisions only ever ADD). Every value is an
+    * exact integer, so the full sketch — cells, point queries, ranking
+    * — reproduces bit-for-bit in DuckDB. The 4 row-hashes are disjoint
+    * 8-bit slices of the token's md5 (hex digits 1-2, 3-4, 5-6, 7-8) —
+    * independent uniform bits, no multiply-mod arithmetic that could
+    * overflow BIGINT on either engine.
+    *
+    * At 100 TB the token→count aggregation is the only input-sized
+    * step (map-side combined); the sketch itself is 1 KB and the
+    * reporting pass is vocabulary-sized. */
   def countMinTokens(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))

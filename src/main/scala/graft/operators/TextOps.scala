@@ -105,13 +105,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** md5 over the case/whitespace-normalized text — THE normalized
+    * fingerprint, shared by q24, q86, the streaming incremental dedup,
+    * and their specs (one definition, or batch/stream/oracle parity
+    * silently drifts). Oracle twin:
+    * `md5(regexp_replace(lower(text), '\s+', '', 'g'))`. */
+  def normFp(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", "").cast("binary"))
+
   /** Document fingerprint: md5 over the case/whitespace-normalized text —
     * catches formatting-only duplicates that exact dedup misses. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", "").cast("binary"))
-          .as("fp"))
+      .select(col("doc_id"), normFp(col("text")).as("fp"))
       .orderBy("doc_id")
 
   /** Distinct word-3-gram shingle rows (doc_id, sh), built from the
@@ -915,10 +921,17 @@ object TextOps {
     * in production it's the bloom-filter-then-join pattern); in-batch
     * dedup is one batch-sized groupBy. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame = {
-    val fp = md5(regexp_replace(lower(col("text")), "\\s+", "").cast("binary"))
-    val docs = Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
+    // NULL-fp rows (null text) are excluded up front: a NULL join key
+    // matches nothing anywhere downstream and the engines disagree on
+    // the leftovers (see oracle's NOT EXISTS note)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), normFp(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+    // hist and batch are each read by 2+ join branches; as views every
+    // branch re-runs the corpus fingerprint scan
     val hist = docs.filter(col("doc_id") % 5 =!= 4).select("fp").distinct()
-    val batch = docs.filter(col("doc_id") % 5 === 4)
+      .localCheckpoint(true)
+    val batch = docs.filter(col("doc_id") % 5 === 4).localCheckpoint(true)
     val inHist = batch.join(hist, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("fp"), lit("dup_historical").as("status"))
     val fresh = batch.join(hist, Seq("fp"), "left_anti")
@@ -935,11 +948,15 @@ object TextOps {
     """WITH fps AS (
       |  SELECT doc_id,
       |    md5(regexp_replace(lower(text), '\s+', '', 'g')) AS fp
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE md5(regexp_replace(lower(text), '\s+', '', 'g')) IS NOT NULL),
       |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 4),
       |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 4),
-      |fresh AS (SELECT * FROM batch
-      |          WHERE fp NOT IN (SELECT fp FROM hist)),
+      |-- NOT EXISTS, not NOT IN: a NULL in hist would make NOT IN
+      |-- return NULL for every row, diverging from Spark's anti-join
+      |fresh AS (SELECT * FROM batch b
+      |          WHERE NOT EXISTS (
+      |            SELECT 1 FROM hist h WHERE h.fp = b.fp)),
       |first AS (SELECT fp, MIN(doc_id) AS keep_id FROM fresh GROUP BY fp)
       |SELECT doc_id, fp, status FROM (
       |  SELECT doc_id, fp, 'dup_historical' AS status FROM batch

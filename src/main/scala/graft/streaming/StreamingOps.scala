@@ -249,8 +249,8 @@ object StreamingOps {
     * pinned that way in StreamingSpec. */
   def incrementalDedupStream(docs: DataFrame, histFps: DataFrame): DataFrame =
     docs
-      .withColumn("fp",
-        md5(regexp_replace(lower(col("text")), "\\s+", "").cast("binary")))
+      .withColumn("fp", graft.operators.TextOps.normFp(col("text")))
+      .filter(col("fp").isNotNull) // match the batch op's NULL policy
       .join(histFps, Seq("fp"), "left_anti")
       .dropDuplicates("fp")
       .select("doc_id", "fp")

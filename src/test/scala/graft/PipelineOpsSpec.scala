@@ -193,22 +193,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(relErr < 0.20, s"HLL estimate $est vs exact $exact (err $relErr)")
   }
 
-  test("histogram_quantiles_within_one_bucket_width_of_exact") {
-    import graft.operators.{RelationalOps, SketchOps}
+  test("histogram_quantiles_within_one_bucket_width_of_order_statistic") {
+    // the sound bound: the estimate shares a bucket with the ceil(q*n)-th
+    // order statistic, so they differ by at most one bucket width (the
+    // INTERPOLATED percentile carries no such bound on sparse data —
+    // see the q87 scaladoc)
+    import graft.operators.SketchOps
     val mx = Tables.documents(spark, sf).agg(max("n_chars")).head().getLong(0)
     val width = (mx + 1).toDouble / 64
     val est = SketchOps.histogramQuantiles(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = RelationalOps.lengthQuantiles(spark, sf)
-      .collect().map(r => r.getString(0) ->
-        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(est.keySet == exact.keySet && est.nonEmpty)
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toIndexedSeq).toMap
+    def orderStat(vs: IndexedSeq[Long], q: Double): Double =
+      vs(math.ceil(q * vs.size).toInt - 1).toDouble
+    assert(est.keySet == bySource.keySet && est.nonEmpty)
     est.foreach { case (src, (e25, e50, e75)) =>
-      val (x25, x50, x75) = exact(src)
-      assert(math.abs(e25 - x25) <= width + 1e-9, s"$src p25: $e25 vs $x25")
-      assert(math.abs(e50 - x50) <= width + 1e-9, s"$src p50: $e50 vs $x50")
-      assert(math.abs(e75 - x75) <= width + 1e-9, s"$src p75: $e75 vs $x75")
+      val vs = bySource(src)
+      Seq((e25, 0.25), (e50, 0.5), (e75, 0.75)).foreach { case (e, q) =>
+        val x = orderStat(vs, q)
+        assert(math.abs(e - x) <= width + 1e-9, s"$src q=$q: $e vs $x")
+      }
     }
   }
 

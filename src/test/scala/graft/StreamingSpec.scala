@@ -131,8 +131,7 @@ class StreamingSpec extends AnyFunSuite {
     // history: the batch op's historical slice (doc_id % 5 != 4)
     val hist = Tables.documents(spark, sf)
       .filter(col("doc_id") % 5 =!= 4)
-      .select(md5(regexp_replace(lower(col("text")), "\\s+", "")
-        .cast("binary")).as("fp"))
+      .select(TextOps.normFp(col("text")).as("fp"))
       .distinct()
     // stream the batch slice only (same filter applied on the stream)
     val out = StreamingOps.runToMemory(spark,
