@@ -169,4 +169,32 @@ object Exporters {
     out.unpersist(blocking = false)
     (n, shards)
   }
+
+  /** Beyond-parity sink #3: the EMBEDDING-side curation pipeline — the
+    * vector twin of [[curatedTrainingShards]]. Composes the
+    * oracle-checked stages: cosine near-dup clustering (q44) picks one
+    * keeper per duplicate cluster, the IVF coarse quantizer (q41's
+    * index) assigns each keeper its cell, and the result lands as a
+    * cell-partitioned parquet index — the layout an ANN serving tier
+    * loads (query → probe nprobe cell directories; partition pruning
+    * does the fan-out cut). Returns (keepers written, cells used).
+    *
+    * Scale: dedup and assignment are the q44/q41 plans unchanged; the
+    * write is partitioned so each task emits only its cells. Cell
+    * skew is bounded by the quantizer (k-means cells are balanced to
+    * within data geometry); a hot cell can be salted at read time. */
+  def curatedEmbeddingIndex(spark: SparkSession, sfDir: String,
+      path: String, nlist: Int = 16): (Long, Long) = {
+    import graft.operators.SimilarityOps
+    val keepers = SimilarityOps.cosineDedupClusters(spark, sfDir)
+      .filter(col("keep")).select("vec_id")
+    val indexed = SimilarityOps.cellAssignments(spark, sfDir, nlist)
+      .join(keepers, "vec_id")
+      .select("vec_id", "cell", "embedding")
+      .localCheckpoint(true)
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val n = indexed.count()
+    val cells = indexed.select("cell").distinct().count()
+    (n, cells)
+  }
 }

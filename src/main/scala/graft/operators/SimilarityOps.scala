@@ -288,6 +288,12 @@ object SimilarityOps {
       (centroids, assigned)
     })
 
+  /** The corpus with its IVF cell assignment (vec_id, embedding, cell)
+    * — the index side of [[ivfIndex]], exposed for the curated
+    * embedding-index export (Exporters.curatedEmbeddingIndex). */
+  def cellAssignments(s: SparkSession, d: String, nlist: Int = 16): DataFrame =
+    ivfIndex(s, d, nlist)._2
+
   /** IVF (inverted-file) ANN: sample-trained KMeans coarse quantizer
     * ([[ivfIndex]] — fixed seed, deterministic), queries probe their
     * nprobe nearest cells, exact cosine only within probed cells.

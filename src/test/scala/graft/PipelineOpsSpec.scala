@@ -220,6 +220,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curated_embedding_index_composes_dedup_and_cell_layout") {
+    import graft.operators.SimilarityOps
+    val dir = java.nio.file.Files.createTempDirectory("emb_index").toString
+    val (n, cells) = graft.io.Exporters
+      .curatedEmbeddingIndex(spark, sf, dir)
+    // every keeper from the oracle-checked q44 clustering, nothing else
+    val wantKeepers = SimilarityOps.cosineDedupClusters(spark, sf)
+      .filter(col("keep")).count()
+    assert(n == wantKeepers && n > 0)
+    assert(cells >= 1 && cells <= 16)
+    // reading back through the partitioned layout: a one-cell read must
+    // prune (PartitionFilters) and return exactly that cell's vectors
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    val oneCell = back.filter(col("cell") === back.select("cell").head().getInt(0))
+    val plan = oneCell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      "cell predicate must prune index partitions")
+    // determinism: a second export writes the identical keeper set
+    val dir2 = java.nio.file.Files.createTempDirectory("emb_index2").toString
+    val (n2, cells2) = graft.io.Exporters.curatedEmbeddingIndex(spark, sf, dir2)
+    assert((n2, cells2) == (n, cells))
+    val ids1 = spark.read.parquet(dir).select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = spark.read.parquet(dir2).select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
