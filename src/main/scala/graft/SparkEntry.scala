@@ -91,6 +91,10 @@ object SparkEntry {
     "q52_funnel_stages"    -> ((s, d) => TemporalOps.funnelStages(s, d)),
     "q60_event_near_pairs" -> ((s, d) => TemporalOps.eventNearPairs(s, d)),
     "q66_sessions"         -> ((s, d) => TemporalOps.sessions(s, d)),
+    "q89_retention_cohorts" -> ((s, d) => TemporalOps.retentionCohorts(s, d)),
+    "q90_state_intervals"  -> ((s, d) => TemporalOps.stateIntervals(s, d)),
+    "q91_weighted_sample"  -> ((s, d) => TextOps.weightedSample(s, d)),
+    "q92_tfidf_topterms"   -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
     "q27_simhash_pairs"    -> ((s, d) => SimilarityOps.simHashPairs(s, d)),
@@ -324,6 +328,10 @@ object SparkEntry {
     "q52_funnel_stages" -> operators.TemporalOps.funnelOracleSql(),
     "q60_event_near_pairs" -> operators.TemporalOps.eventNearPairsOracleSql(),
     "q66_sessions" -> operators.TemporalOps.sessionsOracleSql(),
+    "q89_retention_cohorts" -> operators.TemporalOps.retentionCohortsOracleSql(),
+    "q90_state_intervals" -> operators.TemporalOps.stateIntervalsOracleSql(),
+    "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),
+    "q92_tfidf_topterms" -> operators.TextOps.tfidfTopTermsOracleSql(),
     // stubbed decode bodies, but every number the summary emits is
     // exact integer arithmetic over md5 slices — fully oracle-gated
     "q40_multimodal_pipeline" -> MultimodalOps.pipelineOracleSql(),

@@ -244,6 +244,101 @@ object TemporalOps {
        |FROM s GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** q89: RETENTION COHORTS — the classic cohort/retention triangle:
+    * each user joins the cohort of their first active day; the cell
+    * (cohort_day, day_offset) counts users from that cohort active
+    * `day_offset` days later. Days are exact integer epoch-days
+    * (µs div 86_400_000_000), so the oracle matches bit-for-bit.
+    *
+    * Scale shape: the (user, day) distinct pre-aggregates map-side;
+    * first-day and the activity set shuffle on the SAME user_id key, so
+    * Catalyst reuses one exchange for the groupBy and the join; the
+    * final cell rollup is map-side combined and cohort×offset-bounded
+    * (days², tiny). Because (user, day) rows are already distinct, the
+    * cell count is a plain COUNT — no countDistinct expansion. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    // referenced by both the cohort agg and the join: materialize once
+    val active = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** DuckDB rendering of [[retentionCohorts]]. */
+  def retentionCohortsOracleSql(): String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |             epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q90: SCD2-STYLE STATE INTERVALS (gaps-and-islands): per user,
+    * collapse consecutive same-type event runs into validity intervals
+    * `[valid_from_us, valid_to_us)` — `valid_to_us` is the next run's
+    * start, NULL for the open current interval. This is the dimension-
+    * history build (slowly-changing-dimension type 2) a warehouse runs
+    * at every load, and the island step `lag`-change flag + running sum
+    * is the same one-partitioning trick as [[sessions]] keyed on state
+    * change instead of time gap. All integer µs → bit-exact oracle.
+    *
+    * Scale shape: every window and the rollup share ONE user_id
+    * partitioning — a single shuffle end to end; runs-per-user bounds
+    * the interval table, and no self-join touches the event stream. */
+  def stateIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagType = lag("event_type", 1).over(w)
+    val runs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("chg",
+        when(lagType.isNull || col("event_type") =!= lagType, 1L)
+          .otherwise(0L))
+      .withColumn("run_idx", sum("chg").over(wRun))
+      .groupBy("user_id", "run_idx")
+      .agg(min("event_type").as("state"),
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wIv = Window.partitionBy("user_id").orderBy("run_idx")
+    runs
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(wIv))
+      .select("user_id", "run_idx", "state", "valid_from_us",
+        "valid_to_us", "n_events")
+      .orderBy("user_id", "run_idx")
+  }
+
+  /** DuckDB rendering of [[stateIntervals]]. */
+  def stateIntervalsOracleSql(): String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_us(ts) AS ts_us FROM events),
+      |b AS (SELECT user_id, event_id, event_type, ts_us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR event_type <> lag(event_type) OVER w
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |r AS (SELECT user_id, event_type, ts_us,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS run_idx
+      |  FROM b),
+      |iv AS (SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+      |         MIN(event_type) AS state, MIN(ts_us) AS valid_from_us,
+      |         COUNT(*) AS n_events
+      |       FROM r GROUP BY user_id, run_idx)
+      |SELECT user_id, run_idx, state, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_idx)
+      |    AS valid_to_us,
+      |  n_events
+      |FROM iv ORDER BY user_id, run_idx""".stripMargin
+
   /** DuckDB rendering of [[eventNearPairs]]: the plain inequality
     * self-join — fine at oracle scale; the bucketed equi-join on the
     * engine side is exactly equivalent (|gap| ≤ Δ ⇒ bucket distance

@@ -327,6 +327,92 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** q91: WEIGHT-PROPORTIONAL deterministic sampling — the importance-
+    * sampling companion to the stratified rates of [[stratifiedSample]]:
+    * each document keeps with probability min(1, n_tokens/500), i.e.
+    * proportional to its token mass, so the sample preserves token
+    * share rather than document share (the standard correction when
+    * short boilerplate dominates a crawl by count). The coin is an
+    * md5 of the doc_id with a dedicated salt (decorrelated from the
+    * stratified buckets), compared in exact parts-per-million integers:
+    * keep ⇔ u_ppm < p_ppm with p_ppm = min(1e6, n_tokens·2000).
+    * Row-pure and map-only — reproducible across engines, runs, and
+    * partitionings, and applies to a stream unchanged. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":wsamp"))), 1, 15), 16, 10)
+          .cast("bigint") % 1000000L).as("u_ppm"))
+      .withColumn("p_ppm", least(lit(1000000L), col("n_tokens") * 2000L))
+      .filter(col("u_ppm") < col("p_ppm"))
+      .select("doc_id", "lang", "n_tokens", "p_ppm", "u_ppm")
+      .orderBy("doc_id")
+
+  /** DuckDB rendering of [[weightedSample]] (hex polynomial =
+    * `conv(hex, 16, 10)`, see [[OracleSql.hexPoly]]). */
+  def weightedSampleOracleSql(): String = {
+    val u = s"(${OracleSql.hexPoly("md5(CAST(doc_id AS VARCHAR) || ':wsamp')", 1, 15)}) % 1000000"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST($u AS BIGINT) AS u_ppm
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  LEAST(1000000, n_tokens * 2000) AS p_ppm, u_ppm
+       |FROM t WHERE u_ppm < LEAST(1000000, n_tokens * 2000)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q92: TF-IDF TOP TERMS — the per-document salient-term extraction
+    * a corpus index / topic audit runs: term frequency × inverse
+    * document frequency, top 5 terms per document. The score is the
+    * exact integer `tf·1e6 div df` — monotone in tf/df (the corpus-size
+    * factor N of textbook idf is constant per corpus and cannot change
+    * the per-document ranking), so no logarithm or float enters the
+    * oracle-gated path; ties break lexicographically.
+    *
+    * Scale shape: the (doc, term) tf table is ONE map-side-combined
+    * shuffle over the exploded token stream; df reduces the tf table
+    * (bounded by vocabulary); tf⋈df joins on the term key df was just
+    * partitioned on; the top-k window repartitions by doc_id once.
+    * The tf table feeds both df and the join, so it is materialized
+    * once rather than re-expanded. */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = withToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "tok", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** DuckDB rendering of [[tfidfTopTerms]]. */
+  def tfidfTopTermsOracleSql(k: Int = 5): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |d AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT doc_id, tok, tf, df, tf * 1000000 // df AS score_ppm
+       |       FROM tf JOIN d USING (tok)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY score_ppm DESC, tok) AS rank
+       |      FROM sc)
+       |SELECT doc_id, rank, tok, tf, df, CAST(score_ppm AS BIGINT) AS score_ppm
+       |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   /** BPE-ish TOKEN COUNT: alongside the whitespace count (q21), the
     * subword-style segmentation a tokenizer-budget estimate needs —
     * letter runs / digit runs / single punctuation marks, the core of

@@ -247,6 +247,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("retention_cohorts_partition_users_and_anchor_at_offset_zero") {
+    val cells = TemporalOps.retentionCohorts(spark, sf)
+    // every cohort has an offset-0 cell (the first-active day itself)
+    val cohorts = cells.select("cohort_day").distinct().count()
+    val zeroCells = cells.filter(col("day_offset") === 0).count()
+    assert(cohorts == zeroCells && cohorts > 0)
+    // offsets are never negative (cohort day is the user's minimum)
+    assert(cells.filter(col("day_offset") < 0).count() == 0)
+    // offset-0 cells count each user exactly once: summing them gives
+    // the distinct-user universe
+    val usersViaCells = cells.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(usersViaCells == users)
+  }
+
+  test("state_intervals_tile_each_user_timeline") {
+    val iv = TemporalOps.stateIntervals(spark, sf).localCheckpoint(true)
+    // intervals chain: valid_to of run k equals valid_from of run k+1
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("run_idx")
+    val broken = iv
+      .withColumn("next_from", lead("valid_from_us", 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to_us") =!= col("next_from")).count()
+    assert(broken == 0)
+    // exactly one open interval (null valid_to) per user
+    val users = iv.select("user_id").distinct().count()
+    assert(iv.filter(col("valid_to_us").isNull).count() == users)
+    // run event counts sum to the event stream
+    val nEvents = iv.agg(sum("n_events")).head().getLong(0)
+    assert(nEvents == graft.Tables.events(spark, sf).count())
+    // adjacent runs never share a state (else they'd be one island)
+    val merged = iv.withColumn("prev_state", lag("state", 1).over(w))
+      .filter(col("prev_state") === col("state")).count()
+    assert(merged == 0)
+  }
+
+  test("weighted_sample_keeps_all_heavy_docs_and_is_row_pure") {
+    val kept = TextOps.weightedSample(spark, sf).localCheckpoint(true)
+    // p saturates at 500 tokens: every long doc must be kept
+    val docs = graft.Tables.documents(spark, sf)
+      .withColumn("n_tokens",
+        size(TextOps.tokens(col("text"))).cast("bigint"))
+    val heavy = docs.filter(col("n_tokens") >= 500).count()
+    val heavyKept = kept.filter(col("n_tokens") >= 500).count()
+    assert(heavyKept == heavy)
+    // kept set is a subset of the corpus with u < p everywhere
+    assert(kept.filter(col("u_ppm") >= col("p_ppm")).count() == 0)
+    // deterministic: a second evaluation selects the identical id set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = TextOps.weightedSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2 && ids1.nonEmpty)
+  }
+
+  test("tfidf_topterms_ranks_by_score_within_doc") {
+    val top = TextOps.tfidfTopTerms(spark, sf, k = 3).localCheckpoint(true)
+    // at most k rows per doc, ranks 1..k dense from 1
+    val byDoc = top.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(byDoc.filter(col("n") > 3).count() == 0)
+    assert(byDoc.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // scores are non-increasing in rank within a doc
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("rank")
+    val inversions = top
+      .withColumn("prev", lag("score_ppm", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score_ppm"))
+      .count()
+    assert(inversions == 0)
+    // a doc holding a corpus-unique term (score tf·1e6 ≥ 1e6) must have
+    // a rank-1 score at least that high
+    val uniqDocs = top.filter(col("df") === 1).select("doc_id").distinct()
+    val weakTop = top.filter(col("rank") === 1)
+      .join(uniqDocs, "doc_id")
+      .filter(col("score_ppm") < 1000000L).count()
+    assert(weakTop == 0)
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
