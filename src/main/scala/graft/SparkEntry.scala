@@ -53,6 +53,8 @@ object SparkEntry {
     "q78_hll_distinct"     -> ((s, d) => SketchOps.hllDistinctShingles(s, d)),
     "q79_countmin_topk"    -> ((s, d) => SketchOps.countMinTokens(s, d)),
     "q87_hist_quantiles"   -> ((s, d) => SketchOps.histogramQuantiles(s, d)),
+    "q93_user_features"    -> ((s, d) => RelationalOps.userFeatures(s, d)),
+    "q94_hll_by_lang"      -> ((s, d) => SketchOps.hllDistinctByLang(s, d)),
     "q80_full_outer"       -> ((s, d) => RelationalOps.fullOuterNationCounts(s, d)),
     "q81_set_ops"          -> ((s, d) => RelationalOps.nationSetOps(s, d)),
     "q82_fuzzy_match"      -> ((s, d) => RelationalOps.fuzzySupplierPairs(s, d)),
@@ -330,6 +332,8 @@ object SparkEntry {
     "q66_sessions" -> operators.TemporalOps.sessionsOracleSql(),
     "q89_retention_cohorts" -> operators.TemporalOps.retentionCohortsOracleSql(),
     "q90_state_intervals" -> operators.TemporalOps.stateIntervalsOracleSql(),
+    "q93_user_features" -> RelationalOps.userFeaturesOracleSql(),
+    "q94_hll_by_lang" -> SketchOps.hllByLangOracleSql(),
     "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),
     "q92_tfidf_topterms" -> operators.TextOps.tfidfTopTermsOracleSql(),
     // stubbed decode bodies, but every number the summary emits is

@@ -286,6 +286,50 @@ object RelationalOps {
         coalesce(col("view"), lit(0L)).as("n_view"))
       .orderBy("user_id")
 
+  /** q93: USER FEATURE MATRIX — the per-entity feature-engineering
+    * rollup an ML training job runs against the event stream: activity
+    * counts by type, exact-decimal monetary mass, first/last activity
+    * and active-day span. Everything lands in ONE map-side-combined
+    * groupBy on user_id (conditional aggregates, no pivot collect, no
+    * self-joins), so the plan is a single shuffle whatever the event
+    * volume — the canonical wide-feature build at 100 TB. Counts and
+    * µs/day arithmetic are exact integers; the value mass is the exact
+    * DECIMAL sum rendered as double (order-independent on both
+    * engines). */
+  def userFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        dsum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)), 4).as("purchase_value"),
+        min("ts_us").as("first_us"),
+        max("ts_us").as("last_us"),
+        countDistinct(col("day")).as("n_active_days"))
+      .orderBy("user_id")
+
+  /** DuckDB rendering of [[userFeatures]]. */
+  def userFeaturesOracleSql(): String =
+    """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+      |             epoch_us(ts) // 86400000000 AS day FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_click,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+      |    ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value,
+      |  MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+      |  COUNT(DISTINCT day) AS n_active_days
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** DuckDB rendering of [[pivotEvents]] (conditional aggregation — the
     * engine-portable spelling of an explicit-values pivot). */
   def pivotEventsOracleSql(): String =

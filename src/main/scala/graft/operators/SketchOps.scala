@@ -34,14 +34,21 @@ object SketchOps {
     * map side of the HLL sketch, shared by the batch operator and the
     * streaming sketch maintenance (StreamingOps.hllTokenStream). */
   def hllRanks(values: DataFrame): DataFrame =
+    hllRanksKeyed(values.select("v"))
+
+  /** [[hllRanks]] preserving every non-`v` column (the group keys of a
+    * per-group sketch): row-pure map from `v` to (bucket, w, rank). */
+  def hllRanksKeyed(values: DataFrame): DataFrame = {
+    val keep = values.columns.filterNot(_ == "v").map(col).toSeq
     values
       .withColumn("h", md5(col("v").cast("binary")))
-      .select(
-        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("bucket"),
-        conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("w"))
+      .select(keep :+
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long").as("bucket") :+
+        conv(substring(col("h"), 3, 15), 16, 10).cast("long").as("w"): _*)
       .withColumn("rank",
         when(col("w") === 0L, lit(61L))
           .otherwise(lit(61L) - length(bin(col("w"))).cast("long")))
+  }
 
   /** Fold a (bucket, mx) bucket-maxima frame (missing buckets allowed)
     * into the one-row HLL estimate — the merge+estimate side, shared
@@ -119,6 +126,77 @@ object SketchOps {
        |SELECT n_exact, hll_estimate,
        |  ROUND(ABS(hll_estimate - n_exact) / n_exact, 4) AS rel_err
        |FROM ex, es""".stripMargin
+  }
+
+  /** q94: PER-GROUP HLL — the distinct-shingle estimate of [[q78
+    * hllDistinctShingles]] maintained per language, the form a corpus
+    * dashboard actually wants ("vocabulary per stratum"). Sketch state
+    * is 256 small ints PER GROUP regardless of input size; the
+    * (lang, bucket) maxima aggregate map-side, the 256-row-per-lang
+    * grid join is trivially small, and the exact count exists only to
+    * report the error.
+    *
+    * Unlike q78 this uses the PURE bias-corrected estimate on both
+    * engines — the small-range linear-counting branch is deliberately
+    * omitted, because its ln() is libm-dependent in the last ulp and a
+    * per-group sketch WILL hit small groups at some stratum; the cost
+    * is the documented HLL small-range positive bias instead of a
+    * non-portable oracle. */
+  def hllDistinctByLang(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.shingleRows(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("sh").as("v"))
+      .localCheckpoint(true) // feeds ranks, the lang grid, and the exact count
+    val mx = hllRanksKeyed(sh)
+      .groupBy("lang", "bucket").agg(max("rank").as("mx"))
+    val grid = sh.select("lang").distinct()
+      .crossJoin(s.range(M).select(col("id").as("bucket")))
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val est = grid.join(mx, Seq("lang", "bucket"), "left")
+      .select(col("lang"), coalesce(col("mx"), lit(0L)).as("mj"))
+      .groupBy("lang")
+      .agg(sum(pow(lit(2.0), lit(61.0) - col("mj")).cast(DecimalType(38, 0)))
+        .cast("double").as("harm"))
+      .select(col("lang"),
+        round(lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm"), 4)
+          .as("hll_estimate"))
+    sh.groupBy("lang").agg(countDistinct(col("v")).as("n_exact"))
+      .join(est, "lang")
+      .withColumn("rel_err",
+        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("lang")
+  }
+
+  /** DuckDB rendering of [[hllDistinctByLang]]. */
+  def hllByLangOracleSql(): String = {
+    val bucket = OracleSql.hexPoly("h", 1, 2)
+    val w = OracleSql.hexPoly("h", 3, 15)
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $M))"
+    s"""WITH ${TextOps.shingleCtesSql},
+       |lsh AS (SELECT DISTINCT d.lang, sh.sh FROM sh
+       |        JOIN documents d USING (doc_id)),
+       |hh AS (SELECT lang, md5(sh) AS h FROM lsh),
+       |br AS (SELECT lang, CAST($bucket AS BIGINT) AS bucket,
+       |         CAST($w AS BIGINT) AS w FROM hh),
+       |rk AS (SELECT lang, bucket,
+       |         CASE WHEN w = 0 THEN 61
+       |           ELSE 61 - CAST(length(bin(w)) AS BIGINT) END AS rank
+       |       FROM br),
+       |grid AS (SELECT lang, range AS bucket
+       |         FROM (SELECT DISTINCT lang FROM lsh), range($M)),
+       |mx AS (SELECT grid.lang, grid.bucket, COALESCE(MAX(rk.rank), 0) AS mj
+       |       FROM grid LEFT JOIN rk
+       |         ON rk.lang = grid.lang AND rk.bucket = grid.bucket
+       |       GROUP BY grid.lang, grid.bucket),
+       |ag AS (SELECT lang, CAST(SUM(CAST(power(2, 61 - mj) AS DECIMAL(38,0)))
+       |           AS DOUBLE) AS harm
+       |       FROM mx GROUP BY lang),
+       |es AS (SELECT lang, ROUND($alpha * $M * $M * power(2, 61) / harm, 4)
+       |           AS hll_estimate FROM ag),
+       |ex AS (SELECT lang, COUNT(DISTINCT sh) AS n_exact FROM lsh GROUP BY lang)
+       |SELECT ex.lang, n_exact, hll_estimate,
+       |  ROUND(ABS(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+       |FROM ex JOIN es USING (lang) ORDER BY lang""".stripMargin
   }
 
   private val HB = 64 // histogram-quantile buckets

@@ -328,6 +328,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(weakTop == 0)
   }
 
+  test("user_features_agree_with_pivot_counts_and_time_bounds") {
+    val f = graft.operators.RelationalOps.userFeatures(spark, sf)
+      .localCheckpoint(true)
+    val p = graft.operators.RelationalOps.pivotEvents(spark, sf)
+    // per-type counts must agree with the independently-derived pivot
+    val joined = f.select(col("user_id"), col("n_purchase"), col("n_click"))
+      .join(p.select(col("user_id"), col("n_purchase").as("pp"),
+        col("n_click").as("pc")), "user_id")
+    assert(joined.filter(col("n_purchase") =!= col("pp") ||
+      col("n_click") =!= col("pc")).count() == 0)
+    // time bounds ordered; active days within the first/last span
+    assert(f.filter(col("first_us") > col("last_us")).count() == 0)
+    val badDays = f.filter(col("n_active_days") >
+      (col("last_us") - col("first_us")) / 86400000000L + 1).count()
+    assert(badDays == 0)
+    // every user appears exactly once
+    assert(f.count() == f.select("user_id").distinct().count())
+  }
+
+  test("hll_by_lang_estimates_within_sketch_error") {
+    val r = graft.operators.SketchOps.hllDistinctByLang(spark, sf)
+      .localCheckpoint(true)
+    // m=256 -> ~6.5% standard error; allow 4 sigma for small groups
+    // (pure bias-corrected estimate, no linear-counting branch)
+    assert(r.count() > 0)
+    assert(r.filter(col("rel_err") > 0.26).count() == 0)
+    assert(r.filter(col("hll_estimate") <= 0).count() == 0)
+    // language universe matches the corpus
+    val langs = graft.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select("lang").distinct().count()
+    assert(r.count() <= langs)
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
