@@ -55,6 +55,8 @@ object SparkEntry {
     "q87_hist_quantiles"   -> ((s, d) => SketchOps.histogramQuantiles(s, d)),
     "q93_user_features"    -> ((s, d) => RelationalOps.userFeatures(s, d)),
     "q94_hll_by_lang"      -> ((s, d) => SketchOps.hllDistinctByLang(s, d)),
+    "q95_mad_outliers"     -> ((s, d) => RelationalOps.madOutliers(s, d)),
+    "q96_clustering_coeff" -> ((s, d) => CooccurrenceOps.clusteringCoefficient(s, d)),
     "q80_full_outer"       -> ((s, d) => RelationalOps.fullOuterNationCounts(s, d)),
     "q81_set_ops"          -> ((s, d) => RelationalOps.nationSetOps(s, d)),
     "q82_fuzzy_match"      -> ((s, d) => RelationalOps.fuzzySupplierPairs(s, d)),
@@ -334,6 +336,8 @@ object SparkEntry {
     "q90_state_intervals" -> operators.TemporalOps.stateIntervalsOracleSql(),
     "q93_user_features" -> RelationalOps.userFeaturesOracleSql(),
     "q94_hll_by_lang" -> SketchOps.hllByLangOracleSql(),
+    "q95_mad_outliers" -> RelationalOps.madOutliersOracleSql(),
+    "q96_clustering_coeff" -> CooccurrenceOps.clusteringCoeffOracleSql(),
     "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),
     "q92_tfidf_topterms" -> operators.TextOps.tfidfTopTermsOracleSql(),
     // stubbed decode bodies, but every number the summary emits is

@@ -402,6 +402,71 @@ object RelationalOps {
        |  AND ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
        |ORDER BY event_id""".stripMargin
 
+  /** q95: MAD ROBUST OUTLIERS — the median-based companion to q72's
+    * z-score gate: per event type, flag events whose absolute deviation
+    * from the type median exceeds `cut` × the median absolute deviation
+    * (MAD). Unlike mean/stddev, the median/MAD pair is immune to the
+    * outliers it is hunting — the robust-statistics default for data-
+    * quality gates. Both medians are LOWER medians (the ⌈n/2⌉-th order
+    * statistic, percentile_disc-style): pure SELECTION, never float
+    * interpolation or accumulation, so every surviving number is a raw
+    * input double compared exactly and the oracle matches bit-for-bit
+    * (the only arithmetic is |x − med| and one IEEE multiply by `cut`).
+    *
+    * Scale shape: two (event_type)-keyed window sorts over the event
+    * stream (the same single partitioning reused), each reduced to a
+    * per-type scalar table that joins back by broadcast. An exact
+    * median cannot avoid sorting the group once; at extreme scale swap
+    * the q87 histogram sketch in for the selection step. */
+  def madOutliers(s: SparkSession, d: String, cut: Double = 5.0): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint(true) // feeds both median passes and the final gate
+    def lowerMedian(df: DataFrame, valueCol: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(valueCol)
+      val wn = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(wn))
+        // integer div: Column./ is DOUBLE division and would silently
+        // select no row for even-sized groups
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+      .localCheckpoint(true) // feeds the MAD pass and the final gate
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 && col("dev") > col("mad") * cut)
+      .select("event_id", "event_type", "value", "med", "dev", "mad")
+      .orderBy("event_id")
+  }
+
+  /** DuckDB rendering of [[madOutliers]]. */
+  def madOutliersOracleSql(cut: Double = 5.0): String =
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |rm AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM ev),
+       |med AS (SELECT event_type, value AS med FROM rm
+       |        WHERE rn = (n + 1) // 2),
+       |dv AS (SELECT ev.event_id, ev.event_type, ev.value, med.med,
+       |         ABS(ev.value - med.med) AS dev
+       |       FROM ev JOIN med USING (event_type)),
+       |rd AS (SELECT event_type, dev,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM dv),
+       |mad AS (SELECT event_type, dev AS mad FROM rd
+       |        WHERE rn = (n + 1) // 2)
+       |SELECT event_id, dv.event_type, value, med, dev, mad
+       |FROM dv JOIN mad USING (event_type)
+       |WHERE mad > 0 AND dev > mad * $cut
+       |ORDER BY event_id""".stripMargin
+
   /** q74: TIME-RANGE WINDOW FRAME — per-user running 1-hour sum: for
     * each event, the exact-decimal sum of `value` over all of that
     * user's events in the preceding hour (RANGE frame on the raw

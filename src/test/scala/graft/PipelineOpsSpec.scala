@@ -362,6 +362,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.count() <= langs)
   }
 
+  test("mad_outliers_match_independent_median_computation") {
+    val out = graft.operators.RelationalOps.madOutliers(spark, sf, cut = 5.0)
+      .localCheckpoint(true)
+    // recompute median/MAD per type in plain Scala and compare the
+    // flagged id set (lower median = ceil(n/2)-th order statistic)
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val mad = lowerMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      if (mad > 0) rows.toSeq.filter(r => math.abs(r._3 - med) > mad * 5.0)
+      else Seq.empty[(Long, String, Double)]
+    }.map(_._1).toSet
+    val got = out.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("clustering_coefficient_consistent_with_triangle_counts") {
+    import graft.operators.CooccurrenceOps
+    val cc = CooccurrenceOps.clusteringCoefficient(spark, sf)
+      .localCheckpoint(true)
+    // coefficient is a proper ratio in ppm
+    assert(cc.filter(col("coeff_ppm") < 0 || col("coeff_ppm") > 1000000L)
+      .count() == 0)
+    // triangle-carrying nodes need at least two neighbors, and the
+    // formula reproduces from the row's own deg/n_tri columns
+    assert(cc.filter(col("n_tri") > 0 && col("deg") < 2).count() == 0)
+    val bad = cc.filter(col("deg") >= 2 &&
+      col("coeff_ppm") =!=
+        expr("2 * n_tri * 1000000 div (deg * (deg - 1))")).count()
+    assert(bad == 0)
+    // every q68 node appears with the same n_tri
+    val tri = CooccurrenceOps.triangles(spark, sf)
+    val joined = tri.select(col("node"), col("n_tri").as("t68"))
+      .join(cc.select("node", "n_tri"), "node")
+    assert(joined.filter(col("t68") =!= col("n_tri")).count() == 0)
+    assert(tri.count() == cc.filter(col("n_tri") > 0).count())
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
