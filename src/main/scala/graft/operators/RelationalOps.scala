@@ -467,6 +467,57 @@ object RelationalOps {
        |WHERE mad > 0 AND dev > mad * $cut
        |ORDER BY event_id""".stripMargin
 
+  /** q97: EXACT GROUPED PERCENTILES — p50/p90/p99 of order value per
+    * customer nation, each the ⌈n·p⌉-th order statistic selected by
+    * rank (percentile_disc semantics): pure integer rank arithmetic +
+    * row selection, no interpolation, so the oracle is bit-exact. The
+    * exact-selection complement to q87's histogram sketch and q64's
+    * global quantiles.
+    *
+    * Scale shape: one (nation)-partitioned window sort over the joined
+    * orders, three rank filters off the SAME ranked frame (materialized
+    * once), then nation-cardinality joins. An exact percentile must
+    * sort each group once; the group count bounds everything after. */
+  def groupPercentiles(s: SparkSession, d: String): DataFrame = {
+    val j = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val w = Window.partitionBy("n_name").orderBy("price")
+    val wn = Window.partitionBy("n_name")
+    val ranked = j
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .localCheckpoint(true) // three rank picks read it
+    def pick(p: Int, out: String): DataFrame = ranked
+      .filter(col("rn") === expr(s"(n * $p + 99) div 100")) // ⌈n·p/100⌉
+      .select(col("n_name"), col("price").cast("double").as(out))
+    pick(50, "p50").join(pick(90, "p90"), "n_name")
+      .join(pick(99, "p99"), "n_name")
+      .orderBy("n_name")
+  }
+
+  /** DuckDB rendering of [[groupPercentiles]]. */
+  def groupPercentilesOracleSql(): String =
+    """WITH j AS (SELECT n_name, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |r AS (SELECT n_name, price,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY price) AS rn,
+      |    COUNT(*) OVER (PARTITION BY n_name) AS n
+      |  FROM j),
+      |p50 AS (SELECT n_name, CAST(price AS DOUBLE) AS p50 FROM r
+      |        WHERE rn = (n * 50 + 99) // 100),
+      |p90 AS (SELECT n_name, CAST(price AS DOUBLE) AS p90 FROM r
+      |        WHERE rn = (n * 90 + 99) // 100),
+      |p99 AS (SELECT n_name, CAST(price AS DOUBLE) AS p99 FROM r
+      |        WHERE rn = (n * 99 + 99) // 100)
+      |SELECT n_name, p50, p90, p99
+      |FROM p50 JOIN p90 USING (n_name) JOIN p99 USING (n_name)
+      |ORDER BY n_name""".stripMargin
+
   /** q74: TIME-RANGE WINDOW FRAME — per-user running 1-hour sum: for
     * each event, the exact-decimal sum of `value` over all of that
     * user's events in the preceding hour (RANGE frame on the raw

@@ -228,21 +228,87 @@ object TemporalOps {
       .orderBy("user_id", "session_idx")
   }
 
-  /** DuckDB rendering of [[sessions]]. */
-  def sessionsOracleSql(gapUs: Long = 30L * 60 * 1000000): String =
-    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+  /** Shared sessionization CTE ladder ending in `sess(user_id,
+    * session_idx, start_us, end_us, n_events, duration_us)` — one copy
+    * behind [[sessionsOracleSql]] and [[sessionOverlapOracleSql]]. */
+  private def sessionsCtes(gapUs: Long): String =
+    s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
        |b AS (SELECT user_id, event_id, ts_us,
        |    CASE WHEN ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS brk
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
        |s AS (SELECT user_id, ts_us,
        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
        |      ROWS UNBOUNDED PRECEDING) AS session_idx
-       |  FROM b)
-       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-       |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-       |  COUNT(*) AS n_events, MAX(ts_us) - MIN(ts_us) AS duration_us
-       |FROM s GROUP BY user_id, session_idx
-       |ORDER BY user_id, session_idx""".stripMargin
+       |  FROM b),
+       |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |    COUNT(*) AS n_events, MAX(ts_us) - MIN(ts_us) AS duration_us
+       |  FROM s GROUP BY user_id, session_idx)""".stripMargin
+
+  /** DuckDB rendering of [[sessions]]. */
+  def sessionsOracleSql(gapUs: Long = 30L * 60 * 1000000): String =
+    s"""WITH ${sessionsCtes(gapUs)}
+       |SELECT user_id, session_idx, start_us, end_us, n_events, duration_us
+       |FROM sess ORDER BY user_id, session_idx""".stripMargin
+
+  /** q98: SESSION OVERLAP — the INTERVAL overlap join over the q66
+    * session table: all cross-user session pairs active at the same
+    * time, with the exact overlap length. Where q60 joins points within
+    * a fixed Δ, this joins VARIABLE-length intervals — Spark plans a
+    * raw `a.start ≤ b.end AND b.start ≤ a.end` predicate as a
+    * nested-loop join, so the engine side buckets time by W = the
+    * longest session duration: two intervals can only overlap if b
+    * starts within [a.start − W, a.start + W], i.e. their start buckets
+    * differ by at most 1, making it an equi-join on (bucket) with the
+    * exact predicate as a post-filter. One side explodes to its 3
+    * neighbor buckets; the other keeps its single start bucket, so each
+    * qualifying pair surfaces exactly once — no distinct. W comes from
+    * the data via a broadcast scalar (guarded ≥ 1), not a tuned
+    * constant. Same-user pairs are impossible by construction (maximal
+    * sessions are gap-separated), so orientation is a_user < b_user.
+    *
+    * Scale: candidate volume is Σ per-bucket (sessions starting in
+    * bucket)² — locally quadratic only within a W-window, the
+    * unavoidable bound for interval overlap; the session table is
+    * already events-compressed. A pathological W (one huge session)
+    * degrades candidates gracefully rather than breaking correctness. */
+  def sessionOverlap(s: SparkSession, d: String,
+      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val sess = sessions(s, d, gapUs)
+      .select("user_id", "session_idx", "start_us", "end_us")
+      .localCheckpoint(true) // feeds the W scalar and both join sides
+    val wMax = sess.agg(
+      greatest(max(col("end_us") - col("start_us")), lit(1L)).as("w"))
+    val withW = sess.crossJoin(broadcast(wMax))
+      .withColumn("bkt0", expr("start_us div w"))
+    val a = withW.select(col("user_id").as("a_user"),
+      col("session_idx").as("a_idx"), col("start_us").as("a_start"),
+      col("end_us").as("a_end"),
+      explode(array(col("bkt0") - 1, col("bkt0"), col("bkt0") + 1)).as("bkt"))
+    val b = withW.select(col("user_id").as("b_user"),
+      col("session_idx").as("b_idx"), col("start_us").as("b_start"),
+      col("end_us").as("b_end"), col("bkt0").as("bkt"))
+    a.join(b, "bkt")
+      .filter(col("a_user") < col("b_user") &&
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_user"), col("a_idx"), col("b_user"), col("b_idx"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+      .orderBy("a_user", "a_idx", "b_user", "b_idx")
+  }
+
+  /** DuckDB rendering of [[sessionOverlap]]: the plain interval-overlap
+    * inequality join over the shared session CTE — equivalent to the
+    * engine's bucketed equi-join (see the W-window argument above). */
+  def sessionOverlapOracleSql(gapUs: Long = 30L * 60 * 1000000): String =
+    s"""WITH ${sessionsCtes(gapUs)}
+       |SELECT a.user_id AS a_user, a.session_idx AS a_idx,
+       |  b.user_id AS b_user, b.session_idx AS b_idx,
+       |  LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us)
+       |    AS overlap_us
+       |FROM sess a JOIN sess b ON a.user_id < b.user_id
+       |  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+       |ORDER BY a_user, a_idx, b_user, b_idx""".stripMargin
 
   /** q89: RETENTION COHORTS — the classic cohort/retention triangle:
     * each user joins the cohort of their first active day; the cell

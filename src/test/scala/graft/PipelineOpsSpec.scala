@@ -405,6 +405,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tri.count() == cc.filter(col("n_tri") > 0).count())
   }
 
+  test("group_percentiles_are_ordered_and_match_selection") {
+    val p = graft.operators.RelationalOps.groupPercentiles(spark, sf)
+      .localCheckpoint(true)
+    assert(p.count() > 0)
+    assert(p.filter(col("p50") > col("p90") || col("p90") > col("p99"))
+      .count() == 0)
+    // independent recomputation of the p90 order statistic per nation
+    val rows = graft.Tables(spark, sf, "orders")
+      .join(graft.Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).toSeq.sorted
+      k -> s((s.size * 90 + 99) / 100 - 1)
+    }
+    val got = p.select("n_name", "p90").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == expected)
+  }
+
+  test("session_overlap_matches_brute_force_interval_join") {
+    val got = TemporalOps.sessionOverlap(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // brute-force quadratic overlap over the collected session table
+    val sess = TemporalOps.sessions(spark, sf)
+      .select("user_id", "session_idx", "start_us", "end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._1, b._2,
+      math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
+    assert(got == expected && got.nonEmpty)
+    // overlap lengths are non-negative by the predicate
+    assert(got.forall(_._5 >= 0))
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
