@@ -228,6 +228,62 @@ object TemporalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q99: MULTI-TOUCH CLICK ATTRIBUTION — for every purchase, ALL of
+    * the same user's clicks in the hour before it (inclusive both
+    * ends), with the exact µs gap: the window-join companion to q45's
+    * single last-touch as-of. This is the batch twin of the
+    * stream-stream interval join
+    * ([[graft.streaming.StreamingOps.attributionStream]]), whose
+    * parity spec pins the two to identical output.
+    *
+    * Scale shape: same Δ-bucket trick as q60, but DIRECTIONAL — a
+    * qualifying click lies in [p−Δ, p], so its bucket is the
+    * purchase's or the one before; the purchase side explodes to
+    * {b−1, b}, the click side keeps its single bucket, and the exact
+    * predicate filters — each pair surfaces exactly once, equi-join
+    * on (user, bucket), no distinct, no nested-loop plan. */
+  def clickAttribution(s: SparkSession, d: String,
+      windUs: Long = 3600L * 1000000): DataFrame =
+    clickAttributionOf(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts_ns div 1000").as("ts_us")),
+      windUs)
+
+  /** [[clickAttribution]] over an explicit (event_id, user_id,
+    * event_type, ts_us) frame — the unit-testable / parity-checkable
+    * core. */
+  def clickAttributionOf(ev: DataFrame, windUs: Long): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+      .withColumn("bkt0", expr(s"p_us div ${windUs}L"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"),
+        expr(s"ts_us div ${windUs}L").as("bkt"))
+    p.select(col("user_id"), col("purchase_id"), col("p_us"),
+        explode(array(col("bkt0") - 1, col("bkt0"))).as("bkt"))
+      .join(c, Seq("user_id", "bkt"))
+      .filter(col("c_us") <= col("p_us") &&
+        col("c_us") >= col("p_us") - windUs)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** DuckDB rendering of [[clickAttribution]]. */
+  def clickAttributionOracleSql(windUs: Long = 3600L * 1000000): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |             epoch_us(ts) AS ts_us FROM events),
+       |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_us
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us
+       |      FROM e WHERE event_type = 'click')
+       |SELECT p.user_id, purchase_id, click_id, p_us - c_us AS gap_us
+       |FROM p JOIN c ON p.user_id = c.user_id
+       |  AND c_us <= p_us AND c_us >= p_us - $windUs
+       |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Shared sessionization CTE ladder ending in `sess(user_id,
     * session_idx, start_us, end_us, n_events, duration_us)` — one copy
     * behind [[sessionsOracleSql]] and [[sessionOverlapOracleSql]]. */

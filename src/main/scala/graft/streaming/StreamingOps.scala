@@ -179,6 +179,35 @@ object StreamingOps {
         (col("b_us") - col("a_us")).as("gap_us"))
   }
 
+  /** STREAM-STREAM INTERVAL JOIN, two genuinely distinct streams:
+    * multi-touch click attribution — every purchase joined to ALL of
+    * the same user's clicks in the `windUs` before it (inclusive), the
+    * streaming twin of the batch q99
+    * (TemporalOps.clickAttribution; StreamingSpec pins exact parity).
+    * The one-sided time bound [p−Δ, p] lets Spark GC click state as
+    * soon as the purchase watermark passes click_time + Δ and purchase
+    * state at its own watermark — bounded state for unbounded ingest,
+    * the production attribution-join shape. */
+  def attributionStream(events: DataFrame,
+      windUs: Long = 3600L * 1000000): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"), expr("ts_ns div 1000").as("c_us"))
+      .withWatermark("click_time", "1 hour")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"),
+        expr("ts_ns div 1000").as("p_us"))
+      .withWatermark("purchase_time", "1 hour")
+    p.join(c, expr(
+      s"""user_id = c_user
+         |AND click_time BETWEEN purchase_time - INTERVAL $windUs MICROSECOND
+         |                   AND purchase_time
+         |AND c_us <= p_us AND c_us >= p_us - ${windUs}L""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+  }
+
   /** Streaming z-score outlier gate — the scoring half of the batch
     * outlier operator (RelationalOps.valueOutliers / q72), run against
     * PRE-TRAINED per-type moments: the batch job computes mean/sd once

@@ -38,6 +38,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming_attribution_matches_batch_interval_join") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val result = StreamingOps.runToMemory(spark,
+      StreamingOps.attributionStream(stream), "attribution_test")
+    val cols = Seq("user_id", "purchase_id", "click_id", "gap_us")
+    val streamed = result.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val batch = graft.operators.TemporalOps.clickAttribution(spark, sf)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming_dedup_matches_batch_distinct") {
     // self-union doubles every event; watermarked dedup must restore
     // exactly the batch-distinct key set
