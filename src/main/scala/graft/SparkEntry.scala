@@ -59,6 +59,7 @@ object SparkEntry {
     "q97_group_percentiles" -> ((s, d) => RelationalOps.groupPercentiles(s, d)),
     "q98_session_overlap"  -> ((s, d) => TemporalOps.sessionOverlap(s, d)),
     "q99_click_attribution" -> ((s, d) => TemporalOps.clickAttribution(s, d)),
+    "q100_bloom_contamination" -> ((s, d) => SketchOps.bloomContamination(s, d)),
     "q96_clustering_coeff" -> ((s, d) => CooccurrenceOps.clusteringCoefficient(s, d)),
     "q80_full_outer"       -> ((s, d) => RelationalOps.fullOuterNationCounts(s, d)),
     "q81_set_ops"          -> ((s, d) => RelationalOps.nationSetOps(s, d)),
@@ -343,6 +344,7 @@ object SparkEntry {
     "q97_group_percentiles" -> RelationalOps.groupPercentilesOracleSql(),
     "q98_session_overlap" -> operators.TemporalOps.sessionOverlapOracleSql(),
     "q99_click_attribution" -> operators.TemporalOps.clickAttributionOracleSql(),
+    "q100_bloom_contamination" -> SketchOps.bloomContaminationOracleSql(),
     "q96_clustering_coeff" -> CooccurrenceOps.clusteringCoeffOracleSql(),
     "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),
     "q92_tfidf_topterms" -> operators.TextOps.tfidfTopTermsOracleSql(),

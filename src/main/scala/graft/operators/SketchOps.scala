@@ -199,6 +199,96 @@ object SketchOps {
        |FROM ex JOIN es USING (lang) ORDER BY lang""".stripMargin
   }
 
+  private val BM = 1L << 18 // Bloom bits (262,144): ~1.1% FP at 3 hashes, sf0.01 train set
+
+  /** q100: BLOOM-FILTER CONTAMINATION SCREEN — the sketch version of
+    * q46's exact train/test shingle semi-join: train shingles set k=3
+    * md5-derived bit positions in an m=2¹⁸ Bloom filter; a test shingle
+    * "hits" when all three of its positions are set. Output reports the
+    * Bloom hit count NEXT TO the exact hit count per test document, so
+    * the sketch's one-sided error is visible in the result itself
+    * (n_bloom_hit ≥ n_exact_hit always — no false negatives;
+    * property-pinned). Positions come from three disjoint md5 hex
+    * slices mod m — pure integer arithmetic, so the oracle rebuilds the
+    * filter bit-for-bit.
+    *
+    * Scale shape: the filter is a DISTINCT over ≤ m integers — bounded
+    * state no matter the train-corpus size, broadcast to the test side
+    * (m=2¹⁸ longs ≈ 2 MB); the test stream is map-side position
+    * extraction + a broadcast join. This is why a 100 TB decontam pass
+    * runs a Bloom pre-screen before the exact semi-join: the exact join
+    * shuffles both corpora, the Bloom screen shuffles neither. */
+  def bloomContamination(s: SparkSession, d: String,
+      testSources: Seq[String] = Seq("src1", "src2", "src3", "src4")): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val tagged = TextOps.shingleRows(s, d).join(src, "doc_id")
+      .withColumn("h", md5(col("sh").cast("binary")))
+      .select(col("doc_id"), col("source"), col("sh"),
+        (conv(substring(col("h"), 1, 12), 16, 10).cast("long") % BM).as("p0"),
+        (conv(substring(col("h"), 13, 12), 16, 10).cast("long") % BM).as("p1"),
+        (conv(substring(col("h"), 25, 8), 16, 10).cast("long") % BM).as("p2"))
+      .localCheckpoint(true) // feeds the filter build and the test probe
+    val isTest = col("source").isin(testSources: _*)
+    val bits = tagged.filter(!isTest)
+      .select(explode(array(col("p0"), col("p1"), col("p2"))).as("bit"))
+      .distinct()
+    val probes = tagged.filter(isTest)
+      .select(col("doc_id"), col("sh"),
+        posexplode(array(col("p0"), col("p1"), col("p2"))))
+      .toDF("doc_id", "sh", "i", "bit")
+    val bloomHits = probes.join(broadcast(bits), "bit")
+      .groupBy("doc_id", "sh").agg(countDistinct(col("i")).as("k_hit"))
+      .filter(col("k_hit") === 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_hit"))
+    TextOps.contamination(s, d, testSources)
+      .withColumnRenamed("n_hit", "n_exact_hit")
+      .join(bloomHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), col("n_exact_hit"),
+        coalesce(col("n_bloom_hit"), lit(0L)).as("n_bloom_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[bloomContamination]]. */
+  def bloomContaminationOracleSql(
+      testSources: Seq[String] = Seq("src1", "src2", "src3", "src4")): String = {
+    val srcList = testSources.map(x => s"'$x'").mkString(", ")
+    val p0 = OracleSql.hexPoly("h", 1, 12)
+    val p1 = OracleSql.hexPoly("h", 13, 12)
+    val p2 = OracleSql.hexPoly("h", 25, 8)
+    s"""WITH ${TextOps.shingleCtesSql},
+       |srcs AS (SELECT doc_id, source FROM documents),
+       |hp AS (SELECT sh.doc_id, srcs.source, sh.sh, md5(sh.sh) AS h
+       |       FROM sh JOIN srcs USING (doc_id)),
+       |pos AS (SELECT doc_id, source, sh,
+       |    CAST(($p0) % $BM AS BIGINT) AS p0,
+       |    CAST(($p1) % $BM AS BIGINT) AS p1,
+       |    CAST(($p2) % $BM AS BIGINT) AS p2
+       |  FROM hp),
+       |bits AS (SELECT DISTINCT bit FROM (
+       |    SELECT p0 AS bit FROM pos WHERE source NOT IN ($srcList)
+       |    UNION ALL SELECT p1 FROM pos WHERE source NOT IN ($srcList)
+       |    UNION ALL SELECT p2 FROM pos WHERE source NOT IN ($srcList))),
+       |test AS (SELECT doc_id, sh, p0, p1, p2 FROM pos
+       |         WHERE source IN ($srcList)),
+       |bl AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hit
+       |       FROM test t
+       |         JOIN bits b0 ON b0.bit = t.p0
+       |         JOIN bits b1 ON b1.bit = t.p1
+       |         JOIN bits b2 ON b2.bit = t.p2
+       |       GROUP BY t.doc_id),
+       |train AS (SELECT DISTINCT sh.sh FROM sh JOIN srcs USING (doc_id)
+       |          WHERE source NOT IN ($srcList)),
+       |testsh AS (SELECT sh.doc_id, sh.sh FROM sh JOIN srcs USING (doc_id)
+       |           WHERE source IN ($srcList)),
+       |ex AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |         CAST(COUNT(tr.sh) AS BIGINT) AS n_exact_hit
+       |       FROM testsh t LEFT JOIN train tr ON t.sh = tr.sh
+       |       GROUP BY t.doc_id)
+       |SELECT ex.doc_id, n_sh, n_exact_hit,
+       |  COALESCE(bl.n_bloom_hit, 0) AS n_bloom_hit
+       |FROM ex LEFT JOIN bl USING (doc_id) ORDER BY ex.doc_id""".stripMargin
+  }
+
   private val HB = 64 // histogram-quantile buckets
 
   /** q87: HISTOGRAM QUANTILE SKETCH — approximate per-source p25/p50/

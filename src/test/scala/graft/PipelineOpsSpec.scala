@@ -450,6 +450,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0))
   }
 
+  test("bloom_contamination_has_no_false_negatives") {
+    val r = graft.operators.SketchOps.bloomContamination(spark, sf)
+      .localCheckpoint(true)
+    assert(r.count() > 0)
+    // one-sided error: every exact hit is also a Bloom hit
+    assert(r.filter(col("n_bloom_hit") < col("n_exact_hit")).count() == 0)
+    // hits never exceed the probe count
+    assert(r.filter(col("n_bloom_hit") > col("n_sh")).count() == 0)
+    // agrees with the exact operator on the exact column
+    val exact = graft.operators.TextOps.contamination(spark, sf)
+    val j = r.select(col("doc_id"), col("n_exact_hit"))
+      .join(exact.select(col("doc_id"), col("n_hit")), "doc_id")
+    assert(j.filter(col("n_exact_hit") =!= col("n_hit")).count() == 0)
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
