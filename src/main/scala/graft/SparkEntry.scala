@@ -118,6 +118,7 @@ object SparkEntry {
     "q33_schema_summary"   -> ((s, d) => GraphOps.schemaSummary(s, d)),
     "q34_label_groups"     -> ((s, d) => GraphOps.labelGroups(s, d)),
     "q53_pagerank"         -> ((s, d) => GraphOps.pageRank(s, d)),
+    "q101_personalized_pr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     "q54_hop_distance"     -> ((s, d) => GraphOps.hopDistance(s, d)),
     "q65_kcore"            -> ((s, d) => GraphOps.kCore(s, d)),
     // --- multimodal pipeline plumbing (decode stages stubbed) ---
@@ -402,6 +403,7 @@ object SparkEntry {
     // integer fixed-point PageRank: order-independent integer sums, so
     // the 8 unrolled sweeps are bit-exact on both engines
     "q53_pagerank" -> GraphOps.pageRankOracleSql(),
+    "q101_personalized_pr" -> GraphOps.personalizedPageRankOracleSql(),
     "q54_hop_distance" -> GraphOps.hopDistanceOracleSql(),
     "q65_kcore" -> GraphOps.kCoreOracleSql(),
     "q34_label_groups" ->

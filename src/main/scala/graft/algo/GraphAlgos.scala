@@ -48,7 +48,21 @@ object GraphAlgos {
     * and reused; superseded rank snapshots are unpersisted (the same
     * loop hygiene as Components/LPA). */
   def pageRankInt(g: PropertyGraph, sweeps: Int = 8,
-      scale: Long = 10000000000L): DataFrame = {
+      scale: Long = 10000000000L): DataFrame =
+    pageRankLoop(g, None, sweeps, scale)
+
+  /** PERSONALIZED integer PageRank: identical exact-integer loop, but
+    * both the initial mass and the per-sweep restart term go ONLY to
+    * nodes labeled `seedLabel` — rank measures proximity to the seed
+    * set (random walk with restart), the graph-similarity primitive
+    * behind recommendation / related-entity queries. Same overflow
+    * bound (seed mass ≤ full mass), same oracle-checkable arithmetic. */
+  def personalizedPageRankInt(g: PropertyGraph, seedLabel: String,
+      sweeps: Int = 8, scale: Long = 10000000000L): DataFrame =
+    pageRankLoop(g, Some(seedLabel), sweeps, scale)
+
+  private def pageRankLoop(g: PropertyGraph, seedLabel: Option[String],
+      sweeps: Int, scale: Long): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -63,7 +77,10 @@ object GraphAlgos {
     // (src→(dst,deg)) RDD is hash-partitioned once, the per-sweep rank
     // lookup and the rank update are narrow joins, and the only shuffle
     // is the flat-tuple (dst, share) reduceByKey.
-    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
+    val seedCol = seedLabel
+      .map(l => col("label") === l).getOrElse(lit(true))
+    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"),
+        seedCol.as("seed"))
       .localCheckpoint(true)
     // hub-heavy worst case: one node can receive ~all the total mass
     // n·scale, and the update multiplies by 17 before dividing
@@ -79,8 +96,16 @@ object GraphAlgos {
       .persist(StorageLevel.MEMORY_AND_DISK)
     eDeg.count()
     eBySrc.unpersist(blocking = false)
-    var pr: RDD[(Long, Long)] = idMap.select(col("vid")).as[Long].rdd
-      .map(v => (v, scale)).partitionBy(part)
+    // per-node restart term: `base` at seeds, 0 elsewhere (uniform run
+    // = every node a seed); co-partitioned once, narrow-joined per sweep
+    val seedBase: RDD[(Long, Long)] = idMap
+      .select(col("vid"), when(col("seed"), base).otherwise(0L).as("b"))
+      .as[(Long, Long)].rdd.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    seedBase.count()
+    var pr: RDD[(Long, Long)] = idMap
+      .select(col("vid"), when(col("seed"), scale).otherwise(0L).as("p"))
+      .as[(Long, Long)].rdd.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     pr.count()
     for (_ <- 1 to sweeps) {
@@ -88,8 +113,8 @@ object GraphAlgos {
         .map { case (_, ((dst, deg), p)) => (dst, p / deg) }
         .reduceByKey(part, _ + _) // the sweep's one shuffle
       val prev = pr
-      pr = prev.leftOuterJoin(contrib, part) // narrow
-        .mapValues { case (_, in) => base + 17 * in.getOrElse(0L) / 20 }
+      pr = seedBase.leftOuterJoin(contrib, part) // narrow
+        .mapValues { case (b, in) => b + 17 * in.getOrElse(0L) / 20 }
         .persist(StorageLevel.MEMORY_AND_DISK)
       pr.count()
       prev.unpersist(blocking = false)
@@ -100,6 +125,7 @@ object GraphAlgos {
     // storm lands inside this analytic's own wall-clock instead of
     // disturbing whatever query runs next in the session
     eDeg.unpersist(blocking = true)
+    seedBase.unpersist(blocking = true)
     pr.unpersist(blocking = true)
     out
   }

@@ -174,6 +174,48 @@ object GraphOps {
       s"\nSELECT id, pr FROM p$sweeps ORDER BY id"
   }
 
+  /** q101: PERSONALIZED PageRank — random walk with restart to the
+    * Supplier nodes (GraphAlgos.personalizedPageRankInt): rank measures
+    * proximity to the seed set, the related-entity / recommendation
+    * primitive. Cached per (session, dataset) like q53. */
+  private val pprCache =
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
+
+  def personalizedPageRank(s: SparkSession, d: String,
+      seedLabel: String = "Supplier"): DataFrame =
+    pprCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#" + seedLabel))(
+      GraphAlgos.personalizedPageRankInt(builtGraph(s, d), seedLabel))
+      .orderBy("id")
+
+  /** DuckDB rendering of [[personalizedPageRank]] — q53's unrolled
+    * ladder with the initial mass and restart term gated on the seed
+    * label. */
+  def personalizedPageRankOracleSql(seedLabel: String = "Supplier",
+      sweeps: Int = 8, scale: Long = 10000000000L): String = {
+    val base = scale * 15 / 100
+    val prefix = s"""WITH ${OracleSql.fkEdgesCte},
+      |${OracleSql.fkNodesCte(withLabel = true)},
+      |od AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |p0 AS MATERIALIZED (SELECT id,
+      |  CAST(CASE WHEN lbl = '$seedLabel' THEN $scale ELSE 0 END AS BIGINT) AS pr
+      |  FROM n)""".stripMargin
+    val sweepCtes = (1 to sweeps).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(p.pr // od.deg) AS in_sum
+         |  FROM e JOIN p${k - 1} p ON p.id = e.src
+         |    JOIN od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |p$k AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST(CASE WHEN n.lbl = '$seedLabel' THEN $base ELSE 0 END
+         |      + (17 * COALESCE(g.in_sum, 0)) // 20 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN g$k g ON g.id = n.id)""".stripMargin
+    }
+    ((prefix +: sweepCtes).mkString(",\n")) +
+      s"\nSELECT id, pr FROM p$sweeps ORDER BY id"
+  }
+
   /** Beyond-parity graph analytic: exact hop distance from the Region
     * nodes over the undirected FK graph (q54) — frontier BFS capped at
     * 8 sweeps, which covers the graph's diameter

@@ -465,6 +465,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(j.filter(col("n_exact_hit") =!= col("n_hit")).count() == 0)
   }
 
+  test("personalized_pagerank_mass_stays_near_seed_set") {
+    val ppr = graft.operators.GraphOps.personalizedPageRank(spark, sf)
+      .localCheckpoint(true)
+    val base = 10000000000L * 15 / 100
+    // every seed keeps at least the restart term
+    assert(ppr.filter(col("id").startsWith("supplier:") &&
+      col("pr") < base).count() == 0)
+    // mass reaches supplier successors (nation nodes)...
+    assert(ppr.filter(col("id").startsWith("nation:") && col("pr") > 0)
+      .count() > 0)
+    // ...but never customers (no supplier→customer path in the FK graph)
+    assert(ppr.filter(col("id").startsWith("customer:") && col("pr") > 0)
+      .count() == 0)
+    // and the total personalized mass is below the uniform run's
+    val total = ppr.agg(sum("pr")).head().getLong(0)
+    val uniformTotal = graft.operators.GraphOps.pageRank(spark, sf)
+      .agg(sum("pr")).head().getLong(0)
+    assert(total > 0 && total < uniformTotal)
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
