@@ -222,4 +222,45 @@ class PlanShapeSpec extends AnyFunSuite {
     val ordersScans = "orders\\.parquet".r.findAllIn(p).size
     assert(ordersScans <= 1, s"fact table must be scanned once (found $ordersScans)")
   }
+
+  test("q92 tfidf top-k pushes the rank limit into the window") {
+    val p = plan("q92_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune inside the window (WindowGroupLimit), not post-filter")
+    // the tf table is materialized once, not recomputed per branch
+    val exploded = "Generate explode".r.findAllIn(p).size
+    assert(exploded == 0,
+      s"token explode must happen before the checkpoint, not in the joined plan (found $exploded)")
+  }
+
+  test("q98 session overlap joins on the bucket key, not nested-loop") {
+    val p = plan("q98_session_overlap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "interval overlap must run as the bucketed equi-join")
+    // the only nested-loop allowed is the 1-row W-scalar cross join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"no interval nested-loop beyond the scalar W attach (found $bnl)")
+  }
+
+  test("q99 attribution joins purchases to clicks on (user, bucket)") {
+    val p = plan("q99_click_attribution")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "window join must be the directional bucketed equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no nested-loop fallback for the time-range predicate")
+  }
+
+  test("q100 bloom filter broadcasts the bit set against the probe stream") {
+    val p = plan("q100_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=m-entry bit set must broadcast; the probe side must not shuffle for it")
+  }
+
+  test("q95 MAD medians shuffle the events once per selection pass") {
+    val p = plan("q95_mad_outliers")
+    // both medians come off (event_type)-partitioned windows; the final
+    // gate joins tiny per-type scalars by broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      "median/MAD scalars must broadcast back, not shuffle the stream")
+  }
 }
