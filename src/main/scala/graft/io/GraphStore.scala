@@ -49,6 +49,43 @@ object GraphStore {
       spark.read.schema(PropertyGraph.edgeSchema).parquet(s"$root/$v/edges"))
   }
 
+  /** SNAPSHOT DIFF: what changed between two versions — per entity
+    * kind (`node` / `edge`), rows `added`, `removed`, or `changed`
+    * (same id, different label/type or properties). The audit query a
+    * versioned store owes its operators ("what did yesterday's load
+    * do"), computed as distributed full-outer joins on id — no
+    * collect, each side scanned once, works on snapshots of any size.
+    * Returns (kind, change, id) rows sorted for stable display. */
+  def diff(spark: SparkSession, root: String, fromVersion: String,
+      toVersion: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = load(spark, root, Some(fromVersion))
+    val b = load(spark, root, Some(toVersion))
+    // canonical payload rendering: map entries sorted by key, so equal
+    // property maps compare equal regardless of physical entry order
+    def side(df: org.apache.spark.sql.DataFrame,
+        scalarCols: Seq[String], tag: String) =
+      df.select(col("id"),
+        to_json(struct(scalarCols.map(col) :+
+          array_sort(map_entries(col("properties"))).as("props"): _*))
+          .as(s"payload_$tag"))
+    def diffKind(da: org.apache.spark.sql.DataFrame,
+        db: org.apache.spark.sql.DataFrame, kind: String,
+        scalarCols: Seq[String]) =
+      side(da, scalarCols, "a")
+        .join(side(db, scalarCols, "b"), Seq("id"), "full_outer")
+        .withColumn("change",
+          when(col("payload_a").isNull, "added")
+            .when(col("payload_b").isNull, "removed")
+            .when(col("payload_a") =!= col("payload_b"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(lit(kind).as("kind"), col("change"), col("id"))
+    diffKind(a.nodes, b.nodes, "node", Seq("label"))
+      .unionByName(diffKind(a.edges, b.edges, "edge",
+        Seq("src", "dst", "label")))
+      .orderBy("kind", "change", "id")
+  }
+
   /** MIGRATION IN: load a reference `state.ron` (or
     * `state_YYYYMMDD_HHMMSS.ron` version) into a [[PropertyGraph]].
     * GUI-only fields (node_positions, pan, zoom) are dropped. The parse

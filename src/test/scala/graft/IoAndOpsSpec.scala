@@ -35,6 +35,36 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(old.nodeCount == 2 && old.relationshipCount == 1)
   }
 
+  test("graphstore_diff_reports_added_removed_changed") {
+    import graft.core.PropertyGraph
+    val root = tmpDir("graft_diff")
+    val v1 = GraphStore.save(PropertyGraph(
+      PropertyGraph.nodesDf(spark, Seq(
+        ("n1", "Person", Map("name" -> "Ada")),
+        ("n2", "Person", Map("name" -> "Bob")),
+        ("n3", "Company", Map("name" -> "Acme")))),
+      PropertyGraph.edgesDf(spark, Seq(
+        ("e1", "n1", "n3", "WORKS_AT", Map.empty[String, String]),
+        ("e2", "n2", "n3", "WORKS_AT", Map.empty[String, String])))), root)
+    val v2 = GraphStore.save(PropertyGraph(
+      PropertyGraph.nodesDf(spark, Seq(
+        ("n1", "Person", Map("name" -> "Ada", "title" -> "Dr")), // changed
+        ("n3", "Company", Map("name" -> "Acme")), // unchanged
+        ("n4", "Person", Map("name" -> "Eve")))), // added; n2 removed
+      PropertyGraph.edgesDf(spark, Seq(
+        ("e1", "n1", "n3", "WORKS_AT", Map.empty[String, String])))), root)
+    val d = GraphStore.diff(spark, root, v1, v2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(d == Set(
+      ("node", "changed", "n1"),
+      ("node", "removed", "n2"),
+      ("node", "added", "n4"),
+      ("edge", "removed", "e2")))
+    // a version diffed against itself is empty
+    assert(GraphStore.diff(spark, root, v2, v2).count() == 0)
+  }
+
   test("multi_format_sources_roundtrip_identically") {
     // the same table landed as csv / json / orc reads back row-identical
     // to the parquet source (csv via string casts: it is typeless)
