@@ -59,6 +59,8 @@ object SparkEntry {
     "q97_group_percentiles" -> ((s, d) => RelationalOps.groupPercentiles(s, d)),
     "q98_session_overlap"  -> ((s, d) => TemporalOps.sessionOverlap(s, d)),
     "q99_click_attribution" -> ((s, d) => TemporalOps.clickAttribution(s, d)),
+    "q102_daily_activity"  -> ((s, d) => TemporalOps.dailyActivity(s, d)),
+    "q103_integrity_audit" -> ((s, d) => RelationalOps.integrityAudit(s, d)),
     "q100_bloom_contamination" -> ((s, d) => SketchOps.bloomContamination(s, d)),
     "q96_clustering_coeff" -> ((s, d) => CooccurrenceOps.clusteringCoefficient(s, d)),
     "q80_full_outer"       -> ((s, d) => RelationalOps.fullOuterNationCounts(s, d)),
@@ -345,6 +347,8 @@ object SparkEntry {
     "q97_group_percentiles" -> RelationalOps.groupPercentilesOracleSql(),
     "q98_session_overlap" -> operators.TemporalOps.sessionOverlapOracleSql(),
     "q99_click_attribution" -> operators.TemporalOps.clickAttributionOracleSql(),
+    "q102_daily_activity" -> operators.TemporalOps.dailyActivityOracleSql(),
+    "q103_integrity_audit" -> RelationalOps.integrityAuditOracleSql(),
     "q100_bloom_contamination" -> SketchOps.bloomContaminationOracleSql(),
     "q96_clustering_coeff" -> CooccurrenceOps.clusteringCoeffOracleSql(),
     "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),

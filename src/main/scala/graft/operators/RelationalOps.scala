@@ -402,6 +402,68 @@ object RelationalOps {
        |  AND ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
        |ORDER BY event_id""".stripMargin
 
+  /** q103: REFERENTIAL-INTEGRITY AUDIT — orphan counts for every FK
+    * edge of the star schema (child keys with no parent row), the
+    * data-quality gate a warehouse load runs before publishing. Each
+    * check is an anti-join reduced to one count row; on consistent
+    * data every count is 0, and a non-zero row names the broken edge.
+    *
+    * Scale shape: each check is one anti-join on its FK — dimension
+    * parents broadcast, the two fact-fact checks shuffle on the join
+    * key; counts combine map-side. Checks are independent, so the
+    * union executes them in parallel. */
+  def integrityAudit(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("chk"), col("n_orphans"))
+    val li = Tables(s, d, "lineitem")
+    Seq(
+      check("lineitem->orders", li, "l_orderkey",
+        Tables(s, d, "orders"), "o_orderkey"),
+      check("lineitem->part", li, "l_partkey",
+        Tables(s, d, "part"), "p_partkey"),
+      check("lineitem->supplier", li, "l_suppkey",
+        Tables(s, d, "supplier"), "s_suppkey"),
+      check("orders->customer", Tables(s, d, "orders"), "o_custkey",
+        Tables(s, d, "customer"), "c_custkey"),
+      check("customer->nation", Tables(s, d, "customer"), "c_nationkey",
+        Tables(s, d, "nation"), "n_nationkey"),
+      check("supplier->nation", Tables(s, d, "supplier"), "s_nationkey",
+        Tables(s, d, "nation"), "n_nationkey"),
+      check("nation->region", Tables(s, d, "nation"), "n_regionkey",
+        Tables(s, d, "region"), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy("chk")
+  }
+
+  /** DuckDB rendering of [[integrityAudit]]. */
+  def integrityAuditOracleSql(): String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem->orders' AS chk, COUNT(*) AS n_orphans
+      |  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem->part', COUNT(*) FROM lineitem l
+      |    ANTI JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier', COUNT(*) FROM lineitem l
+      |    ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders->customer', COUNT(*) FROM orders o
+      |    ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'customer->nation', COUNT(*) FROM customer c
+      |    ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'supplier->nation', COUNT(*) FROM supplier s
+      |    ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'nation->region', COUNT(*) FROM nation n
+      |    ANTI JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |ORDER BY chk""".stripMargin
+
   /** q95: MAD ROBUST OUTLIERS — the median-based companion to q72's
     * z-score gate: per event type, flag events whose absolute deviation
     * from the type median exceeds `cut` × the median absolute deviation

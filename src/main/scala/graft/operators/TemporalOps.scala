@@ -228,6 +228,57 @@ object TemporalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q102: TIME-SERIES RESAMPLE — per event type, the DENSE daily count
+    * series over the corpus' day span (missing days filled with 0 — the
+    * resample step every time-series pipeline runs before windowing,
+    * because lag/moving windows are wrong on sparse rows), plus the
+    * day-over-day delta and the trailing 7-day sum. All integer
+    * arithmetic on epoch days → bit-exact oracle.
+    *
+    * Scale shape: the raw aggregation is one map-side-combined
+    * groupBy; the spine is types × days (tiny — generated, not
+    * shuffled); the windows run per type over the dense spine, which
+    * is bounded by the calendar, not the event volume. */
+  def dailyActivity(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the span scalar, the type list, and the join
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("delta", col("cnt") - lag("cnt", 1).over(w))
+      .withColumn("sum7", sum("cnt").over(w7))
+      .select("event_type", "day", "cnt", "delta", "sum7")
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB rendering of [[dailyActivity]]. */
+  def dailyActivityOracleSql(): String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |spine AS (SELECT t.event_type, d.day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t,
+      |    (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) d),
+      |dense AS (SELECT s.event_type, s.day, COALESCE(daily.cnt, 0) AS cnt
+      |  FROM spine s LEFT JOIN daily USING (event_type, day))
+      |SELECT event_type, day, cnt,
+      |  cnt - lag(cnt) OVER w AS delta,
+      |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+      |FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+
   /** q99: MULTI-TOUCH CLICK ATTRIBUTION — for every purchase, ALL of
     * the same user's clicks in the hour before it (inclusive both
     * ends), with the exact µs gap: the window-join companion to q45's

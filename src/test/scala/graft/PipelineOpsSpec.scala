@@ -485,6 +485,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(total > 0 && total < uniformTotal)
   }
 
+  test("daily_activity_resamples_to_a_dense_spine") {
+    val a = TemporalOps.dailyActivity(spark, sf).localCheckpoint(true)
+    // every type covers the identical full day span (dense resample)
+    val spans = a.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("day").as("lo"), max("day").as("hi"))
+    assert(spans.filter(col("n") =!= col("hi") - col("lo") + 1).count() == 0)
+    assert(spans.select("n").distinct().count() == 1)
+    // counts conserve the event stream
+    val total = a.agg(sum("cnt")).head().getLong(0)
+    assert(total == graft.Tables.events(spark, sf).count())
+    // trailing 7-day sum dominates the day count; delta is null only on
+    // each type's first day
+    assert(a.filter(col("sum7") < col("cnt")).count() == 0)
+    assert(a.filter(col("delta").isNull).count() ==
+      a.select("event_type").distinct().count())
+  }
+
+  test("integrity_audit_reports_every_fk_edge_clean") {
+    val r = graft.operators.RelationalOps.integrityAudit(spark, sf)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r.size == 7)
+    // the generated star schema is referentially consistent
+    assert(r.values.forall(_ == 0L), s"unexpected orphans: $r")
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
