@@ -113,6 +113,7 @@ object SparkEntry {
     "q41_ivf_topk"         -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q42_cosine_neardup"   -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
     "q44_cosine_dedup_clusters" -> ((s, d) => SimilarityOps.cosineDedupClusters(s, d)),
+    "q104_embedding_stats" -> ((s, d) => SimilarityOps.embeddingStats(s, d)),
     // --- graph analytics over the FK-derived property graph (§2.8) ---
     "q30_graph_degree"     -> ((s, d) => GraphOps.graphDegree(s, d)),
     "q31_lpa_communities"  -> ((s, d) => GraphOps.lpaCommunities(s, d)),
@@ -349,6 +350,7 @@ object SparkEntry {
     "q99_click_attribution" -> operators.TemporalOps.clickAttributionOracleSql(),
     "q102_daily_activity" -> operators.TemporalOps.dailyActivityOracleSql(),
     "q103_integrity_audit" -> RelationalOps.integrityAuditOracleSql(),
+    "q104_embedding_stats" -> operators.SimilarityOps.embeddingStatsOracleSql(),
     "q100_bloom_contamination" -> SketchOps.bloomContaminationOracleSql(),
     "q96_clustering_coeff" -> CooccurrenceOps.clusteringCoeffOracleSql(),
     "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),

@@ -628,4 +628,48 @@ object SimilarityOps {
        |  FROM cand)
        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** q104: EMBEDDING AGGREGATE STATS — per (label, dimension): vector
+    * count and the exact sum/mean of the dimension, carried as
+    * FIXED-POINT integers (⌊v·10⁷⌋ per element). The float→integer
+    * quantization happens per element BEFORE any aggregation, so the
+    * sums are order-independent BIGINTs and the oracle matches
+    * bit-for-bit — the same exactness discipline as the integer
+    * PageRank (a raw float mean is accumulation-order-dependent and
+    * can't be hash-gated). This is the per-class centroid/drift report
+    * an embedding pipeline runs after (re)ingest: mean shift per class,
+    * dimension health, class balance.
+    *
+    * Scale shape: posexplode is map-side; ONE (label, dim) shuffle with
+    * map-side partial sums; output is classes × dims regardless of
+    * corpus size. Quantization bias is a deterministic ≤ 1e-7 per
+    * element — negligible for drift reporting and the price of an
+    * auditable exact answer. */
+  def embeddingStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label").cast("bigint").as("label"),
+        posexplode(col("embedding")))
+      .toDF("label", "dim", "v")
+      .select(col("label"), col("dim").cast("bigint").as("dim"),
+        floor(col("v").cast("double") * 1e7).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      // FLOOR division via exact doubles (|sum_q| < 2^53), NOT `div`:
+      // Spark div truncates toward zero where DuckDB // floors — they
+      // disagree on the negative sums half the dimensions produce
+      .withColumn("mean_q",
+        floor(col("sum_q").cast("double") / col("n")).cast("long"))
+      .orderBy("label", "dim")
+
+  /** DuckDB rendering of [[embeddingStats]]. */
+  def embeddingStatsOracleSql(): String =
+    """WITH ex AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e7) AS BIGINT) AS q
+      |  FROM embeddings)
+      |SELECT label, dim, COUNT(*) AS n, SUM(q) AS sum_q,
+      |  CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q
+      |FROM ex GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 }

@@ -510,6 +510,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.values.forall(_ == 0L), s"unexpected orphans: $r")
   }
 
+  test("embedding_stats_match_independent_quantized_sums") {
+    val r = graft.operators.SimilarityOps.embeddingStats(spark, sf)
+      .localCheckpoint(true)
+    // independent recomputation in plain Scala
+    val raw = graft.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(x => (x.getInt(0).toLong, x.getSeq[Float](1)))
+    val expected = raw.flatMap { case (l, e) =>
+      e.zipWithIndex.map { case (v, i) =>
+        ((l, i.toLong), math.floor(v.toDouble * 1e7).toLong)
+      }
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val got = r.collect().map(x =>
+      ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3)))).toMap
+    assert(got == expected)
+    // floor-division mean: mean_q <= sum_q/n < mean_q + 1
+    val bad = r.filter(col("mean_q") * col("n") > col("sum_q") ||
+      (col("mean_q") + 1) * col("n") <= col("sum_q")).count()
+    assert(bad == 0)
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)
