@@ -195,6 +195,7 @@ object Exporters {
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
     val n = indexed.count()
     val cells = indexed.select("cell").distinct().count()
+    indexed.unpersist(blocking = false) // release the checkpoint blocks
     (n, cells)
   }
 }

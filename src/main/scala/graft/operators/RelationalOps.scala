@@ -415,8 +415,10 @@ object RelationalOps {
   def integrityAudit(s: SparkSession, d: String): DataFrame = {
     def check(name: String, child: DataFrame, key: String,
         parent: DataFrame, pkey: String): DataFrame =
+      // no distinct on the parent: anti-join semantics are duplicate-
+      // insensitive, and a distinct would add a full shuffle per check
       child.select(col(key).as("k"))
-        .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
         .select(lit(name).as("chk"), col("n_orphans"))
     val li = Tables(s, d, "lineitem")

@@ -668,7 +668,7 @@ object SimilarityOps {
       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e7) AS BIGINT) AS q
       |  FROM embeddings)
-      |SELECT label, dim, COUNT(*) AS n, SUM(q) AS sum_q,
+      |SELECT label, dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
       |  CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q
       |FROM ex GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin

@@ -274,8 +274,8 @@ object TemporalOps {
       |  FROM spine s LEFT JOIN daily USING (event_type, day))
       |SELECT event_type, day, cnt,
       |  cnt - lag(cnt) OVER w AS delta,
-      |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
-      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+      |  CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7
       |FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)
       |ORDER BY event_type, day""".stripMargin
 
