@@ -60,6 +60,7 @@ object SparkEntry {
     "q98_session_overlap"  -> ((s, d) => TemporalOps.sessionOverlap(s, d)),
     "q99_click_attribution" -> ((s, d) => TemporalOps.clickAttribution(s, d)),
     "q102_daily_activity"  -> ((s, d) => TemporalOps.dailyActivity(s, d)),
+    "q105_latest_state"    -> ((s, d) => TemporalOps.latestState(s, d)),
     "q103_integrity_audit" -> ((s, d) => RelationalOps.integrityAudit(s, d)),
     "q100_bloom_contamination" -> ((s, d) => SketchOps.bloomContamination(s, d)),
     "q96_clustering_coeff" -> ((s, d) => CooccurrenceOps.clusteringCoefficient(s, d)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q89_retention_cohorts" -> ((s, d) => TemporalOps.retentionCohorts(s, d)),
     "q90_state_intervals"  -> ((s, d) => TemporalOps.stateIntervals(s, d)),
     "q91_weighted_sample"  -> ((s, d) => TextOps.weightedSample(s, d)),
+    "q106_length_percentile" -> ((s, d) => TextOps.lengthPercentile(s, d)),
     "q92_tfidf_topterms"   -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // --- training-data pipeline: similarity (md5 hash families — oracle-checkable) ---
     "q26_minhash_lsh"      -> ((s, d) => SimilarityOps.minHashLsh(s, d)),
@@ -349,11 +351,13 @@ object SparkEntry {
     "q98_session_overlap" -> operators.TemporalOps.sessionOverlapOracleSql(),
     "q99_click_attribution" -> operators.TemporalOps.clickAttributionOracleSql(),
     "q102_daily_activity" -> operators.TemporalOps.dailyActivityOracleSql(),
+    "q105_latest_state" -> operators.TemporalOps.latestStateOracleSql(),
     "q103_integrity_audit" -> RelationalOps.integrityAuditOracleSql(),
     "q104_embedding_stats" -> operators.SimilarityOps.embeddingStatsOracleSql(),
     "q100_bloom_contamination" -> SketchOps.bloomContaminationOracleSql(),
     "q96_clustering_coeff" -> CooccurrenceOps.clusteringCoeffOracleSql(),
     "q91_weighted_sample" -> operators.TextOps.weightedSampleOracleSql(),
+    "q106_length_percentile" -> operators.TextOps.lengthPercentileOracleSql(),
     "q92_tfidf_topterms" -> operators.TextOps.tfidfTopTermsOracleSql(),
     // stubbed decode bodies, but every number the summary emits is
     // exact integer arithmetic over md5 slices — fully oracle-gated

@@ -228,6 +228,43 @@ object TemporalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q105: CHANGELOG COMPACTION — latest-wins state per (user,
+    * event_type): the CDC/upsert compaction every materialized view or
+    * feature store runs over a change stream. ONE map-side-combined
+    * `max(struct(ts, id, payload))` aggregation — the struct's
+    * lexicographic order makes (ts, event_id) the deterministic
+    * recency key, so no per-group window sort ever touches the stream
+    * (the oracle states the same semantics as a row_number window,
+    * which is the non-scalable formulation). Payload decimal-cast so
+    * the surfaced value is engine-exact.
+    *
+    * Scale: partial max combines map-side; state is one struct per
+    * live key — the same shape streams as an Update-mode aggregation
+    * ([[graft.streaming.StreamingOps.latestStateStream]], parity-
+    * pinned). */
+  def latestState(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("v"))
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("v"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"),
+        col("m.v").cast("double").as("value"))
+      .orderBy("user_id", "event_type")
+
+  /** DuckDB rendering of [[latestState]]. */
+  def latestStateOracleSql(): String =
+    """SELECT user_id, event_type, ts_us, event_id, value FROM (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** q102: TIME-SERIES RESAMPLE — per event type, the DENSE daily count
     * series over the corpus' day span (missing days filled with 0 — the
     * resample step every time-series pipeline runs before windowing,

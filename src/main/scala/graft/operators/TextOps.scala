@@ -413,6 +413,52 @@ object TextOps {
        |SELECT doc_id, rank, tok, tf, df, CAST(score_ppm AS BIGINT) AS score_ppm
        |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** q106: LENGTH PERCENTILE FEATURE — each document's token-count
+    * percentile rank in exact ppm: `(#docs strictly shorter)·1e6 div
+    * (N−1)` — the calibration feature quality models consume instead
+    * of raw lengths (scale-free across corpora). Equivalent to the
+    * window formulation `(rank()−1)·1e6 div (N−1)` the oracle states,
+    * but computed WITHOUT a global sort of the corpus: the histogram
+    * of distinct token counts (≪ corpus size) gets a running-sum
+    * window on the driver-tiny table, then broadcasts back onto a
+    * map-only join — the same shape as the q50 quantile gate, and the
+    * only scalable way to percentile-rank 100 TB. */
+  def lengthPercentile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = withToks(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+    val hist = t.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val wH = Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("smaller", coalesce(sum("cnt").over(wH), lit(0L)))
+      .select("n_tokens", "smaller")
+    val total = hist.agg(sum("cnt").as("n_total"))
+    t.join(broadcast(ranked), "n_tokens")
+      .crossJoin(broadcast(total))
+      .withColumn("pct_ppm",
+        expr("smaller * 1000000 div (n_total - 1)"))
+      .select("doc_id", "n_tokens", "pct_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[lengthPercentile]] (the window formulation —
+    * rank()−1 counts strictly-shorter docs; identical integer
+    * arithmetic). */
+  def lengthPercentileOracleSql(): String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |    CAST(rank() OVER (ORDER BY n_tokens) - 1 AS BIGINT) AS smaller,
+      |    COUNT(*) OVER () AS n_total
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  CAST(smaller * 1000000 // (n_total - 1) AS BIGINT) AS pct_ppm
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** BPE-ish TOKEN COUNT: alongside the whitespace count (q21), the
     * subword-style segmentation a tokenizer-budget estimate needs —
     * letter runs / digit runs / single punctuation marks, the core of

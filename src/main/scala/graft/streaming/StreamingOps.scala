@@ -208,6 +208,25 @@ object StreamingOps {
         (col("p_us") - col("c_us")).as("gap_us"))
   }
 
+  /** STREAMING CHANGELOG COMPACTION — the Update-mode twin of the batch
+    * q105 (TemporalOps.latestState): latest-wins state per (user,
+    * event_type) maintained as a plain `max(struct(ts, id, payload))`
+    * aggregation. No watermark and no custom state handler: the state
+    * store holds exactly one struct per live key (bounded by key space,
+    * not stream length), each micro-batch merges by the same struct
+    * max, and the sink sees upserts — the materialized-view shape.
+    * Exact batch parity pinned in StreamingSpec. */
+  def latestStateStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("v"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"),
+        col("m.v").cast("double").as("value"))
+
   /** Streaming z-score outlier gate — the scoring half of the batch
     * outlier operator (RelationalOps.valueOutliers / q72), run against
     * PRE-TRAINED per-type moments: the batch job computes mean/sd once

@@ -537,6 +537,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("length_percentile_is_monotone_and_bounded") {
+    val p = TextOps.lengthPercentile(spark, sf).localCheckpoint(true)
+    assert(p.filter(col("pct_ppm") < 0 || col("pct_ppm") > 1000000L)
+      .count() == 0)
+    // shortest docs sit at percentile 0
+    val minLen = p.agg(min("n_tokens")).head().getLong(0)
+    assert(p.filter(col("n_tokens") === minLen && col("pct_ppm") =!= 0L)
+      .count() == 0)
+    // strictly longer docs never rank lower (monotone in n_tokens)
+    val pairs = p.select(col("n_tokens").as("a_n"), col("pct_ppm").as("a_p"))
+      .distinct()
+    val inversions = pairs.as("x").join(pairs.as("y"),
+        col("x.a_n") < col("y.a_n") && col("x.a_p") > col("y.a_p"))
+      .count()
+    assert(inversions == 0)
+    // equal lengths share one percentile (the feature is a pure
+    // function of n_tokens)
+    assert(pairs.count() == p.select("n_tokens").distinct().count())
+  }
+
   test("countmin_estimate_is_an_upper_bound_on_exact") {
     // cell collisions only add counts, so estimate >= exact always
     val rows = graft.operators.SketchOps.countMinTokens(spark, sf, k = 10)

@@ -51,6 +51,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming_latest_state_matches_batch_compaction") {
+    val stream = StreamingOps.eventsStream(spark, sf)
+    val result = StreamingOps.runToMemory(spark,
+      StreamingOps.latestStateStream(stream), "latest_state_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val cols = Seq("user_id", "event_type", "ts_us", "event_id", "value")
+    val streamed = result.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("user_id", "event_type").collect().toSeq
+    val batch = graft.operators.TemporalOps.latestState(spark, sf)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming_dedup_matches_batch_distinct") {
     // self-union doubles every event; watermarked dedup must restore
     // exactly the batch-distinct key set
