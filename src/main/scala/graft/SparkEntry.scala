@@ -125,6 +125,7 @@ object SparkEntry {
     "q53_pagerank"         -> ((s, d) => GraphOps.pageRank(s, d)),
     "q101_personalized_pr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     "q54_hop_distance"     -> ((s, d) => GraphOps.hopDistance(s, d)),
+    "q107_shortest_path"   -> ((s, d) => GraphOps.shortestPath(s, d)),
     "q65_kcore"            -> ((s, d) => GraphOps.kCore(s, d)),
     // --- multimodal pipeline plumbing (decode stages stubbed) ---
     "q40_multimodal_pipeline" -> ((s, d) => MultimodalOps.pipelineSummary(s, d)),
@@ -415,6 +416,7 @@ object SparkEntry {
     "q53_pagerank" -> GraphOps.pageRankOracleSql(),
     "q101_personalized_pr" -> GraphOps.personalizedPageRankOracleSql(),
     "q54_hop_distance" -> GraphOps.hopDistanceOracleSql(),
+    "q107_shortest_path" -> GraphOps.shortestPathOracleSql(),
     "q65_kcore" -> GraphOps.kCoreOracleSql(),
     "q34_label_groups" ->
       """WITH e AS (

@@ -218,6 +218,88 @@ object GraphAlgos {
     out
   }
 
+  /** Weighted single-source shortest path from every `sourceLabel`
+    * node over the undirected FK graph: Bellman–Ford with per-edge-TYPE
+    * integer weights, capped at `sweeps` relaxation rounds. After k
+    * rounds the assignment is EXACTLY min total weight over walks of
+    * ≤ k edges — the same quantity the paired oracle's k unrolled
+    * min-relax sweeps compute — whether or not the fixpoint is reached.
+    *
+    * FRONTIER form of the relaxation: a message dist(u)+w only needs
+    * re-sending when dist(u) improved last round (distances are
+    * monotone non-increasing and every sweep keeps
+    * LEAST(previous, candidate), so messages from non-improved nodes
+    * are redundant re-sends of an already-incorporated bound). Unlike
+    * BFS, a node can improve — and hence re-enter the frontier —
+    * multiple times; the loop still exits early only when the frontier
+    * empties, which is the true Bellman–Ford fixpoint.
+    *
+    * Scale shape mirrors [[hopDistanceFrom]]: weighted adjacency
+    * hash-partitioned once; each sweep's only shuffle is the frontier's
+    * (neighbor, candidate) min-reduceByKey (map-side combined); the
+    * settled-distance RDD only ever receives narrow co-partitioned
+    * joins. */
+  def ssspFrom(g: PropertyGraph, sourceLabel: String,
+      typeWeights: Map[String, Long], sweeps: Int = 8): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val INF = Long.MaxValue
+    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
+      .localCheckpoint(true)
+    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
+    val wExpr = element_at(typedLit(typeWeights), col("label"))
+    val und: RDD[(Long, (Long, Long))] = g.edges
+      .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"),
+        wExpr.cast("long").as("w"))
+      .as[(Long, Long, Long)].rdd
+      .flatMap { case (s0, d0, w) => Seq((s0, (d0, w)), (d0, (s0, w))) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    var dist: RDD[(Long, Long)] = g.nodes
+      .select(vidExpr(col("id")).as("vid"),
+        when(col("label") === sourceLabel, lit(0L)).otherwise(lit(INF)).as("d"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier: RDD[(Long, Long)] = dist.filter(_._2 == 0L)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontierSize = frontier.count()
+    var sweep = 0
+    while (sweep < sweeps && frontierSize > 0) {
+      sweep += 1
+      val msg = und.join(frontier) // narrow (co-partitioned)
+        .map { case (_, ((u, w), dv)) => (u, dv + w) }
+        .reduceByKey(part, math.min(_, _)) // the sweep's one shuffle
+      val improved = msg.join(dist) // narrow (both on `part`)
+        .mapPartitions(
+          _.collect { case (u, (nd, d)) if nd < d => (u, nd) },
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prevDist = dist
+      val prevFrontier = frontier
+      dist = prevDist.leftOuterJoin(improved, part) // narrow
+        .mapValues { case (d, nd) => nd.getOrElse(d) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = improved.count()
+      dist.count()
+      frontier = improved
+      prevDist.unpersist(blocking = false)
+      prevFrontier.unpersist(blocking = false)
+    }
+    val out = dist.toDF("vid", "d").join(idMap, "vid")
+      .select(col("id"),
+        when(col("d") === INF, lit(null).cast("bigint"))
+          .otherwise(col("d")).as("dist"))
+      .localCheckpoint(true)
+    und.unpersist(blocking = true)
+    frontier.unpersist(blocking = true)
+    dist.unpersist(blocking = true)
+    out
+  }
+
   /** Undirected adjacency (GA1): both edge directions. */
   def undirectedEdges(g: PropertyGraph): DataFrame =
     g.edges.select(col("src").as("u"), col("dst").as("v"))

@@ -256,6 +256,72 @@ object GraphOps {
       s"\nSELECT id, dist FROM d$sweeps ORDER BY id"
   }
 
+  /** Per-relationship-type integer weights of the q107 weighted
+    * shortest path — ONE definition shared by the engine run and the
+    * oracle rendering so the two can't drift. Keyed by edge label;
+    * the oracle maps each FK branch to its label's weight. */
+  val ssspTypeWeights: Map[String, Long] = Map(
+    "IN_REGION" -> 1L, "FROM_NATION" -> 2L, "PLACED" -> 1L,
+    "CONTAINS" -> 3L, "SUPPLIES" -> 4L)
+
+  /** Beyond-parity graph analytic: weighted single-source shortest
+    * path from the Region nodes over the undirected FK graph (q107) —
+    * frontier Bellman–Ford with per-edge-TYPE integer costs
+    * ([[ssspTypeWeights]]), capped at 8 relaxation rounds exactly like
+    * the oracle's 8 unrolled min-relax sweeps (after k rounds both
+    * equal min weight over ≤ k-edge walks, converged or not). Cached
+    * per (session, dataset) like q54. */
+  private val ssspCache =
+    new graft.core.BoundedCache[(String, String), DataFrame](
+      release = graft.core.BoundedCache.releaseDf)
+
+  def shortestPath(s: SparkSession, d: String): DataFrame =
+    ssspCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
+      GraphAlgos.ssspFrom(builtGraph(s, d), "Region", ssspTypeWeights))
+      .orderBy("id")
+
+  /** DuckDB rendering of [[shortestPath]]: the weighted FK edge list
+    * (each branch carrying its label's [[ssspTypeWeights]] cost — the
+    * SQL twin of `GraphBuilder.fromTables`' edge derivation) + 8
+    * unrolled min-relax sweeps with `dist + w`; the null CASE mirrors
+    * the engine exactly. */
+  def shortestPathOracleSql(sweeps: Int = 8): String = {
+    val w = ssspTypeWeights
+    val prefix = s"""WITH ew(src, dst, w) AS MATERIALIZED (
+      |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey,
+      |    CAST(${w("IN_REGION")} AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey,
+      |    CAST(${w("FROM_NATION")} AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey,
+      |    CAST(${w("FROM_NATION")} AS BIGINT) FROM supplier
+      |  UNION ALL SELECT 'customer:' || o_custkey, 'order:' || o_orderkey,
+      |    CAST(${w("PLACED")} AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'order:' || l_orderkey, 'part:' || l_partkey,
+      |    CAST(${w("CONTAINS")} AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT DISTINCT 'supplier:' || l_suppkey, 'part:' || l_partkey,
+      |    CAST(${w("SUPPLIES")} AS BIGINT) FROM lineitem),
+      |und(u, v, w) AS MATERIALIZED (
+      |  SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+      |${OracleSql.fkNodesCte(withLabel = true)},
+      |d0 AS MATERIALIZED (
+      |  SELECT id, CASE WHEN lbl = 'Region' THEN CAST(0 AS BIGINT) END AS dist
+      |  FROM n)""".stripMargin
+    val sweepCtes = (1 to sweeps).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT und.u AS id, MIN(p.dist + und.w) AS nd
+         |  FROM und JOIN d${k - 1} p ON p.id = und.v
+         |  WHERE p.dist IS NOT NULL GROUP BY und.u),
+         |d$k AS MATERIALIZED (
+         |  SELECT p.id,
+         |    CASE WHEN p.dist IS NULL THEN m.nd
+         |      WHEN m.nd IS NULL THEN p.dist
+         |      ELSE LEAST(p.dist, m.nd) END AS dist
+         |  FROM d${k - 1} p LEFT JOIN m$k m ON m.id = p.id)""".stripMargin
+    }
+    ((prefix +: sweepCtes).mkString(",\n")) +
+      s"\nSELECT id, dist FROM d$sweeps ORDER BY id"
+  }
+
   /** Beyond-parity graph analytic: k-core peeling (q65) — 8 fixed
     * remove-degree-<k sweeps over the undirected FK graph, early exit
     * only at the peeling fixpoint (identical to the oracle's unrolled

@@ -380,4 +380,49 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(got == expected, "hop distances must match the in-memory BFS")
     assert(got.size == expected.size)
   }
+
+  test("shortest_path_matches_inmemory_bellman_ford") {
+    // plain-Scala Bellman–Ford from the Region nodes over the
+    // undirected weighted sf0.001 FK graph, capped at the SAME 8
+    // relaxation rounds as the engine and oracle (after k rounds all
+    // three equal min weight over ≤ k-edge walks — the defined
+    // semantics, converged or not)
+    val g = graft.core.GraphBuilder.fromTables(spark, sf)
+    val w = graft.operators.GraphOps.ssspTypeWeights
+    val edges = g.edges.select("src", "dst", "label").collect()
+      .map(r => (r.getString(0), r.getString(1), w(r.getString(2))))
+    val adj = collection.mutable.Map.empty[String, List[(String, Long)]]
+    for ((a, b, c) <- edges) {
+      adj(a) = (b, c) :: adj.getOrElse(a, Nil)
+      adj(b) = (a, c) :: adj.getOrElse(b, Nil)
+    }
+    val nodes = g.nodes.select("id", "label").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dist = collection.mutable.Map[String, Long](
+      nodes.collect { case (id, "Region") => id -> 0L }.toIndexedSeq: _*)
+    for (_ <- 1 to 8) {
+      val relaxed = dist.toList.flatMap { case (u, du) =>
+        adj.getOrElse(u, Nil).map { case (v, wc) => v -> (du + wc) }
+      }
+      for ((v, nd) <- relaxed if nd < dist.getOrElse(v, Long.MaxValue))
+        dist(v) = nd
+    }
+    val got = graft.operators.GraphOps.shortestPath(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = nodes.map { case (id, _) => id -> dist.get(id) }.toMap
+    assert(got == expected,
+      "weighted distances must match the in-memory Bellman-Ford")
+    assert(got.size == expected.size)
+    // weighted distance dominates hop count: every edge costs >= 1
+    val hops = graft.operators.GraphOps.hopDistance(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.forall { case (id, d) =>
+      (d, hops(id)) match {
+        case (Some(wd), Some(h)) => wd >= h
+        case (a, b) => a.isEmpty == b.isEmpty
+      }
+    }, "weighted distance must be >= hop distance; reachability identical")
+  }
 }
