@@ -151,72 +151,13 @@ object GraphAlgos {
     * Scale shape: adjacency hash-partitioned once; each sweep's only
     * shuffle is the frontier's (neighbor, candidate) min-reduceByKey
     * (map-side combined); the settled-distance RDD only ever receives
-    * narrow co-partitioned joins. */
+    * narrow co-partitioned joins.
+    *
+    * Implemented as [[ssspFrom]] with unit weights — BFS is the
+    * weighted relaxation's special case. */
   def hopDistanceFrom(g: PropertyGraph, sourceLabel: String,
-      sweeps: Int = 8): DataFrame = {
-    import org.apache.spark.HashPartitioner
-    import org.apache.spark.rdd.RDD
-    import org.apache.spark.storage.StorageLevel
-    val spark = g.nodes.sparkSession
-    import spark.implicits._
-    val sc = spark.sparkContext
-    val INF = Long.MaxValue
-    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
-      .localCheckpoint(true)
-    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
-    val und: RDD[(Long, Long)] = g.edges
-      .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"))
-      .as[(Long, Long)].rdd
-      .flatMap { case (s0, d0) => Seq((s0, d0), (d0, s0)) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
-    var dist: RDD[(Long, Long)] = g.nodes
-      .select(vidExpr(col("id")).as("vid"),
-        when(col("label") === sourceLabel, lit(0L)).otherwise(lit(INF)).as("d"))
-      .as[(Long, Long)].rdd
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    // sweep-0 frontier: the seed nodes
-    var frontier: RDD[(Long, Long)] = dist.filter(_._2 == 0L)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontierSize = frontier.count()
-    val verbose = spark.conf.getOption("spark.graft.bfs.verbose").contains("true")
-    var sweep = 0
-    while (sweep < sweeps && frontierSize > 0) {
-      sweep += 1
-      val tSweep = System.nanoTime()
-      val msg = und.join(frontier) // narrow (co-partitioned)
-        .map { case (_, (u, dv)) => (u, dv + 1) }
-        .reduceByKey(part, math.min(_, _)) // the sweep's one shuffle
-      // newly-settled nodes: candidate strictly improves current dist.
-      // Keys pass through unchanged, so partitioning is preserved — the
-      // frontier stays co-partitioned with `und`/`dist` shuffle-free.
-      val improved = msg.join(dist) // narrow (both on `part`)
-        .mapPartitions(
-          _.collect { case (u, (nd, d)) if nd < d => (u, nd) },
-          preservesPartitioning = true)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val prevDist = dist
-      val prevFrontier = frontier
-      dist = prevDist.leftOuterJoin(improved, part) // narrow
-        .mapValues { case (d, nd) => nd.getOrElse(d) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      frontierSize = improved.count() // materializes dist's parents too
-      dist.count()
-      frontier = improved
-      prevDist.unpersist(blocking = false)
-      prevFrontier.unpersist(blocking = false)
-      if (verbose) println(f"[bfs] sweep $sweep: ${(System.nanoTime() - tSweep) / 1e9}%.1f s, frontier=$frontierSize")
-    }
-    val out = dist.toDF("vid", "d").join(idMap, "vid")
-      .select(col("id"),
-        when(col("d") === INF, lit(null).cast("bigint"))
-          .otherwise(col("d")).as("dist"))
-      .localCheckpoint(true)
-    und.unpersist(blocking = true)
-    frontier.unpersist(blocking = true)
-    dist.unpersist(blocking = true)
-    out
-  }
+      sweeps: Int = 8): DataFrame =
+    ssspFrom(g, sourceLabel, Map.empty, sweeps)
 
   /** Weighted single-source shortest path from every `sourceLabel`
     * node over the undirected FK graph: Bellman–Ford with per-edge-TYPE
@@ -251,7 +192,11 @@ object GraphAlgos {
     val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
       .localCheckpoint(true)
     val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
-    val wExpr = element_at(typedLit(typeWeights), col("label"))
+    // empty map = unit weights: hopDistanceFrom's BFS is this loop's
+    // special case (a settled node then never re-improves)
+    val wExpr =
+      if (typeWeights.isEmpty) lit(1L)
+      else element_at(typedLit(typeWeights), col("label"))
     val und: RDD[(Long, (Long, Long))] = g.edges
       .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"),
         wExpr.cast("long").as("w"))
@@ -264,15 +209,21 @@ object GraphAlgos {
         when(col("label") === sourceLabel, lit(0L)).otherwise(lit(INF)).as("d"))
       .as[(Long, Long)].rdd
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // sweep-0 frontier: the seed nodes
     var frontier: RDD[(Long, Long)] = dist.filter(_._2 == 0L)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontierSize = frontier.count()
+    val verbose = spark.conf.getOption("spark.graft.bfs.verbose").contains("true")
     var sweep = 0
     while (sweep < sweeps && frontierSize > 0) {
       sweep += 1
+      val tSweep = System.nanoTime()
       val msg = und.join(frontier) // narrow (co-partitioned)
         .map { case (_, ((u, w), dv)) => (u, dv + w) }
         .reduceByKey(part, math.min(_, _)) // the sweep's one shuffle
+      // newly-improved nodes: candidate strictly improves current dist.
+      // Keys pass through unchanged, so partitioning is preserved — the
+      // frontier stays co-partitioned with `und`/`dist` shuffle-free.
       val improved = msg.join(dist) // narrow (both on `part`)
         .mapPartitions(
           _.collect { case (u, (nd, d)) if nd < d => (u, nd) },
@@ -283,11 +234,12 @@ object GraphAlgos {
       dist = prevDist.leftOuterJoin(improved, part) // narrow
         .mapValues { case (d, nd) => nd.getOrElse(d) }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      frontierSize = improved.count()
+      frontierSize = improved.count() // materializes dist's parents too
       dist.count()
       frontier = improved
       prevDist.unpersist(blocking = false)
       prevFrontier.unpersist(blocking = false)
+      if (verbose) println(f"[sssp] sweep $sweep: ${(System.nanoTime() - tSweep) / 1e9}%.1f s, frontier=$frontierSize")
     }
     val out = dist.toDF("vid", "d").join(idMap, "vid")
       .select(col("id"),
