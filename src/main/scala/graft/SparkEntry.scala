@@ -306,7 +306,7 @@ object SparkEntry {
     "q63_json_props" ->
       """WITH e AS (SELECT event_type,
         |             CAST(props->>'k' AS BIGINT) AS k FROM events)
-        |SELECT event_type, COUNT(*) AS cnt, SUM(k) AS sum_k,
+        |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS k_present
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q64_length_quantiles" ->

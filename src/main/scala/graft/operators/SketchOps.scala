@@ -446,7 +446,7 @@ object SketchOps {
       s"CAST(${OracleSql.hexPoly("md5(tok)", 1 + 2 * i, 2)} AS BIGINT) AS b$i"
     }.mkString(",\n    ")
     val cellUnion = rows.map { i =>
-      s"SELECT $i AS row, b$i AS bucket, SUM(cnt) AS cell FROM tc GROUP BY b$i"
+      s"SELECT $i AS row, b$i AS bucket, CAST(SUM(cnt) AS BIGINT) AS cell FROM tc GROUP BY b$i"
     }.mkString("\n  UNION ALL ")
     val joins = rows.map { i =>
       s"JOIN cells c$i ON c$i.row = $i AND c$i.bucket = tc.b$i" }

@@ -34,8 +34,24 @@ for name, sql in sorted(oracle.items()):
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     if len(o) != len(s):
         print(f"FAIL {name}: rows {len(s)} vs oracle {len(o)}"); fail += 1; continue
+    # normalize only the pandas nullable-int spelling (Int64 -> int64 when
+    # no nulls); everything else must match dtype-exactly, like the driver's
+    # dtype-sensitive hash (DuckDB HUGEINT/DOUBLE drift must FAIL here).
+    for df in (o, s):
+        for c in df.columns:
+            dt = str(df[c].dtype)
+            if dt in ("Int64", "Int32") and not df[c].isna().any():
+                df[c] = df[c].astype("int64")
+            elif dt == "int32":
+                df[c] = df[c].astype("int64")
+            elif dt == "Float64" and not df[c].isna().any():
+                df[c] = df[c].astype("float64")
+    dmis = [(c, str(o[c].dtype), str(s[c].dtype)) for c in o.columns
+            if str(o[c].dtype) != str(s[c].dtype)]
+    if dmis:
+        print(f"FAIL {name}: dtype drift {dmis}"); fail += 1; continue
     try:
-        pd.testing.assert_frame_equal(o, s, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(o, s, check_dtype=True, check_exact=True)
         print(f"OK   {name}: {len(s)} rows"); ok += 1
     except AssertionError as e:
         print(f"FAIL {name}: value mismatch: {str(e)[:400]}"); fail += 1
