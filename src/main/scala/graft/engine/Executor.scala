@@ -281,24 +281,8 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       col(v) === col(s"${v}__pid"), "left").drop(s"${v}__pid")
   }
 
-  /** Driver-result guard: the reference materializes every result row
-    * in memory (its OLTP-sized contract); at Spark scale an unbounded
-    * `MATCH (n) RETURN n` is a driver OOM. Results are fetched through
-    * a configurable cap (`spark.graft.maxResultRows`, default 1M) with
-    * a clear error past it — bounded driver memory, single job. */
-  private def collectCapped(b: DataFrame): Array[org.apache.spark.sql.Row] = {
-    // parse as Long and clamp: the settings surface types the cap as a
-    // Long, and a value past Int.MaxValue must mean "huge cap", not a
-    // NumberFormatException on every query
-    val cap = spark.conf.getOption("spark.graft.maxResultRows")
-      .map(v => math.min(v.toLong, Int.MaxValue - 1L).toInt)
-      .getOrElse(1000000)
-    val rows = b.limit(cap + 1).collect()
-    if (rows.length > cap)
-      throw ParseException(
-        s"Result exceeds spark.graft.maxResultRows=$cap rows; add LIMIT or raise the cap")
-    rows
-  }
+  private def collectCapped(b: DataFrame): Array[org.apache.spark.sql.Row] =
+    CypherExecutor.collectCapped(spark, b)
 
   private def strCmp(l: Column, r: Column, op: String): Column = op match {
     case "<" => l < r; case "<=" => l <= r; case ">" => l > r
@@ -768,5 +752,30 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       }
     }
     rows.toSeq
+  }
+}
+
+object CypherExecutor {
+  /** Driver-result guard: the reference materializes every result row
+    * in memory (its OLTP-sized contract); at Spark scale an unbounded
+    * `MATCH (n) RETURN n` is a driver OOM. Results are fetched through
+    * a configurable cap (`spark.graft.maxResultRows`, default 1M) with
+    * a clear error past it — bounded driver memory, single job. Shared
+    * by the Cypher RETURN path and the legacy-dialect result echo so
+    * no result surface can collect unbounded.
+    */
+  private[graft] def collectCapped(
+      spark: SparkSession, b: DataFrame): Array[org.apache.spark.sql.Row] = {
+    // parse as Long and clamp: the settings surface types the cap as a
+    // Long, and a value past Int.MaxValue must mean "huge cap", not a
+    // NumberFormatException on every query
+    val cap = spark.conf.getOption("spark.graft.maxResultRows")
+      .map(v => math.min(v.toLong, Int.MaxValue - 1L).toInt)
+      .getOrElse(1000000)
+    val rows = b.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw ParseException(
+        s"Result exceeds spark.graft.maxResultRows=$cap rows; add LIMIT or raise the cap")
+    rows
   }
 }

@@ -90,14 +90,18 @@ class GraphSession(val spark: SparkSession) {
 
   // -------------------------------------------------------- legacy ops
 
+  // Legacy-dialect result echo rides the same driver-memory guard as
+  // the Cypher RETURN path (spark.graft.maxResultRows): a legacy
+  // `MATCH NODE label=...` over a 100×-scale graph must error at the
+  // cap, not OOM the driver.
   private def collectNodes(df: DataFrame): Seq[ResultRow] =
-    df.collect().toSeq.map { r =>
+    CypherExecutor.collectCapped(spark, df).toSeq.map { r =>
       ResultRow.node(r.getAs[String]("id"), r.getAs[String]("label"),
         Option(r.getAs[Map[String, String]]("properties")).getOrElse(Map.empty))
     }
 
   private def collectRels(df: DataFrame): Seq[ResultRow] =
-    df.collect().toSeq.map { r =>
+    CypherExecutor.collectCapped(spark, df).toSeq.map { r =>
       ResultRow.rel(r.getAs[String]("id"), r.getAs[String]("src"),
         r.getAs[String]("dst"), r.getAs[String]("label"),
         Option(r.getAs[Map[String, String]]("properties")).getOrElse(Map.empty))

@@ -536,6 +536,22 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.maxResultRows")
     assert(s.execute("MATCH (n:Cap) RETURN n").rows.length == 8)
   }
+
+  // same guard on the legacy dialect's result echo: a past-cap legacy
+  // MATCH errors instead of collecting unbounded, and a read-only MATCH
+  // leaves the affected counters at zero
+  test("legacy_result_cap_guard") {
+    val s = newSession()
+    (1 to 8).foreach(i => s.execute(s"""CREATE NODE LCap {name:"$i"};"""))
+    spark.conf.set("spark.graft.maxResultRows", "5")
+    try {
+      val e = intercept[Exception] { s.execute("MATCH NODE LCap;") }
+      assert(e.getMessage.contains("maxResultRows"))
+    } finally spark.conf.unset("spark.graft.maxResultRows")
+    val out = s.execute("MATCH NODE LCap;")
+    assert(out.rows.length == 8)
+    assert(out.affectedNodes == 0 && out.affectedRels == 0 && !out.mutated)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */
