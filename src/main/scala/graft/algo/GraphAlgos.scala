@@ -194,9 +194,14 @@ object GraphAlgos {
     val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
     // empty map = unit weights: hopDistanceFrom's BFS is this loop's
     // special case (a settled node then never re-improves)
+    // unknown edge labels default to unit weight: a bare element_at
+    // returns NULL for labels missing from the map and the tuple decode
+    // below would NPE at runtime — unit weight keeps a new edge type
+    // traversable instead of breaking SSSP opaquely (callers that want
+    // the engine/oracle edge sets in lockstep pass a complete map)
     val wExpr =
       if (typeWeights.isEmpty) lit(1L)
-      else element_at(typedLit(typeWeights), col("label"))
+      else coalesce(element_at(typedLit(typeWeights), col("label")), lit(1L))
     val und: RDD[(Long, (Long, Long))] = g.edges
       .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"),
         wExpr.cast("long").as("w"))

@@ -381,7 +381,12 @@ object RelationalOps {
         sum((col("v") * col("v")).cast(DecimalType(38, 8)))
           .cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
-      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+      // clamp before sqrt, mirroring the oracle's GREATEST(..., 0): a
+      // near-constant group can round the variance slightly negative,
+      // and Spark's sqrt(negative)=NaN compares GREATER than any number
+      // so it would leak through the sd > 0 gate downstream
+      .withColumn("sd", sqrt(greatest(
+        col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))
         / (col("n") - 1)))
       .select("event_type", "mean", "sd")
 

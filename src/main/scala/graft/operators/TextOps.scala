@@ -436,8 +436,11 @@ object TextOps {
     val total = hist.agg(sum("cnt").as("n_total"))
     t.join(broadcast(ranked), "n_tokens")
       .crossJoin(broadcast(total))
+      // greatest(..., 1) guards the degenerate 1-document corpus, where
+      // Spark's div-by-zero NULLs while DuckDB's // errors — with the
+      // same guard on both sides the single doc ranks at percentile 0
       .withColumn("pct_ppm",
-        expr("smaller * 1000000 div (n_total - 1)"))
+        expr("smaller * 1000000 div greatest(n_total - 1, 1)"))
       .select("doc_id", "n_tokens", "pct_ppm")
       .orderBy("doc_id")
   }
@@ -456,7 +459,7 @@ object TextOps {
       |    COUNT(*) OVER () AS n_total
       |  FROM t)
       |SELECT doc_id, n_tokens,
-      |  CAST(smaller * 1000000 // (n_total - 1) AS BIGINT) AS pct_ppm
+      |  CAST(smaller * 1000000 // GREATEST(n_total - 1, 1) AS BIGINT) AS pct_ppm
       |FROM r ORDER BY doc_id""".stripMargin
 
   /** BPE-ish TOKEN COUNT: alongside the whitespace count (q21), the
