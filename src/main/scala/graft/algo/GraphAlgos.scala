@@ -1,5 +1,7 @@
 package graft.algo
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -81,7 +83,7 @@ object GraphAlgos {
       .map(l => col("label") === l).getOrElse(lit(true))
     val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"),
         seedCol.as("seed"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     // hub-heavy worst case: one node can receive ~all the total mass
     // n·scale, and the update multiplies by 17 before dividing
     require(BigInt(17) * idMap.count() * scale < BigInt(Long.MaxValue),
@@ -120,7 +122,7 @@ object GraphAlgos {
       prev.unpersist(blocking = false)
     }
     val out = pr.toDF("vid", "pr").join(idMap, "vid")
-      .select("id", "pr").localCheckpoint(true)
+      .select("id", "pr").graftCheckpoint()
     // blocking: drop the loop's blocks before returning, so the cleanup
     // storm lands inside this analytic's own wall-clock instead of
     // disturbing whatever query runs next in the session
@@ -190,7 +192,7 @@ object GraphAlgos {
     val sc = spark.sparkContext
     val INF = Long.MaxValue
     val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
     // empty map = unit weights: hopDistanceFrom's BFS is this loop's
     // special case (a settled node then never re-improves)
@@ -250,7 +252,7 @@ object GraphAlgos {
       .select(col("id"),
         when(col("d") === INF, lit(null).cast("bigint"))
           .otherwise(col("d")).as("dist"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     und.unpersist(blocking = true)
     frontier.unpersist(blocking = true)
     dist.unpersist(blocking = true)
@@ -285,7 +287,7 @@ object GraphAlgos {
       transform(map_entries(col("properties")),
         e => concat(e.getField("key"), lit("="), e.getField("value"))).as("kv"),
       greatest(size(col("properties")).cast("double"), lit(1.0)).as("nprops"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val n1 = prepped.select(col("id").as("u"), col("label").as("u_label"),
       col("vid").as("u_vid"), col("kv").as("u_kv"), col("nprops").as("u_nprops"))
     val n2 = prepped.select(col("id").as("v"), col("label").as("v_label"),
@@ -344,7 +346,7 @@ object GraphAlgos {
     // zipWithIndex at billions-of-nodes scale where ~60-bit hash
     // collisions become material)
     val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     // Hashes tuple keys by their FIRST element and scalar keys as-is, so
     // a `((dst, comm), w)` reduceByKey lands every row for `dst` in the
     // partition a plain `(dst, …)` RDD would use. Inherits
@@ -421,7 +423,7 @@ object GraphAlgos {
       .join(idMap.select(col("vid").as("comm_vid"), col("id").as("community")),
         Seq("comm_vid"))
       .select("id", "community")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     edges.unpersist(blocking = false)
     comm.unpersist(blocking = false)
     out
@@ -444,9 +446,9 @@ object GraphAlgos {
     * counter and the early-exit count. */
   def kCore(g: PropertyGraph, k: Int = 3, sweeps: Int = 8): DataFrame = {
     require(sweeps >= 1, "kCore needs at least one peel sweep")
-    val und = undirectedEdges(g).localCheckpoint(true)
+    val und = undirectedEdges(g).graftCheckpoint()
     var alive = g.nodes.select(col("id"),
-      lit(null).cast("bigint").as("deg")).localCheckpoint(true)
+      lit(null).cast("bigint").as("deg")).graftCheckpoint()
     var aliveCount = alive.count()
     var sweep = 0
     var done = false
@@ -457,7 +459,7 @@ object GraphAlgos {
         .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
         .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-        .localCheckpoint(true)
+        .graftCheckpoint()
       val nextCount = next.count()
       // peeling only removes, so equal COUNT means equal SET — early
       // exit ONLY at that fixpoint (identical result to running all

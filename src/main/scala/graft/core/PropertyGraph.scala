@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -23,7 +25,7 @@ case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * Spark pitfall); localCheckpoint is the in-session analog of the
     * snapshot write a cluster deployment would do via GraphStore. */
   def materialized: PropertyGraph =
-    PropertyGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true))
+    PropertyGraph(nodes.graftCheckpoint(), edges.graftCheckpoint())
 
   /** Referential integrity of edges (graph.rs:58-65): both endpoints
     * must exist. Returns edges that violate it. */

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -227,7 +229,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
             Seq("__s"), "left_semi")
         else b0
       } else filterNodesRaw(npL.label, npL.props).select(col("id").as("__s")))
-        .localCheckpoint(true)
+        .graftCheckpoint()
 
     var frontier = sources.select(col("__s"), col("__s").as("__c"))
     var visited = frontier
@@ -240,8 +242,8 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         .select(col("__s"), col("__ed").as("__c"))
         .distinct()
         .join(visited, Seq("__s", "__c"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+        .graftCheckpoint()
+      visited = visited.unionByName(frontier).graftCheckpoint()
       if (depth >= mn) {
         results = if (results == null) frontier else results.unionByName(frontier)
       }
@@ -479,7 +481,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
             val rv = r.variable.get
             val typ = rel.relType.getOrElse("_")
             val b2 = binding.withColumn("__newrel", IdGen.distributedExpr(statementMs))
-              .localCheckpoint(true)
+              .graftCheckpoint()
             val newEdges = b2.select(col("__newrel").as("id"), col(lv).as("src"),
               col(rv).as("dst"), lit(typ).as("label"),
               propsLit(rel.props).as("properties"))
@@ -525,7 +527,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       col(lv) === col("__msrc") && col(rv) === col("__mdst"), "left")
       .drop("__msrc", "__mdst")
       .withColumn("__newrid", IdGen.distributedExpr(statementMs))
-      .localCheckpoint(true)
+      .graftCheckpoint()
 
     val toCreate = joined.filter(col("__mrid").isNull)
       .select(col(lv).as("src"), col(rv).as("dst"), col("__newrid"))
@@ -548,7 +550,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       case Some(rvn) => kinds(rvn) = RelKind; b2.withColumnRenamed("__rid", rvn)
       case None => b2.drop("__rid")
     }
-    (b2.localCheckpoint(true), g)
+    (b2.graftCheckpoint(), g)
   }
 
   private def boundIds(binding: DataFrame, v: String): DataFrame =
@@ -610,11 +612,11 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     val relIds =
       if (relVars.isEmpty) null
       else relVars.map(boundIds(binding, _)).reduce(_ unionByName _).distinct()
-        .localCheckpoint(true)
+        .graftCheckpoint()
     val nodeIds =
       if (nodeVars.isEmpty) null
       else nodeVars.map(boundIds(binding, _)).reduce(_ unionByName _).distinct()
-        .localCheckpoint(true)
+        .graftCheckpoint()
 
     if (!detach && nodeIds != null) {
       // constraint check against the PRE-delete edge set

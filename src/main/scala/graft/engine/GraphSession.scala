@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -219,7 +221,7 @@ class GraphSession(val spark: SparkSession) {
       .withColumn("id", IdGen.distributedExpr(System.currentTimeMillis()))
       .select(col("id"), col("src"), col("dst"), lit(c.relType).as("label"),
         typedLit(Map.empty[String, String]).as("properties"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val created = toCreate.count()
     if (created > 0)
       graph = PropertyGraph(graph.nodes, graph.edges.unionByName(toCreate)).materialized

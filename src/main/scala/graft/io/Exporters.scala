@@ -1,5 +1,7 @@
 package graft.io
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,7 +114,7 @@ object Exporters {
     val out = gated.join(chunks, "doc_id")
       .withColumn("shard", expr(s"chunk_id div $shardChunks"))
       .select("doc_id", "lang", "source", "n_tokens", "chunk_id", "shard", "text")
-      .localCheckpoint(true) // compute the pipeline ONCE for write + count
+      .graftCheckpoint() // compute the pipeline ONCE for write + count
     out.write.mode("overwrite").partitionBy("shard").json(path)
     val n = out.count()
     out.unpersist(blocking = false)
@@ -162,7 +164,7 @@ object Exporters {
     val out = sampled.join(chunks, "doc_id")
       .withColumn("shard", expr(s"chunk_id div $shardChunks"))
       .select("doc_id", "lang", "source", "n_tokens", "chunk_id", "shard", "text")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     out.write.mode("overwrite").partitionBy("shard").json(path)
     val n = out.count()
     val shards = out.select("shard").distinct().count()
@@ -191,7 +193,7 @@ object Exporters {
     val indexed = SimilarityOps.cellAssignments(spark, sfDir, nlist)
       .join(keepers, "vec_id")
       .select("vec_id", "cell", "embedding")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
     val n = indexed.count()
     val cells = indexed.select("cell").distinct().count()

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -21,14 +23,14 @@ object Components {
   def minLabelClusters(ids: DataFrame, pairs: DataFrame, sweeps: Int): DataFrame = {
     val und = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     var lbl = ids.select(col("id"), col("id").as("lbl"))
     var prev: DataFrame = null
     for (_ <- 1 to sweeps) {
       val nbr = und.join(lbl.withColumnRenamed("id", "v"), "v")
         .select(col("u").as("id"), col("lbl"))
       val next = lbl.unionByName(nbr).groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       // drop the superseded sweep's blocks so repeated invocations don't
       // pin block-manager storage for the whole session
       if (prev != null) prev.unpersist(false)

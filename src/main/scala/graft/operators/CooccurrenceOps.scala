@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +37,7 @@ object CooccurrenceOps {
     membCache.getOrElseUpdate((s.sparkContext.applicationId, d, kind))(
       Tables(s, d, "lineitem")
         .select(col(cols._1).as("a"), col(cols._2).as("b"))
-        .distinct().localCheckpoint(true))
+        .distinct().graftCheckpoint())
 
   /** q57: part pairs that co-occur in the same order (market-basket
     * co-purchase), top `k` by distinct order count. Orders with more
@@ -62,7 +64,7 @@ object CooccurrenceOps {
         .filter(col("bsize") <= maxBasket)
         .select("okey"),
       "okey")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val a = kept.select(col("okey"), col("pkey").as("p1"))
     val b = kept.select(col("okey"), col("pkey").as("p2"))
     a.join(b, "okey").filter(col("p1") < col("p2"))
@@ -107,7 +109,7 @@ object CooccurrenceOps {
         .filter(col("pdeg") <= maxDf)
         .select("pk"),
       "pk")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val shared = kept.select(col("pk"), col("sk").as("s1"))
       .join(kept.select(col("pk"), col("sk").as("s2")), "pk")
       .filter(col("s1") < col("s2"))
@@ -145,7 +147,7 @@ object CooccurrenceOps {
     if (minSupport == 2 && maxBasket == 64)
       triCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
         trianglesOfEdges(copurchaseEdges(s, d, minSupport, maxBasket))
-          .localCheckpoint(true))
+          .graftCheckpoint())
     else
       trianglesOfEdges(buildCopurchaseEdges(s, d, minSupport, maxBasket))
 
@@ -164,7 +166,7 @@ object CooccurrenceOps {
       minSupport: Int, maxBasket: Int): DataFrame =
     undCache.getOrElseUpdate((s.sparkContext.applicationId, d))(
       buildCopurchaseEdges(s, d, minSupport, maxBasket)
-        .localCheckpoint(true))
+        .graftCheckpoint())
 
   private def buildCopurchaseEdges(s: SparkSession, d: String,
       minSupport: Int, maxBasket: Int): DataFrame = {
@@ -177,7 +179,7 @@ object CooccurrenceOps {
         .filter(col("bsize") <= maxBasket)
         .select("okey"),
       "okey")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     kept.select(col("okey"), col("pkey").as("p1"))
       .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
       .filter(col("p1") < col("p2"))
@@ -218,7 +220,7 @@ object CooccurrenceOps {
     * the same three frames are the ones a production job would persist
     * or write between stages. */
   def trianglesOfEdges(undRaw: DataFrame): DataFrame = {
-    val und = undRaw.localCheckpoint(true)
+    val und = undRaw.graftCheckpoint()
     val deg = und.select(col("p1").as("v"))
       .union(und.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -234,12 +236,12 @@ object CooccurrenceOps {
         when(col("d1") < col("d2") ||
           (col("d1") === col("d2") && col("p1") < col("p2")),
           col("p2")).otherwise(col("p1")).as("w"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val tri = oriented.select(col("u").as("a"), col("w").as("b"))
       .join(oriented.select(col("u").as("b"), col("w").as("c")), "b")
       .join(oriented.select(col("u").as("a"), col("w").as("c")),
         Seq("a", "c"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     // und/oriented checkpoint blocks are released by ContextCleaner once
     // unreferenced (tri is itself materialized, so nothing re-reads them)
     tri.select(col("a").as("node"))

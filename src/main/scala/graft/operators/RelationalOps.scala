@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -490,7 +492,7 @@ object RelationalOps {
   def madOutliers(s: SparkSession, d: String, cut: Double = 5.0): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .localCheckpoint(true) // feeds both median passes and the final gate
+      .graftCheckpoint() // feeds both median passes and the final gate
     def lowerMedian(df: DataFrame, valueCol: String,
         out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(valueCol)
@@ -505,7 +507,7 @@ object RelationalOps {
     val med = lowerMedian(ev, "value", "med")
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
-      .localCheckpoint(true) // feeds the MAD pass and the final gate
+      .graftCheckpoint() // feeds the MAD pass and the final gate
     val mad = lowerMedian(dev, "dev", "mad")
     dev.join(broadcast(mad), "event_type")
       .filter(col("mad") > 0 && col("dev") > col("mad") * cut)
@@ -559,7 +561,7 @@ object RelationalOps {
     val ranked = j
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .withColumn("n", count(lit(1)).over(wn))
-      .localCheckpoint(true) // three rank picks read it
+      .graftCheckpoint() // three rank picks read it
     def pick(p: Int, out: String): DataFrame = ranked
       .filter(col("rn") === expr(s"(n * $p + 99) div 100")) // ⌈n·p/100⌉
       .select(col("n_name"), col("price").cast("double").as(out))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -162,7 +164,7 @@ object SimilarityOps {
     neardupCache.getOrElseUpdate(
       (s.sparkContext.applicationId, d, nTables, dim, threshold))(
       cosineNearDupPairsUncached(s, d, nTables, dim, threshold)
-        .localCheckpoint(true))
+        .graftCheckpoint())
 
   private def cosineNearDupPairsUncached(s: SparkSession, d: String,
       nTables: Int, dim: Int, threshold: Double): DataFrame = {
@@ -263,7 +265,7 @@ object SimilarityOps {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, d)
         .withColumn("vec", array_to_vector(col("embedding")))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       val model = new KMeans().setK(nlist).setSeed(42L)
         .setFeaturesCol("vec").setPredictionCol("cell")
         .fit(emb.filter(col("vec_id") < sampleCap))
@@ -284,7 +286,7 @@ object SimilarityOps {
       val assigned = emb
         .select(col("vec_id"), col("embedding"),
           least(d2Cols: _*).getField("cell").as("cell"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       (centroids, assigned)
     })
 
@@ -465,7 +467,7 @@ object SimilarityOps {
       // one signature row per doc, referenced FOUR times below (both
       // band-join sides + both signature fetches) — materialize once or
       // the whole shingle+hash pipeline re-executes per reference
-      .localCheckpoint(true)
+      .graftCheckpoint()
     // band key = md5 of the band's signature slice (bounds the join-key
     // width at scale vs carrying the raw 4×32-hex concatenation)
     val bandKeyCols = (0 until bands).map { b =>
@@ -573,7 +575,7 @@ object SimilarityOps {
           when(col(s"v$b") > 0, lit(1)).otherwise(lit(0))): _*).as("bits"))
       // one bit-vector row per doc, referenced from both self-join
       // sides — materialize once (same rationale as minHashLsh)
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val bandKeyCols = (0 until 4).map { bb =>
       concat_ws("", slice(col("bits"), bb * 16 + 1, 16).cast("array<string>"))
     }

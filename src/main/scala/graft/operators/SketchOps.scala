@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -146,7 +148,7 @@ object SketchOps {
     val sh = TextOps.shingleRows(s, d)
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("sh").as("v"))
-      .localCheckpoint(true) // feeds ranks, the lang grid, and the exact count
+      .graftCheckpoint() // feeds ranks, the lang grid, and the exact count
     val mx = hllRanksKeyed(sh)
       .groupBy("lang", "bucket").agg(max("rank").as("mx"))
     val grid = sh.select("lang").distinct()
@@ -227,7 +229,7 @@ object SketchOps {
         (conv(substring(col("h"), 1, 12), 16, 10).cast("long") % BM).as("p0"),
         (conv(substring(col("h"), 13, 12), 16, 10).cast("long") % BM).as("p1"),
         (conv(substring(col("h"), 25, 8), 16, 10).cast("long") % BM).as("p2"))
-      .localCheckpoint(true) // feeds the filter build and the test probe
+      .graftCheckpoint() // feeds the filter build and the test probe
     val isTest = col("source").isin(testSources: _*)
     val bits = tagged.filter(!isTest)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("bit"))
@@ -328,7 +330,7 @@ object SketchOps {
     val cum = hist
       .withColumn("cum", sum("cnt").over(w))
       .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     // for quantile q: the first bucket whose cumulative count reaches
     // ceil(q*n); interpolate position within the bucket
     def est(q: Double, name: String): DataFrame = cum
@@ -420,14 +422,14 @@ object SketchOps {
     // materialized: the 4 cell aggregations + the estimate base all
     // read this input-sized frame — as a view each reference would
     // re-run the corpus tokenization+count
-    val withRows = cmBuckets(toks).localCheckpoint(true)
+    val withRows = cmBuckets(toks).graftCheckpoint()
     // cell table: 4 rows × 256 buckets of summed counts (materialized:
     // referenced once per row in the point-query joins)
     val cells = (0 until CmD).map { i =>
       withRows.groupBy(col(s"b$i").as("bucket"))
         .agg(sum("cnt").as("cell"))
         .withColumn("row", lit(i))
-    }.reduce(_ unionByName _).localCheckpoint(true)
+    }.reduce(_ unionByName _).graftCheckpoint()
     val est = (0 until CmD).foldLeft(withRows) { case (df, i) =>
       df.join(broadcast(cells.filter(col("row") === i)
           .select(col("bucket").as(s"b$i"), col("cell").as(s"c$i"))),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -281,7 +283,7 @@ object TemporalOps {
       .select(col("event_type"),
         expr("(ts_ns div 1000) div 86400000000").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds the span scalar, the type list, and the join
+      .graftCheckpoint() // feeds the span scalar, the type list, and the join
     val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val spine = daily.select("event_type").distinct()
       .crossJoin(broadcast(span))
@@ -420,7 +422,7 @@ object TemporalOps {
       gapUs: Long = 30L * 60 * 1000000): DataFrame = {
     val sess = sessions(s, d, gapUs)
       .select("user_id", "session_idx", "start_us", "end_us")
-      .localCheckpoint(true) // feeds the W scalar and both join sides
+      .graftCheckpoint() // feeds the W scalar and both join sides
     val wMax = sess.agg(
       greatest(max(col("end_us") - col("start_us")), lit(1L)).as("w"))
     val withW = sess.crossJoin(broadcast(wMax))
@@ -472,7 +474,7 @@ object TemporalOps {
       .select(col("user_id"),
         expr("(ts_ns div 1000) div 86400000000").as("day"))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
     active.join(cohort, "user_id")
       .groupBy(col("cohort_day"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.core.Materialize.GraftMaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -146,7 +148,7 @@ object TextOps {
         .select(col("doc_id"),
           concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
         .dropDuplicates("doc_id", "sh")
-        .localCheckpoint(true)
+        .graftCheckpoint()
     })
 
   /** N-gram Jaccard near-duplicate pairs: explode distinct 3-gram
@@ -165,7 +167,7 @@ object TextOps {
 
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int = 1000): DataFrame =
     pairCache.getOrElseUpdate((s.sparkContext.applicationId, d, maxDf))(
-      ngramJaccardPairsUncached(s, d, maxDf).localCheckpoint(true))
+      ngramJaccardPairsUncached(s, d, maxDf).graftCheckpoint())
 
   private def ngramJaccardPairsUncached(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val sh = shingleRows(s, d)
@@ -385,7 +387,7 @@ object TextOps {
     val tf = withToks(s, d)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_ppm").desc, col("tok"))
@@ -899,7 +901,7 @@ object TextOps {
       .withColumn("segs", transform(sequence(lit(0), nSeg - 1),
         j => array_join(slice(col("toks"), j * segLen + 1, lit(segLen)), " ")))
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_id", "seg")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val frequent = segs.groupBy("seg")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxFreq)
@@ -1065,8 +1067,8 @@ object TextOps {
     // hist and batch are each read by 2+ join branches; as views every
     // branch re-runs the corpus fingerprint scan
     val hist = docs.filter(col("doc_id") % 5 =!= 4).select("fp").distinct()
-      .localCheckpoint(true)
-    val batch = docs.filter(col("doc_id") % 5 === 4).localCheckpoint(true)
+      .graftCheckpoint()
+    val batch = docs.filter(col("doc_id") % 5 === 4).graftCheckpoint()
     val inHist = batch.join(hist, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("fp"), lit("dup_historical").as("status"))
     val fresh = batch.join(hist, Seq("fp"), "left_anti")

@@ -425,4 +425,36 @@ class IoAndOpsSpec extends AnyFunSuite {
       }
     }, "weighted distance must be >= hop distance; reachability identical")
   }
+
+  // spark.graft.durableCheckpoint swaps every graftCheckpoint call site
+  // from executor-local localCheckpoint to reliable checkpoint files
+  // under the configured dir (survives executor loss on a cluster)
+  test("durable_checkpoint_escape_hatch") {
+    import graft.core.Materialize
+    val dir = tmpDir("graft_ckpt")
+    def filesUnder(p: String): Long = {
+      val s = Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    spark.conf.set("spark.graft.durableCheckpoint", dir)
+    try {
+      // a direct frame materialization lands checkpoint files
+      val df = Materialize.frame(spark.range(100).toDF("id"))
+      assert(df.count() == 100)
+      assert(filesUnder(dir) > 0, "reliable checkpoint files must land")
+      // an iterative chain (mutating engine session -> PropertyGraph
+      // .materialized -> graftCheckpoint) rides the same conf
+      val before = filesUnder(dir)
+      val s = new GraphSession(spark)
+      s.execute("CREATE (:Ck {name:'a'}); CREATE (:Ck {name:'b'});")
+      assert(s.execute("MATCH (n:Ck) RETURN n").rows.length == 2)
+      assert(filesUnder(dir) > before, "engine chains must checkpoint durably")
+    } finally spark.conf.unset("spark.graft.durableCheckpoint")
+    // conf off: back to localCheckpoint, no new files appear
+    val after = filesUnder(dir)
+    val df2 = Materialize.frame(spark.range(50).toDF("id"))
+    assert(df2.count() == 50)
+    assert(filesUnder(dir) == after, "conf off must not write checkpoint files")
+  }
 }
