@@ -54,14 +54,17 @@ object GraphLoomProto {
     baos.toByteArray
   }
 
-  /** proto3 map<string,string> entry: key=1, value=2 (defaults omitted,
-    * like canonical implementations). */
+  /** proto3 map<string,string> entry: key=1, value=2. Canonical
+    * implementations (protobuf-java MapEntry, C++, prost) serialize
+    * BOTH fields unconditionally, even at default values — matching
+    * that keeps these frames byte-identical to generated-stub output
+    * (pinned against the stock runtime in GrpcWireCompatSpec). */
   private def writeMapEntries(out: CodedOutputStream, field: Int,
       entries: Seq[(String, String)]): Unit =
     entries.foreach { case (k, v) =>
       out.writeByteArray(field, msgBytes { e =>
-        if (k.nonEmpty) e.writeString(1, k)
-        if (v.nonEmpty) e.writeString(2, v)
+        e.writeString(1, k)
+        e.writeString(2, v)
       })
     }
 
