@@ -143,6 +143,10 @@ object Serve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // long-lived service: if spark.graft.durableCheckpoint is turned
+      // on, let the ContextCleaner delete superseded checkpoint files
+      // (must be set at context build — see core.Materialize)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // honor the persisted driver-result cap (Executor.collectCapped)

@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.Dataset
 
 /** Lineage-cutting materialization for iterative chains and shared
@@ -20,14 +21,27 @@ import org.apache.spark.sql.Dataset
   * persist-to-disk durability story (persist.rs). Long-lived services
   * (`graft.Serve`) on real clusters should set it; batch runs on
   * local[n] should not.
+  *
+  * File lifecycle: Spark deletes reliable-checkpoint files only when
+  * the context was BUILT with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+  * ContextCleaner then removes a checkpoint's files when its RDD is
+  * GC'd). Without it every iterative sweep leaves an rdd-N directory
+  * behind forever and the durable store grows monotonically — the
+  * session builders that front long-lived use (`graft.Serve`,
+  * `graft.Shell`) set it at build time, and [[frame]] warns once per
+  * context if it finds the flag off while durable mode is on.
   */
-object Materialize {
+object Materialize extends Logging {
 
-  /** The checkpoint dir last applied to the SparkContext, so a conf
-    * change mid-session re-points the context exactly once (Spark
+  /** The (applicationId, dir) last applied to the SparkContext, so a
+    * conf change mid-session re-points the context exactly once (Spark
     * appends a UUID subdir, so the raw conf value can't be compared
-    * against `sc.getCheckpointDir`). */
-  @volatile private var appliedDir: Option[String] = None
+    * against `sc.getCheckpointDir`). Keyed by applicationId: a new
+    * context in the same JVM must get its own setCheckpointDir call,
+    * or checkpoint(eager) would throw "checkpoint directory has not
+    * been set". */
+  @volatile private var appliedDir: Option[(String, String)] = None
 
   /** Materialize `ds` eagerly and cut its lineage; durable iff
     * `spark.graft.durableCheckpoint` is set to a non-empty dir. */
@@ -36,10 +50,18 @@ object Materialize {
     spark.conf.getOption("spark.graft.durableCheckpoint")
       .filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (!appliedDir.contains(dir)) synchronized {
-          if (!appliedDir.contains(dir)) {
+        val key = (spark.sparkContext.applicationId, dir)
+        if (!appliedDir.contains(key)) synchronized {
+          if (!appliedDir.contains(key)) {
             spark.sparkContext.setCheckpointDir(dir)
-            appliedDir = Some(dir)
+            if (!spark.sparkContext.getConf.getBoolean(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+              logWarning("spark.graft.durableCheckpoint is on but the " +
+                "context was built without spark.cleaner.referenceTracking" +
+                ".cleanCheckpoints=true — checkpoint files under " + dir +
+                " will never be deleted and the store will grow without " +
+                "bound; set the cleaner flag when building the session")
+            appliedDir = Some(key)
           }
         }
         ds.checkpoint(eager = true)

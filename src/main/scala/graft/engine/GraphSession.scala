@@ -223,8 +223,13 @@ class GraphSession(val spark: SparkSession) {
         typedLit(Map.empty[String, String]).as("properties"))
       .graftCheckpoint()
     val created = toCreate.count()
+    // collect the echo BEFORE committing: the driver-memory cap
+    // (Executor.collectCapped) may refuse a past-cap result, and that
+    // refusal must abort the merge, not report a committed mutation as
+    // a failure after the fact
+    val echo = collectRels(toCreate)
     if (created > 0)
       graph = PropertyGraph(graph.nodes, graph.edges.unionByName(toCreate)).materialized
-    (collectRels(toCreate), 0L, created, created > 0)
+    (echo, 0L, created, created > 0)
   }
 }

@@ -375,9 +375,14 @@ object RelationalOps {
     * exact decimal moments. Also feeds the streaming outlier gate
     * (StreamingOps.outlierGateStream) as its broadcast stats table. */
   def valueStats(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("event_type"), col("value").cast(DecimalType(18, 4)).as("v"))
-      .groupBy("event_type")
+    valueStatsOf(Tables.events(s, d)
+      .select(col("event_type"), col("value").cast(DecimalType(18, 4)).as("v")))
+
+  /** [[valueStats]] over an explicit (event_type, v DECIMAL(18,4))
+    * frame — the unit-testable core (the n = 1 singleton guard is
+    * pinned in spec against an in-memory frame). */
+  def valueStatsOf(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("v")).cast("double").as("s1"),
         sum((col("v") * col("v")).cast(DecimalType(38, 8)))
@@ -386,10 +391,16 @@ object RelationalOps {
       // clamp before sqrt, mirroring the oracle's GREATEST(..., 0): a
       // near-constant group can round the variance slightly negative,
       // and Spark's sqrt(negative)=NaN compares GREATER than any number
-      // so it would leak through the sd > 0 gate downstream
-      .withColumn("sd", sqrt(greatest(
-        col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))
-        / (col("n") - 1)))
+      // so it would leak through the sd > 0 gate downstream. The n=1
+      // case needs its own guard: 0.0/0 is NaN in BOTH engines, but
+      // DuckDB's GREATEST(NaN, 0) returns 0 while Spark's greatest
+      // keeps NaN (NaN sorts greatest), so only an explicit n > 1
+      // branch gives the two sides the same sd = 0 for singletons
+      .withColumn("sd", when(col("n") > 1,
+        sqrt(greatest(
+          col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))
+          / (col("n") - 1)))
+        .otherwise(lit(0.0)))
       .select("event_type", "mean", "sd")
 
   /** DuckDB rendering of [[valueOutliers]]. */
@@ -401,7 +412,9 @@ object RelationalOps {
        |    CAST(SUM(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE) AS s2
        |  FROM ev GROUP BY event_type),
        |m AS (SELECT event_type, s1 / n AS mean,
-       |    sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0)) AS sd FROM st)
+       |    CASE WHEN n > 1
+       |      THEN sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0))
+       |      ELSE 0 END AS sd FROM st)
        |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
        |  ROUND((CAST(v AS DOUBLE) - mean) / sd, 6) AS z
        |FROM ev JOIN m USING (event_type)

@@ -552,6 +552,27 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.rows.length == 8)
     assert(out.affectedNodes == 0 && out.affectedRels == 0 && !out.mutated)
   }
+
+  // the cap also guards the pairwise-MERGE echo, and it must abort the
+  // merge BEFORE the graph commits: a refused result may not leave the
+  // mutation half-reported behind it
+  test("legacy_pairwise_merge_cap_aborts_before_commit") {
+    val s = newSession()
+    (1 to 4).foreach(i => s.execute(s"""CREATE NODE MCap {name:"$i"};"""))
+    val relsBefore = s.relationshipCount
+    spark.conf.set("spark.graft.maxResultRows", "3")
+    try {
+      // 4×3/2 = 6 created edges > cap of 3
+      val e = intercept[Exception] {
+        s.execute("MATCH (a:MCap), (b:MCap) WHERE id(a) < id(b) MERGE (a)-[:LINKED]->(b);")
+      }
+      assert(e.getMessage.contains("maxResultRows"))
+      assert(s.relationshipCount == relsBefore) // nothing committed
+    } finally spark.conf.unset("spark.graft.maxResultRows")
+    // without the cap the same merge commits all 6 and echoes them
+    val ok = s.execute("MATCH (a:MCap), (b:MCap) WHERE id(a) < id(b) MERGE (a)-[:LINKED]->(b);")
+    assert(ok.affectedRels == 6 && ok.rows.length == 6)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

@@ -861,4 +861,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       (total - totals("en"))
     assert(enRate < restRate)
   }
+
+  // a singleton group's variance denominator is n-1 = 0; without the
+  // explicit n > 1 branch Spark yields sd = NaN (and NaN > 0 is TRUE in
+  // Spark's ordering, so it would leak through valueOutliers' sd > 0
+  // gate) while the DuckDB oracle's GREATEST(NaN, 0) clamps to 0
+  test("value_stats_singleton_group_sd_is_zero_not_nan") {
+    import spark.implicits._
+    val ev = Seq(
+      ("lonely", BigDecimal("42.5000")),
+      ("pair", BigDecimal("1.0000")), ("pair", BigDecimal("3.0000")),
+      ("const", BigDecimal("7.0000")), ("const", BigDecimal("7.0000")))
+      .toDF("event_type", "v")
+      .select(col("event_type"),
+        col("v").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
+    val stats = graft.operators.RelationalOps.valueStatsOf(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(stats("lonely") == 0.0 && !stats("lonely").isNaN)
+    assert(stats("const") == 0.0)   // constant group: clamped, not NaN
+    assert(math.abs(stats("pair") - math.sqrt(2.0)) < 1e-12)
+  }
 }
