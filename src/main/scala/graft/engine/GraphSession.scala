@@ -222,12 +222,13 @@ class GraphSession(val spark: SparkSession) {
       .select(col("id"), col("src"), col("dst"), lit(c.relType).as("label"),
         typedLit(Map.empty[String, String]).as("properties"))
       .graftCheckpoint()
-    val created = toCreate.count()
     // collect the echo BEFORE committing: the driver-memory cap
     // (Executor.collectCapped) may refuse a past-cap result, and that
     // refusal must abort the merge, not report a committed mutation as
-    // a failure after the fact
+    // a failure after the fact. The collect doubles as the count — one
+    // Spark action over the checkpointed frame, not two
     val echo = collectRels(toCreate)
+    val created = echo.size.toLong
     if (created > 0)
       graph = PropertyGraph(graph.nodes, graph.edges.unionByName(toCreate)).materialized
     (echo, 0L, created, created > 0)
