@@ -263,4 +263,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "median/MAD scalars must broadcast back, not shuffle the stream")
   }
+
+  test("q27 band join and candidate dedup never key on the signature arrays") {
+    val p = plan("q27_simhash_pairs")
+    // the banded candidate path moves (id, band) pairs and dedups on the
+    // two id columns alone; the 64-element bit arrays join back only for
+    // the hamming verify. Partitioning or grouping on the arrays is the
+    // pre-slim shape whose shuffled bytes grow with corpus size.
+    val hashParts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashParts.nonEmpty, "expected shuffle exchanges in the plan")
+    assert(!hashParts.exists(_.contains("bits")),
+      "no exchange may partition on a signature array")
+    val aggKeys = "HashAggregate\\(keys=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(!aggKeys.exists(_.contains("bits")),
+      "candidate dedup must group on (a_id, b_id), not the arrays")
+    assert(aggKeys.exists(k => k.contains("a_id") && k.contains("b_id")),
+      "expected the id-only candidate dedup aggregate")
+  }
+
+  test("q58 supplier overlap broadcasts the per-supplier size table") {
+    val p = plan("q58_supplier_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "catalog sizes must broadcast onto the shared-count pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the per-part equi-join, never all-pairs")
+  }
 }
