@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage-cutting materialization for iterative chains and shared
   * frames, with a durability escape hatch.
@@ -64,7 +65,15 @@ object Materialize extends Logging {
             appliedDir = Some(key)
           }
         }
-        ds.checkpoint(eager = true)
+        // RDD.checkpoint's documented caveat: the reliable write job
+        // re-executes the plan from scratch unless its blocks are
+        // cached, which would compute every iterative sweep twice.
+        // Persist first so the eager count populates the cache and the
+        // write job reads blocks; the cache is dropped right after —
+        // the durable files carry the state from here on.
+        val persisted = ds.persist(StorageLevel.MEMORY_AND_DISK)
+        try persisted.checkpoint(eager = true)
+        finally persisted.unpersist(blocking = false)
       case None => ds.localCheckpoint(eager = true)
     }
   }

@@ -457,4 +457,22 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(df2.count() == 50)
     assert(filesUnder(dir) == after, "conf off must not write checkpoint files")
   }
+
+  // the reliable-checkpoint write job must read cached blocks, not
+  // re-execute the plan — otherwise every iterative sweep in durable
+  // mode computes twice (the documented RDD.checkpoint caveat)
+  test("durable_checkpoint_computes_plan_once") {
+    import graft.core.Materialize
+    import spark.implicits._
+    val dir = tmpDir("graft_ckpt_once")
+    val acc = spark.sparkContext.longAccumulator("graftComputeCount")
+    spark.conf.set("spark.graft.durableCheckpoint", dir)
+    try {
+      val ds = spark.range(1000).as[Long].map { x => acc.add(1L); x }
+      val cp = Materialize.frame(ds)
+      assert(cp.count() == 1000)
+      assert(acc.value == 1000L,
+        s"durable checkpoint must compute the plan exactly once, saw ${acc.value} row evaluations")
+    } finally spark.conf.unset("spark.graft.durableCheckpoint")
+  }
 }
