@@ -304,8 +304,12 @@ object SparkEntry {
     "q59_rarity_score" -> TextOps.rarityScoreOracleSql(),
     "q61_bpe_merge_pairs" -> TextOps.bpeMergePairsOracleSql(),
     "q63_json_props" ->
-      """WITH e AS (SELECT event_type,
-        |             CAST(props->>'k' AS BIGINT) AS k FROM events)
+      """WITH raw AS (SELECT event_type,
+        |               json_extract_string(TRY_CAST(props AS JSON), '$.k') AS v
+        |             FROM events),
+        |e AS (SELECT event_type,
+        |        CASE WHEN regexp_matches(v, '^-?\d{1,18}$')
+        |             THEN CAST(v AS BIGINT) END AS k FROM raw)
         |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS k_present
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -57,20 +57,29 @@ object CooccurrenceOps {
     * — the unit-testable core. The df-capped `kept` frame feeds BOTH
     * sides of the pair self-join; materialized so the cap join runs
     * once, not once per side. */
-  def copurchasePairsOf(memb: DataFrame, k: Int, maxBasket: Int): DataFrame = {
-    val lp = memb.select("okey", "pkey").distinct()
+  def copurchasePairsOf(memb: DataFrame, k: Int, maxBasket: Int): DataFrame =
+    cappedPairCounts(memb.select("okey", "pkey").distinct(), maxBasket)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(k)
+
+  /** The df-capped pair-count core shared by q57 and the co-purchase
+    * edge builder (q68/q96): drop baskets above `maxBasket`, self-join
+    * within basket, count baskets per (p1, p2) pair. The cap logic is
+    * part of the operator definition mirrored in the oracle CTEs — ONE
+    * Scala copy so an edit can't silently diverge q57 from q68/q96.
+    * `lp` must already be distinct (okey, pkey); the capped frame is
+    * materialized because both sides of the self-join read it. */
+  private def cappedPairCounts(lp: DataFrame, maxBasket: Int): DataFrame = {
     val kept = lp.join(
       lp.groupBy("okey").agg(count(lit(1)).as("bsize"))
         .filter(col("bsize") <= maxBasket)
         .select("okey"),
       "okey")
       .graftCheckpoint()
-    val a = kept.select(col("okey"), col("pkey").as("p1"))
-    val b = kept.select(col("okey"), col("pkey").as("p2"))
-    a.join(b, "okey").filter(col("p1") < col("p2"))
+    kept.select(col("okey"), col("pkey").as("p1"))
+      .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
+      .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
-      .limit(k)
   }
 
   /** DuckDB rendering of [[copurchasePairs]]. */
@@ -169,24 +178,13 @@ object CooccurrenceOps {
         .graftCheckpoint())
 
   private def buildCopurchaseEdges(s: SparkSession, d: String,
-      minSupport: Int, maxBasket: Int): DataFrame = {
-    val lp = memb(s, d, "order_part", ("l_orderkey", "l_partkey"))
-      .select(col("a").as("okey"), col("b").as("pkey"))
-    // same materialize-once treatment as copurchasePairsOf: both sides
-    // of the pair self-join read the capped frame
-    val kept = lp.join(
-      lp.groupBy("okey").agg(count(lit(1)).as("bsize"))
-        .filter(col("bsize") <= maxBasket)
-        .select("okey"),
-      "okey")
-      .graftCheckpoint()
-    kept.select(col("okey"), col("pkey").as("p1"))
-      .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minSupport)
+      minSupport: Int, maxBasket: Int): DataFrame =
+    cappedPairCounts(
+      memb(s, d, "order_part", ("l_orderkey", "l_partkey"))
+        .select(col("a").as("okey"), col("b").as("pkey")),
+      maxBasket)
+      .filter(col("n_orders") >= minSupport)
       .select("p1", "p2")
-  }
 
   /** q96: LOCAL CLUSTERING COEFFICIENT over the co-purchase graph —
     * per node, 2·triangles / (deg·(deg−1)) as an exact ppm integer

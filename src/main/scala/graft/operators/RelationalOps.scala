@@ -206,16 +206,31 @@ object RelationalOps {
     * so the JSON never leaves the scan stage un-projected and the
     * aggregate is the usual partial+final combine — the shape that
     * holds when the props blob is kilobytes instead of bytes. All
-    * output integers are exact. */
+    * output integers are exact.
+    *
+    * The extracted value is gated to strictly-integer strings (≤18
+    * digits, so the cast can never overflow or throw under ANSI mode)
+    * BEFORE the bigint cast: unguarded, the engines disagree on every
+    * edge input — Spark truncates '2.5' (or throws under ANSI) where
+    * DuckDB rounds it to 3, and DuckDB hard-errors on malformed JSON
+    * where get_json_object returns NULL. With the twin regex gate both
+    * sides yield NULL for anything that isn't a plain JSON integer. */
   def jsonPropsRollup(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .select(col("event_type"), jsonIntField(col("props"), "k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"),
         count(col("k")).as("k_present"))
       .orderBy("event_type")
+
+  /** The gated bigint extraction behind q63 — public so the edge-case
+    * parity contract (see [[jsonPropsRollup]]) is unit-testable on
+    * synthetic rows. */
+  def jsonIntField(props: Column, field: String): Column = {
+    val v = get_json_object(props, "$." + field)
+    when(v.rlike("^-?\\d{1,18}$"), v.cast("bigint"))
+  }
 
   /** q64: EXACT LENGTH QUANTILES per source — interpolating percentile
     * (rank p·(n−1), linear between neighbors) over integer document

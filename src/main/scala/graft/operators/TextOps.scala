@@ -42,17 +42,6 @@ object TextOps {
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
 
-  /** Word 3-gram shingles from a *bound attribute* of tokens, distinct
-    * per document. Guarded: Spark's `sequence(1, n)` with n < 1
-    * generates a DESCENDING sequence, so short documents must
-    * short-circuit to an empty array. */
-  def shingles(toks: Column): Column =
-    when(size(toks) >= 3, array_distinct(
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Exact dedup: md5 content hash → cluster size + canonical keep id.
     * Single shuffle on the hash; at scale the hash groupBy is the
     * textbook exact-dedup plan (partial agg map-side). */

@@ -458,6 +458,25 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(filesUnder(dir) == after, "conf off must not write checkpoint files")
   }
 
+  // q63's extraction must NULL anything that isn't a plain JSON
+  // integer — unguarded, Spark truncates-or-throws on '2.5' where
+  // DuckDB rounds, and DuckDB errors on malformed JSON where Spark
+  // returns NULL. The DuckDB twin was probed on these same inputs:
+  // it keeps exactly {12, 7, -3} too (huge ints surface as '1e21'
+  // there and fail the same digit-cap regex).
+  test("json_int_field_gates_non_integer_shapes") {
+    import graft.operators.RelationalOps
+    import spark.implicits._
+    val rows = Seq(
+      """{"k": 2.5}""", """{"k": 12}""", "not json", """{"k": true}""",
+      """{"k": "7"}""", """{"k": -3}""", """{"x": 1}""",
+      """{"k": 999999999999999999999}""").toDF("props")
+    val got = rows.select(RelationalOps.jsonIntField(col("props"), "k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(None, Some(12L), None, None, Some(7L),
+      Some(-3L), None, None))
+  }
+
   // the reliable-checkpoint write job must read cached blocks, not
   // re-execute the plan — otherwise every iterative sweep in durable
   // mode computes twice (the documented RDD.checkpoint caveat)
