@@ -377,13 +377,16 @@ object SparkEntry {
         |           WHERE vec_id < 8),
         |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
         |z AS (SELECT qid, nid, qe, ce FROM q, c WHERE qid <> nid),
-        |u AS (SELECT qid, nid, unnest(qe) AS qv, unnest(ce) AS cv FROM z),
         |s AS (SELECT qid, nid,
-        |        SUM(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot,
-        |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS nq,
-        |        SUM(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)) AS nc
-        |      FROM u GROUP BY qid, nid),
-        |r AS (SELECT qid, nid, ROUND(dot / (sqrt(nq) * sqrt(nc)), 6) AS sim
+        |        list_sum(list_transform(generate_series(1, len(qe)),
+        |          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(generate_series(1, len(qe)),
+        |          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+        |        list_sum(list_transform(generate_series(1, len(ce)),
+        |          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
+        |      FROM z),
+        |r AS (SELECT qid, nid,
+        |        FLOOR((dot / (sqrt(nq) * sqrt(nc))) * 1e6 + 0.5) / 1e6 AS sim
         |      FROM s),
         |rk AS (SELECT qid, nid, sim,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   * fold (same element order, same double arithmetic, so results stay
   * bit-exact against the DuckDB oracles) as a compiled while-loop
   * inside whole-stage codegen.
+  *
+  * The oracle twins mirror the fold as PER-ROW list folds
+  * (`list_sum(list_transform(...))` over the array), not as SQL
+  * `SUM()` over unnested element rows: a parallel hash aggregation
+  * gives no accumulation-order guarantee, and IEEE addition is
+  * non-associative — an unordered sum can drift by an ulp run-to-run
+  * and flip a sign-bit bucket or a rounding boundary. A per-row list
+  * fold is single-threaded and index-ordered by construction.
   */
 abstract class BinaryVectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -127,7 +127,7 @@ object CooccurrenceOps {
       .join(broadcast(sizes.select(col("sk").as("s1"), col("nparts").as("n1"))), "s1")
       .join(broadcast(sizes.select(col("sk").as("s2"), col("nparts").as("n2"))), "s2")
       .withColumn("jaccard",
-        round(col("shared").cast("double") /
+        OracleSql.roundTo(col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")), 6))
       .select("s1", "s2", "shared", "jaccard")
       .orderBy(col("jaccard").desc, col("s1"), col("s2"))
@@ -313,7 +313,8 @@ object CooccurrenceOps {
        |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
        |  GROUP BY 1, 2)
        |SELECT s1, s2, shared,
-       |  ROUND(CAST(shared AS DOUBLE) / (n1.nparts + n2.nparts - shared), 6)
+       |  ${OracleSql.roundSql(
+         "CAST(shared AS DOUBLE) / (n1.nparts + n2.nparts - shared)", 6)}
        |    AS jaccard
        |FROM shared
        |  JOIN sizes n1 ON n1.sk = s1

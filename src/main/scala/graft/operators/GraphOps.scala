@@ -58,7 +58,7 @@ object GraphOps {
   /** GA4: community density over the (shared) full LPA assignment. */
   def communityDensity(s: SparkSession, d: String): DataFrame =
     GraphAlgos.communityDensity(builtGraph(s, d), lpaAssignment(s, d))
-      .withColumn("density", round(col("density"), 6))
+      .withColumn("density", OracleSql.roundTo(col("density"), 6))
       .orderBy("community")
 
   /** GA5/GA6: grouping sizes — per-label node groups (the label-centric
@@ -131,9 +131,10 @@ object GraphOps {
        |  WHERE a1.community = a2.community GROUP BY a1.community)
        |SELECT s.community, s.n_nodes,
        |  COALESCE(i.internal_edges, 0) AS internal_edges,
-       |  ROUND(CASE WHEN s.n_nodes > 1
+       |  ${OracleSql.roundSql(
+         """CASE WHEN s.n_nodes > 1
        |    THEN COALESCE(i.internal_edges, 0) / (s.n_nodes * (s.n_nodes - 1) / 2.0)
-       |    ELSE 0.0 END, 6) AS density
+       |    ELSE 0.0 END""", 6)} AS density
        |FROM sizes s LEFT JOIN internal i USING (community)
        |ORDER BY community""".stripMargin
 

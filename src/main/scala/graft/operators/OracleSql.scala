@@ -1,11 +1,47 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, isnan, lit, when}
+
 /** Shared DuckDB-oracle SQL fragments. Every fragment here has an
   * engine-side twin whose arithmetic it must mirror EXACTLY for the
   * bit-for-bit hash gate to hold — deduplicating them removes the
   * drift risk of editing one rendering and not its copies.
   */
 object OracleSql {
+
+  /** Engine/oracle TWIN PAIR for fixed-decimal rounding of a double —
+    * [[roundTo]] (Column) and [[roundSql]] (DuckDB text) must stay in
+    * lockstep.
+    *
+    * `round()` is NOT the same function on the two engines: Spark
+    * re-renders the double as its shortest decimal string and applies
+    * HALF_UP on that rendering (`BigDecimal.valueOf`), while DuckDB
+    * rounds the binary value — they disagree on tie-adjacent doubles
+    * (641.0/640 = 1.00156249999999991…, shortest rendering
+    * '1.0015625', rounds to 1.001563 on Spark but 1.001562 on DuckDB
+    * at 6 digits). The twins below use only IEEE multiply/add/floor/
+    * divide, which both engines evaluate identically per operation, so
+    * the results are bit-equal BY CONSTRUCTION — no reliance on either
+    * engine's round() internals. Half-way values round toward +∞;
+    * 10^digits must be ≤ 1e15 so the scaled value stays exact in
+    * double/BIGINT range for the magnitudes these queries round
+    * (ratios, z-scores, similarities, estimates).
+    *
+    * NaN passes through on both sides: DuckDB's floor keeps NaN
+    * naturally; Spark's floor-to-bigint would swallow it into a
+    * mis-cast, so the Column twin guards explicitly. */
+  def roundTo(c: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, "digits out of exact range")
+    val s = math.pow(10, digits) // 10^d ≤ 1e15: exactly representable
+    when(isnan(c), c).otherwise(floor(c * lit(s) + lit(0.5)) / lit(s))
+  }
+
+  /** DuckDB twin of [[roundTo]] — splice around a scalar expression. */
+  def roundSql(inner: String, digits: Int): String = {
+    require(digits >= 1 && digits <= 15, "digits out of exact range")
+    s"FLOOR(($inner) * 1e$digits + 0.5) / 1e$digits"
+  }
 
   /** BIGINT value of `digits` hex chars of hex-string expr `h` starting
     * at 1-based `off` (strpos polynomial). digits ≤ 15 keeps the value

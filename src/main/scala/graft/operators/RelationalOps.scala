@@ -379,7 +379,7 @@ object RelationalOps {
     // degenerate group identically on both sides
     ev.join(broadcast(valueStats(s, d)), "event_type")
       .filter(col("sd") > 0)
-      .withColumn("z", round((col("v").cast("double") - col("mean")) / col("sd"), 6))
+      .withColumn("z", OracleSql.roundTo((col("v").cast("double") - col("mean")) / col("sd"), 6))
       .filter(abs(col("z")) > zCut)
       .select(col("event_id"), col("event_type"),
         col("v").cast("double").as("value"), col("z"))
@@ -431,10 +431,10 @@ object RelationalOps {
        |      THEN sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0))
        |      ELSE 0 END AS sd FROM st)
        |SELECT event_id, ev.event_type, CAST(v AS DOUBLE) AS value,
-       |  ROUND((CAST(v AS DOUBLE) - mean) / sd, 6) AS z
+       |  ${OracleSql.roundSql("(CAST(v AS DOUBLE) - mean) / sd", 6)} AS z
        |FROM ev JOIN m USING (event_type)
        |WHERE sd > 0
-       |  AND ABS(ROUND((CAST(v AS DOUBLE) - mean) / sd, 6)) > $zCut
+       |  AND ABS(${OracleSql.roundSql("(CAST(v AS DOUBLE) - mean) / sd", 6)}) > $zCut
        |ORDER BY event_id""".stripMargin
 
   /** q103: REFERENTIAL-INTEGRITY AUDIT — orphan counts for every FK
@@ -677,7 +677,7 @@ object RelationalOps {
       .withColumn("vy", col("syy") - col("sy") * col("sy") / col("n"))
       .withColumn("corr_qty_price",
         when(col("vx") > 0 && col("vy") > 0,
-          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          OracleSql.roundTo((col("sxy") - col("sx") * col("sy") / col("n")) /
             (sqrt(col("vx")) * sqrt(col("vy"))), 6)))
       .select("l_returnflag", "n", "corr_qty_price")
       .orderBy("l_returnflag")
@@ -685,7 +685,7 @@ object RelationalOps {
 
   /** DuckDB rendering of [[quantityPriceCorr]]. */
   def quantityPriceCorrOracleSql(): String =
-    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+    s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
       |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
@@ -697,8 +697,8 @@ object RelationalOps {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
-      |    THEN ROUND((sxy - sx * sy / n) /
-      |      (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+      |    THEN ${OracleSql.roundSql(
+             "(sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))", 6)}
       |    ELSE NULL END AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 

@@ -52,7 +52,7 @@ object SimilarityOps {
       norm(col("embedding")).as("cn"))
     val sim = broadcast(q).join(c, col("qid") =!= col("nid"))
       .withColumn("sim",
-        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+        OracleSql.roundTo(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     sim.withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= k)
@@ -104,12 +104,11 @@ object SimilarityOps {
       yield s"($p,$j,${"%.17e".formatLocal(java.util.Locale.ROOT, pl(p)(j))})")
       .mkString(",")
     s"""WITH planes(p, d, coef) AS (VALUES $values),
-       |u AS (SELECT vec_id, unnest(embedding) AS ev,
-       |        generate_subscripts(embedding, 1) - 1 AS d
-       |      FROM embeddings),
-       |dots AS (SELECT u.vec_id, planes.p,
-       |           SUM(CAST(u.ev AS DOUBLE) * planes.coef) AS dot
-       |         FROM u JOIN planes USING (d) GROUP BY u.vec_id, planes.p),
+       |pl AS (SELECT p, list(coef ORDER BY d) AS coefs FROM planes GROUP BY p),
+       |dots AS (SELECT e.vec_id, pl.p,
+       |           list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |             i -> CAST(e.embedding[i] AS DOUBLE) * pl.coefs[i])) AS dot
+       |         FROM embeddings e CROSS JOIN pl),
        |buckets AS (SELECT vec_id,
        |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
        |  FROM dots GROUP BY vec_id)
@@ -193,7 +192,7 @@ object SimilarityOps {
       norm(col("embedding")).as("b_n"))
     cand.join(ea, "a_id").join(eb, "b_id")
       .withColumn("sim",
-        round(dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")), 6))
+        OracleSql.roundTo(dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")), 6))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")
@@ -215,14 +214,12 @@ object SimilarityOps {
        |              ELSE $bMax END AS b
        |  FROM (SELECT (GREATEST(COUNT(*), 1) + 31) // 32 AS bn FROM embeddings)),
        |planes(p, d, coef) AS (VALUES $values),
-       |u AS (SELECT vec_id, unnest(embedding) AS ev,
-       |        generate_subscripts(embedding, 1) - 1 AS d
-       |      FROM embeddings),
-       |dots AS (SELECT u.vec_id, planes.p,
-       |           SUM(CAST(u.ev AS DOUBLE) * planes.coef) AS dot
-       |         FROM u JOIN planes USING (d)
-       |         WHERE planes.p % $bMax < (SELECT b FROM params)
-       |         GROUP BY u.vec_id, planes.p),
+       |pl AS (SELECT p, list(coef ORDER BY d) AS coefs FROM planes GROUP BY p),
+       |dots AS (SELECT e.vec_id, pl.p,
+       |           list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |             i -> CAST(e.embedding[i] AS DOUBLE) * pl.coefs[i])) AS dot
+       |         FROM embeddings e CROSS JOIN pl
+       |         WHERE pl.p % $bMax < (SELECT b FROM params)),
        |keys AS (SELECT vec_id, p // $bMax AS table_idx,
        |           string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
        |         FROM dots GROUP BY vec_id, p // $bMax),
@@ -232,13 +229,15 @@ object SimilarityOps {
        |pz AS (SELECT a_id, b_id, ea.embedding AS a_e, eb.embedding AS b_e
        |       FROM cand JOIN embeddings ea ON ea.vec_id = a_id
        |         JOIN embeddings eb ON eb.vec_id = b_id),
-       |pu AS (SELECT a_id, b_id, unnest(a_e) AS av, unnest(b_e) AS bv FROM pz),
        |ps AS (SELECT a_id, b_id,
-       |         SUM(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE)) AS dot,
-       |         SUM(CAST(av AS DOUBLE) * CAST(av AS DOUBLE)) AS na,
-       |         SUM(CAST(bv AS DOUBLE) * CAST(bv AS DOUBLE)) AS nb
-       |       FROM pu GROUP BY a_id, b_id),
-       |sims AS (SELECT a_id, b_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+       |         list_sum(list_transform(generate_series(1, len(a_e)),
+       |           i -> CAST(a_e[i] AS DOUBLE) * CAST(b_e[i] AS DOUBLE))) AS dot,
+       |         list_sum(list_transform(generate_series(1, len(a_e)),
+       |           i -> CAST(a_e[i] AS DOUBLE) * CAST(a_e[i] AS DOUBLE))) AS na,
+       |         list_sum(list_transform(generate_series(1, len(b_e)),
+       |           i -> CAST(b_e[i] AS DOUBLE) * CAST(b_e[i] AS DOUBLE))) AS nb
+       |       FROM pz),
+       |sims AS (SELECT a_id, b_id, ${OracleSql.roundSql("dot / (sqrt(na) * sqrt(nb))", 6)} AS sim
        |         FROM ps)
        |SELECT a_id, b_id, sim FROM sims WHERE sim >= $threshold
        |ORDER BY a_id, b_id""".stripMargin
@@ -326,7 +325,7 @@ object SimilarityOps {
       .join(corp, "cell")
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("sim",
-        round(dot(col("qe"), col("embedding")) / (col("qn") * col("cn")), 6))
+        OracleSql.roundTo(dot(col("qe"), col("embedding")) / (col("qn") * col("cn")), 6))
     val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rk", row_number().over(wTop).cast("bigint"))
       .filter(col("rk") <= k)
@@ -395,11 +394,13 @@ object SimilarityOps {
       yield s"($cell,$j,${"%.17e".formatLocal(java.util.Locale.ROOT, cvec(j))})")
       .mkString(",")
     s"""WITH cent(cell, d, coef) AS MATERIALIZED (VALUES $values),
-       |u AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev,
-       |       generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
-       |d2 AS MATERIALIZED (SELECT u.vec_id, cent.cell,
-       |       SUM((u.ev - cent.coef) * (u.ev - cent.coef)) AS d2
-       |     FROM u JOIN cent USING (d) GROUP BY u.vec_id, cent.cell),
+       |ct AS MATERIALIZED (SELECT cell, list(coef ORDER BY d) AS coefs
+       |     FROM cent GROUP BY cell),
+       |d2 AS MATERIALIZED (SELECT e.vec_id, ct.cell,
+       |       list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |         i -> (CAST(e.embedding[i] AS DOUBLE) - ct.coefs[i]) *
+       |              (CAST(e.embedding[i] AS DOUBLE) - ct.coefs[i]))) AS d2
+       |     FROM embeddings e CROSS JOIN ct),
        |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -410,16 +411,20 @@ object SimilarityOps {
        |    FROM d2 WHERE vec_id < $nQueries) WHERE rn <= $nprobe),
        |cand AS MATERIALIZED (SELECT p.qid, a.vec_id AS nid
        |  FROM probed p JOIN assign a USING (cell) WHERE a.vec_id <> p.qid),
-       |pu AS MATERIALIZED (SELECT c.qid, c.nid,
-       |    CAST(unnest(eq.embedding) AS DOUBLE) AS qv,
-       |    CAST(unnest(en.embedding) AS DOUBLE) AS nv
+       |pz AS MATERIALIZED (SELECT c.qid, c.nid,
+       |    eq.embedding AS qe, en.embedding AS ce
        |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
        |    JOIN embeddings en ON en.vec_id = c.nid),
-       |ps AS MATERIALIZED (SELECT qid, nid, SUM(qv * nv) AS dot,
-       |    SUM(qv * qv) AS nq, SUM(nv * nv) AS nn
-       |  FROM pu GROUP BY qid, nid),
+       |ps AS MATERIALIZED (SELECT qid, nid,
+       |    list_sum(list_transform(generate_series(1, len(qe)),
+       |      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(generate_series(1, len(qe)),
+       |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) AS nq,
+       |    list_sum(list_transform(generate_series(1, len(ce)),
+       |      i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nn
+       |  FROM pz),
        |sims AS MATERIALIZED (SELECT qid, nid,
-       |    ROUND(dot / (sqrt(nq) * sqrt(nn)), 6) AS sim FROM ps)
+       |    ${OracleSql.roundSql("dot / (sqrt(nq) * sqrt(nn))", 6)} AS sim FROM ps)
        |SELECT qid, nid, sim, rk FROM (
        |  SELECT qid, nid, sim,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk

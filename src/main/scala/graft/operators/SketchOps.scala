@@ -66,7 +66,7 @@ object SketchOps {
       sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v0"))
     val alpha = 0.7213 / (1.0 + 1.079 / M)
     agg.select(
-      round(when(col("v0") > 0 &&
+      OracleSql.roundTo(when(col("v0") > 0 &&
           lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm")
             <= lit(2.5 * M),
           lit(M.toDouble) * log(lit(M.toDouble) / col("v0")))
@@ -95,7 +95,7 @@ object SketchOps {
     val exact = sh.agg(countDistinct(col("v")).as("n_exact"))
     exact.crossJoin(est)
       .withColumn("rel_err",
-        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+        OracleSql.roundTo(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
   }
 
   /** DuckDB rendering of [[hllDistinctShingles]]. */
@@ -119,14 +119,15 @@ object SketchOps {
        |         SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v0
        |       FROM mx),
        |ex AS (SELECT COUNT(DISTINCT sh) AS n_exact FROM sh),
-       |es AS (SELECT ROUND(CASE WHEN v0 > 0 AND
+       |es AS (SELECT ${OracleSql.roundSql(
+             s"""CASE WHEN v0 > 0 AND
        |             $alpha * $M * $M * power(2, 61) / harm <= 2.5 * $M
        |           THEN $M * ln($M / v0)
-       |           ELSE $alpha * $M * $M * power(2, 61) / harm END, 4)
+       |           ELSE $alpha * $M * $M * power(2, 61) / harm END""", 4)}
        |           AS hll_estimate
        |       FROM ag)
        |SELECT n_exact, hll_estimate,
-       |  ROUND(ABS(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+       |  ${OracleSql.roundSql("ABS(hll_estimate - n_exact) / n_exact", 4)} AS rel_err
        |FROM ex, es""".stripMargin
   }
 
@@ -160,12 +161,12 @@ object SketchOps {
       .agg(sum(pow(lit(2.0), lit(61.0) - col("mj")).cast(DecimalType(38, 0)))
         .cast("double").as("harm"))
       .select(col("lang"),
-        round(lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm"), 4)
+        OracleSql.roundTo(lit(alpha * M * M) * pow(lit(2.0), lit(61.0)) / col("harm"), 4)
           .as("hll_estimate"))
     sh.groupBy("lang").agg(countDistinct(col("v")).as("n_exact"))
       .join(est, "lang")
       .withColumn("rel_err",
-        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
+        OracleSql.roundTo(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4))
       .orderBy("lang")
   }
 
@@ -193,11 +194,12 @@ object SketchOps {
        |ag AS (SELECT lang, CAST(SUM(CAST(power(2, 61 - mj) AS DECIMAL(38,0)))
        |           AS DOUBLE) AS harm
        |       FROM mx GROUP BY lang),
-       |es AS (SELECT lang, ROUND($alpha * $M * $M * power(2, 61) / harm, 4)
+       |es AS (SELECT lang, ${OracleSql.roundSql(
+             s"$alpha * $M * $M * power(2, 61) / harm", 4)}
        |           AS hll_estimate FROM ag),
        |ex AS (SELECT lang, COUNT(DISTINCT sh) AS n_exact FROM lsh GROUP BY lang)
        |SELECT ex.lang, n_exact, hll_estimate,
-       |  ROUND(ABS(hll_estimate - n_exact) / n_exact, 4) AS rel_err
+       |  ${OracleSql.roundSql("ABS(hll_estimate - n_exact) / n_exact", 4)} AS rel_err
        |FROM ex JOIN es USING (lang) ORDER BY lang""".stripMargin
   }
 
@@ -340,7 +342,7 @@ object SketchOps {
         min(struct(col("bucket"), col("cum"), col("cnt"), col("mx"),
           col("target"))).as("st"))
       .select(col("source"),
-        round((col("st.bucket") +
+        OracleSql.roundTo((col("st.bucket") +
           (col("st.target") - (col("st.cum") - col("st.cnt")))
             .cast("double") / col("st.cnt"))
           * (col("st.mx") + 1).cast("double") / HB, 4).as(name))
@@ -354,8 +356,8 @@ object SketchOps {
   def histogramQuantilesOracleSql(): String = {
     def est(q: Double, name: String) =
       s"""SELECT source,
-         |  ROUND((bucket + CAST(target - (cum - cnt) AS DOUBLE) / cnt)
-         |    * CAST(mx + 1 AS DOUBLE) / $HB, 4) AS $name
+         |  ${OracleSql.roundSql(
+           s"(bucket + CAST(target - (cum - cnt) AS DOUBLE) / cnt) * CAST(mx + 1 AS DOUBLE) / $HB", 4)} AS $name
          |FROM (
          |  SELECT source, bucket, cum, cnt, mx, target,
          |    ROW_NUMBER() OVER (PARTITION BY source

@@ -739,7 +739,7 @@ object TextOps {
       .agg(count(lit(1)).cast("bigint").as("n_distinct"),
         sum("df").cast("bigint").as("df_sum"))
       .withColumn("avg_df",
-        round(col("df_sum").cast("double") / col("n_distinct"), 6))
+        OracleSql.roundTo(col("df_sum").cast("double") / col("n_distinct"), 6))
       .orderBy("doc_id")
   }
 
@@ -859,7 +859,7 @@ object TextOps {
       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
       |  CAST(SUM(df) AS BIGINT) AS df_sum,
-      |  ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) AS avg_df
+      |  FLOOR((CAST(SUM(df) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_df
       |FROM tok JOIN dfreq USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

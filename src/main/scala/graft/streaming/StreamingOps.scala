@@ -246,7 +246,7 @@ object StreamingOps {
     events
       .join(broadcast(stats), "event_type")
       .filter(col("sd") > 0) // same zero-variance guard as the batch op
-      .withColumn("z", round(
+      .withColumn("z", graft.operators.OracleSql.roundTo(
         (col("value").cast("decimal(18,4)").cast("double") - col("mean"))
           / col("sd"), 6))
       .filter(abs(col("z")) > zCut)

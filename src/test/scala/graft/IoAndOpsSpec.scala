@@ -477,6 +477,32 @@ class IoAndOpsSpec extends AnyFunSuite {
       Some(-3L), None, None))
   }
 
+  // rounding twin: Spark's round() re-renders the double as its
+  // shortest decimal string and HALF_UPs it; DuckDB rounds the binary
+  // value — they disagree on tie-adjacent doubles (641.0/640 rounds
+  // 1.001563 vs 1.001562 at 6 digits). OracleSql.roundTo/roundSql use
+  // only IEEE mul/add/floor/div, so both engines agree by construction.
+  test("round_twin_uses_binary_value_not_decimal_rendering") {
+    import graft.operators.OracleSql
+    import spark.implicits._
+    val x = 641.0 / 640 // 1.00156249999999991…, shortest repr '1.0015625'
+    val got = Seq(x).toDF("x")
+      .select(OracleSql.roundTo(col("x"), 6).as("r"),
+        round(col("x"), 6).as("legacy"))
+      .head()
+    assert(got.getDouble(0) == math.floor(x * 1e6 + 0.5) / 1e6, // 1.001562
+      "twin must round the binary value like DuckDB")
+    assert(got.getDouble(1) == 1.001563, // documents WHY round() is banned
+      "if Spark's round() ever changes semantics, revisit the twin comment")
+    val edge = Seq((Double.NaN, Option.empty[Double]))
+      .toDF("nan", "nul")
+      .select(OracleSql.roundTo(col("nan"), 6).as("nan"),
+        OracleSql.roundTo(col("nul"), 6).as("nul"))
+      .head()
+    assert(edge.getDouble(0).isNaN, "NaN must pass through, not collapse to 0")
+    assert(edge.isNullAt(1), "NULL must stay NULL")
+  }
+
   // the reliable-checkpoint write job must read cached blocks, not
   // re-execute the plan — otherwise every iterative sweep in durable
   // mode computes twice (the documented RDD.checkpoint caveat)
