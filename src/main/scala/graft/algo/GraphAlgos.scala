@@ -361,10 +361,21 @@ object GraphAlgos {
     val part = new FirstElemHashPartitioner(math.max(sc.defaultParallelism, 16))
 
     // messages flow v -> u (u adopts from neighbors v); key by v so the
-    // per-sweep community lookup is a narrow co-partitioned join
-    val edges: RDD[(Long, (Long, Double))] = weightedNeighborPairs(g)
-      .select(col("v_vid").as("v"), col("u_vid").as("u"), col("weight"))
-      .as[(Long, Long, Double)].rdd
+    // per-sweep community lookup is a narrow co-partitioned join.
+    // Weights ride as FIXED-POINT longs (the pageRankInt trick): the
+    // per-sweep reduceByKey gives no accumulation-order guarantee, and
+    // IEEE double addition is non-associative — with any non-unit
+    // weight (0.5·overlap/nprops is non-representable for most nprops)
+    // two runs could sum to values an ulp apart and argmax different
+    // communities. Each PER-EDGE weight is quantized once by a
+    // deterministic double expression (same long every run), then sums
+    // are exact integers. 2^20 scale × max weight 2.25 ≈ 2.4e6 per
+    // edge; overflow would need a destination degree above ~3.9e12.
+    val wScale = 1L << 20
+    val edges: RDD[(Long, (Long, Long))] = weightedNeighborPairs(g)
+      .select(col("v_vid").as("v"), col("u_vid").as("u"),
+        floor(col("weight") * wScale + lit(0.5)).as("w"))
+      .as[(Long, Long, Long)].rdd
       .map { case (v, u, w) => (v, (u, w)) }
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -390,9 +401,9 @@ object GraphAlgos {
       // co-partitioned with `comm` for a narrow join below.
       val best: RDD[(Long, Long)] = edges.join(comm) // narrow
         .map { case (_, ((u, w), cv)) => ((u, cv), w) }
-        .reduceByKey(part, _ + _) // the sweep's one shuffle
+        .reduceByKey(part, _ + _) // the sweep's one shuffle; exact BIGINT sums
         .mapPartitions({ it =>
-          val bestOf = mutable.HashMap.empty[Long, (Long, Double)]
+          val bestOf = mutable.HashMap.empty[Long, (Long, Long)]
           it.foreach { case ((u, c), w) =>
             bestOf.get(u) match {
               case Some((bc, bw)) if w > bw || (w == bw && c < bc) =>
@@ -473,8 +484,17 @@ object GraphAlgos {
   }
 
   /** Community density (GA4): internal undirected edge count over
-    * possible pairs n(n−1)/2. Returns (community, n_nodes,
-    * internal_edges, density). */
+    * possible pairs max(n(n−1)/2, 1). Returns (community, n_nodes,
+    * internal_edges, density).
+    *
+    * The formula mirrors frontend.rs:602-616 exactly: the reference
+    * pushes BOTH directions of every relationship into its neighbor
+    * lists, counts within-community entries, and halves — which equals
+    * counting each DIRECTED relationship whose endpoints share the
+    * community once (a reciprocal pair contributes 2, a self-loop 1),
+    * so density CAN exceed 1.0 on multigraph communities, faithfully.
+    * The denominator clamps to 1 (`if possible_edges == 0`), so a
+    * singleton community with a self-loop reports density 1.0, not 0. */
   def communityDensity(g: PropertyGraph, assignment: DataFrame): DataFrame = {
     val sizes = assignment.groupBy("community").agg(count(lit(1)).as("n_nodes"))
     val internal = g.edges
@@ -486,10 +506,8 @@ object GraphAlgos {
     sizes.join(internal, Seq("community"), "left")
       .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
       .withColumn("density",
-        when(col("n_nodes") > 1,
-          col("internal_edges").cast("double") /
-            (col("n_nodes") * (col("n_nodes") - 1) / lit(2.0)))
-          .otherwise(lit(0.0)))
+        col("internal_edges").cast("double") /
+          greatest(col("n_nodes") * (col("n_nodes") - 1) / lit(2.0), lit(1.0)))
   }
 
   /** Distinct label / rel-type / property-key universe (A5,

@@ -37,6 +37,11 @@ class GraphSession(val spark: SparkSession) {
     var nCnt = 0L
     var rCnt = 0L
     var anyMut = false
+    // raw split on ';' with NO quote awareness — reference parity with
+    // query_interface.rs:86 (`trimmed.split(';')`): a semicolon inside
+    // a quoted property value breaks the statement there too. A
+    // quote-aware splitter would silently diverge on inputs the
+    // reference rejects.
     trimmed.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
       val (r, n, rc, m) = executeStatement(stmt, params)
       rows ++= r; nCnt += n; rCnt += rc; anyMut ||= m

@@ -1,6 +1,9 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 import org.apache.spark.sql.SparkSession
 
 import graft.core.PropertyGraph
@@ -15,34 +18,62 @@ import graft.core.PropertyGraph
   * (pointer update is the atomic commit, like the reference's rename).
   * At cluster scale each snapshot is a plain parquet dataset — readable
   * by any Spark job without the engine.
+  *
+  * Snapshot/pointer commits go through the HADOOP filesystem of `root`
+  * (resolved against the session's Hadoop conf), NOT java.nio: the
+  * parquet write already lands wherever Spark's filesystem abstraction
+  * points (HDFS, S3A, local), and a driver-local nio rename against a
+  * distributed store would throw after the expensive write and leave
+  * an orphaned .tmp_ directory. RON import/export below stay
+  * driver-local nio by design — they are a single-process handoff with
+  * the reference's own on-disk format.
   */
 object GraphStore {
 
   private val fmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyyMMdd_HHmmss_SSS").withZone(java.time.ZoneOffset.UTC)
 
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
   /** Write a new snapshot version and atomically repoint `active`.
     * Returns the version name. */
   def save(g: PropertyGraph, root: String): String = {
+    val spark = g.nodes.sparkSession
     val version = s"v_${fmt.format(java.time.Instant.now())}"
     val tmp = s"$root/.tmp_$version"
     g.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
     g.edges.write.mode("overwrite").parquet(s"$tmp/edges")
-    val target = Paths.get(root, version)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-    val ptrTmp = Paths.get(root, ".active_tmp")
-    Files.writeString(ptrTmp, version)
-    Files.move(ptrTmp, Paths.get(root, "active"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val conf = hadoopConf(spark)
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.rename(new HPath(tmp), new HPath(rootPath, version)))
+      throw new java.io.IOException(
+        s"snapshot commit failed: rename $tmp -> $version")
+    val ptrTmp = new HPath(rootPath, ".active_tmp")
+    val out = fs.create(ptrTmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext rename supports OVERWRITE (atomic where the FS is);
+    // FileSystem.rename refuses an existing destination
+    FileContext.getFileContext(fs.makeQualified(rootPath).toUri, conf)
+      .rename(fs.makeQualified(ptrTmp),
+        fs.makeQualified(new HPath(rootPath, "active")),
+        Options.Rename.OVERWRITE)
     version
   }
 
   /** Load the active snapshot (or a specific version). */
   def load(spark: SparkSession, root: String, version: Option[String] = None): PropertyGraph = {
     val v = version.getOrElse {
-      val p = Paths.get(root, "active")
-      if (!Files.exists(p)) throw new IllegalStateException(s"no active snapshot under $root")
-      Files.readString(p).trim
+      val rootPath = new HPath(root)
+      val fs = rootPath.getFileSystem(hadoopConf(spark))
+      val p = new HPath(rootPath, "active")
+      if (!fs.exists(p)) throw new IllegalStateException(s"no active snapshot under $root")
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
     }
     PropertyGraph(
       spark.read.schema(PropertyGraph.nodeSchema).parquet(s"$root/$v/nodes"),
@@ -125,15 +156,17 @@ object GraphStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** List snapshot versions, newest last (persist.rs:149-166). */
+  /** List snapshot versions, newest last (persist.rs:149-166). Rides
+    * the session's Hadoop conf when one is live (S3 credentials etc.);
+    * a bare Configuration still resolves file:// and HDFS defaults. */
   def listVersions(root: String): Seq[String] = {
-    val dir = Paths.get(root)
-    if (!Files.exists(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("v_")).toSeq.sorted
-    } finally s.close()
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(hadoopConf).getOrElse(new Configuration())
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v_")).sorted
   }
 }

@@ -117,7 +117,7 @@ object AppSettings {
       (("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r)
         .findFirstMatchIn(json).map(m => unescape(m.group(1)))
     def num(key: String): Option[Double] =
-      (("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r)
+      (("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+\\-]+)").r)
         .findFirstMatchIn(json).map(_.group(1).toDouble)
     def bool(key: String): Option[Boolean] =
       (("\"" + key + "\"\\s*:\\s*(true|false)").r)

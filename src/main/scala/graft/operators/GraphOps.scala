@@ -132,9 +132,7 @@ object GraphOps {
        |SELECT s.community, s.n_nodes,
        |  COALESCE(i.internal_edges, 0) AS internal_edges,
        |  ${OracleSql.roundSql(
-         """CASE WHEN s.n_nodes > 1
-       |    THEN COALESCE(i.internal_edges, 0) / (s.n_nodes * (s.n_nodes - 1) / 2.0)
-       |    ELSE 0.0 END""", 6)} AS density
+         "COALESCE(i.internal_edges, 0) / GREATEST(s.n_nodes * (s.n_nodes - 1) / 2.0, 1.0)", 6)} AS density
        |FROM sizes s LEFT JOIN internal i USING (community)
        |ORDER BY community""".stripMargin
 

@@ -71,27 +71,38 @@ object StreamingOps {
       n_events: Int, closed: Boolean)
 
   /** Custom per-user sessionization (30-min inactivity gap) with
-    * mapGroupsWithState — the KeyValueGroupedDataset stateful path a
-    * training pipeline uses for anything windowless. */
+    * flatMapGroupsWithState — the KeyValueGroupedDataset stateful path
+    * a training pipeline uses for anything windowless. EVERY session
+    * closed within a batch is emitted (a batch can close several for
+    * one user — a map-shaped emit would silently drop all but one),
+    * plus one Update-mode progress row for the still-open session. A
+    * late cross-batch event can extend the open session backward in
+    * start-time terms but never moves `last` backward — otherwise one
+    * straggler would fake an inactivity gap for the events after it.
+    * State is 3 numbers per user; an idle-session ProcessingTimeTimeout
+    * is the production add-on for emitting final closes without
+    * waiting for the user's next event. */
   def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id"), col("event_time"))
       .as[SessionInput]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
           val times = rows.map(_.event_time.getTime).toSeq.sorted
           var st = state.getOption.getOrElse(SessionState(times.head, times.head, 0))
-          var lastClosed: Option[SessionOut] = None
+          val closedOut = Seq.newBuilder[SessionOut]
           times.foreach { t =>
             if (t - st.last > gapMs) {
-              lastClosed = Some(SessionOut(user, st.start, st.last, st.n, closed = true))
+              closedOut += SessionOut(user, st.start, st.last, st.n, closed = true)
               st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, t, st.n + 1)
+            } else st = SessionState(st.start, math.max(st.last, t), st.n + 1)
           }
           state.update(st)
-          lastClosed.getOrElse(SessionOut(user, st.start, st.last, st.n, closed = false))
+          (closedOut.result() :+
+            SessionOut(user, st.start, st.last, st.n, closed = false)).iterator
       }
   }
 
@@ -245,7 +256,12 @@ object StreamingOps {
       zCut: Double = 2.0): DataFrame =
     events
       .join(broadcast(stats), "event_type")
-      .filter(col("sd") > 0) // same zero-variance guard as the batch op
+      // same zero-variance guard as the batch op, plus an explicit NaN
+      // screen: valueStats clamps sd by contract, but this op accepts
+      // ANY stats frame, and a NaN sd (e.g. from stddev_samp over a
+      // singleton group) passes `sd > 0` because Spark orders NaN above
+      // every number — safe by construction beats safe by contract
+      .filter(col("sd") > 0 && !isnan(col("sd")))
       .withColumn("z", graft.operators.OracleSql.roundTo(
         (col("value").cast("decimal(18,4)").cast("double") - col("mean"))
           / col("sd"), 6))
@@ -330,15 +346,26 @@ object StreamingOps {
       .select("doc_id", "lang", "source", "n_tokens")
 
   /** Run a streaming DataFrame to completion (availableNow) into a
-    * memory sink; returns the result table. */
+    * memory sink; returns the result table. The per-run checkpoint dir
+    * (offsets, commits, state-store files — deleteOnExit can't remove
+    * a non-empty tree) is registered for recursive JVM-exit cleanup so
+    * a long-lived session running repeated queries doesn't accumulate
+    * /tmp state, matching the stagedFileStream hygiene above. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(ckpt.toFile)
+    }))
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

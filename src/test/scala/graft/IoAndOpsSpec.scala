@@ -214,6 +214,31 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(w(("x", "y")) == 1.75, "non-empty same-label pair gets the bonus")
   }
 
+  // density is reference-faithful multigraph math (frontend.rs:602-616:
+  // both directions of every rel are pushed into the neighbor lists,
+  // within-community entries counted, then halved — over max(n(n-1)/2,
+  // 1)): reciprocal directed edges BOTH count, so density can exceed
+  // 1.0, and a self-loop singleton divides by the clamped denominator
+  test("community_density_matches_reference_multigraph_math") {
+    val nodes = PropertyGraph.nodesDf(spark, Seq(
+      ("a", "L", Map.empty[String, String]),
+      ("b", "L", Map.empty[String, String]),
+      ("s", "L", Map.empty[String, String])))
+    val edges = PropertyGraph.edgesDf(spark, Seq(
+      ("e1", "a", "b", "E", Map.empty[String, String]),
+      ("e2", "b", "a", "E", Map.empty[String, String]),
+      ("e3", "s", "s", "E", Map.empty[String, String])))
+    val assignment = spark.createDataFrame(Seq(("a", "A"), ("b", "A"), ("s", "S")))
+      .toDF("id", "community")
+    val got = graft.algo.GraphAlgos
+      .communityDensity(PropertyGraph(nodes, edges), assignment)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("A") == ((2L, 2L, 2.0)), "reciprocal pair: 2 internal / 1 pair")
+    assert(got("S") == ((1L, 1L, 1.0)), "self-loop singleton: 1 / max(0, 1)")
+  }
+
   // Fixed-sweep min-label propagation must equal TRUE connected
   // components on real near-dup data (tiny cluster diameters), with
   // every document labeled and exactly one keeper per cluster.

@@ -28,6 +28,18 @@ class SettingsSpec extends AnyFunSuite {
     assert(!Files.exists(dir.resolve("settings.json.tmp")), "tmp file renamed away")
   }
 
+  // Double.toString renders 0.0001 as "1.0E-4"; a number regex without
+  // '-' in its char class matched only "1.0E", threw on toDouble, and
+  // load()'s catch-all silently reset EVERY setting to defaults
+  test("negative_exponent_numbers_roundtrip") {
+    val dir = Files.createTempDirectory("graft_settings_exp")
+    val p = dir.resolve("settings.json")
+    val s = AppSettings(lodLabelMinZoom = 0.0001, apiKey = Some("keep-me"))
+    AppSettings.save(s, Some(p))
+    assert(AppSettings.load(Some(p)) == s,
+      "a value save() itself wrote must parse back")
+  }
+
   test("missing_keys_fall_back_to_defaults") {
     val partial = """{"api_port": 1234, "lod_enabled": false}"""
     val s = AppSettings.parse(partial)

@@ -192,6 +192,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  // A batch that closes SEVERAL sessions for one user must emit every
+  // one of them (a map-shaped emit dropped all but the last, losing
+  // sessions forever since state no longer held them), and a late
+  // cross-batch straggler must never move the open session's `last`
+  // backward (that would fake an inactivity gap for events after it).
+  test("streaming_sessionize_emits_all_closes_and_absorbs_stragglers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val h = 3600L * 1000
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamingOps.sessionize(
+      ms.toDF().toDF("user_id", "event_time")).toDF()
+    val q = sessions.writeStream.format("memory").queryName("sess_multi")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_sess_multi").toString)
+      .start()
+    try {
+      // one batch, two 30-min-gap closes: sessions at 0h, 1h, open at 3h
+      ms.addData((1L, ts(0)), (1L, ts(h)), (1L, ts(3 * h)))
+      q.processAllAvailable()
+      val closed1 = spark.table("sess_multi").filter(col("closed"))
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(closed1 == Set((0L, 0L, 1), (h, h, 1)),
+        "every session closed in the batch must be emitted")
+      // straggler 25 min BEFORE the open session's last event, then a
+      // follow-up 10 min after it: both merge; no false close
+      ms.addData((1L, ts(3 * h - 25 * 60 * 1000)), (1L, ts(3 * h + 10 * 60 * 1000)))
+      q.processAllAvailable()
+      val t = spark.table("sess_multi")
+      assert(t.filter(col("closed")).count() == 2,
+        "a straggler must not fake an inactivity gap")
+      val open = t.filter(!col("closed")).orderBy(col("n_events").desc).head()
+      assert(open.getLong(1) == 3 * h && open.getLong(2) == 3 * h + 10 * 60 * 1000
+        && open.getInt(3) == 3,
+        "open session absorbs the straggler without moving last backward")
+    } finally q.stop()
+  }
+
   test("streaming_sessionize_produces_sessions") {
     val stream = StreamingOps.eventsStream(spark, sf)
     val sessions = StreamingOps.runToMemory(spark,
