@@ -29,28 +29,37 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
     * the engine thread after a statement reports `mutated`. */
   @volatile var onMutation: () => Unit = () => ()
 
-  private val engineThread = new Thread(() => {
-    while (!Thread.currentThread().isInterrupted) {
-      try {
-        val req = queue.take()
-        val result =
-          try {
-            val out = session.executeWithParams(req.query, req.params)
-            queryLog.foreach(_.logQuery(req.query, ok = true,
-              out.affectedNodes, out.affectedRels, out.mutated))
-            if (out.mutated) onMutation()
-            Right(out)
-          } catch {
-            case NonFatal(e) =>
-              queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
-                mutated = false, error = Some(e.getMessage)))
-              Left(Option(e.getMessage).getOrElse(e.toString))
-          }
-        req.respond(result)
-      } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
-    }
-  }, "graft-engine")
-  engineThread.setDaemon(true)
+  // built by a factory, not held as a val: a terminated Thread can
+  // never be start()ed again (IllegalThreadStateException), so a
+  // stop()/start() cycle — daemon restart, test teardown/setup — must
+  // get a FRESH thread draining the same queue
+  private var engineThread: Thread = _
+
+  private def newEngineThread(): Thread = {
+    val t = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        try {
+          val req = queue.take()
+          val result =
+            try {
+              val out = session.executeWithParams(req.query, req.params)
+              queryLog.foreach(_.logQuery(req.query, ok = true,
+                out.affectedNodes, out.affectedRels, out.mutated))
+              if (out.mutated) onMutation()
+              Right(out)
+            } catch {
+              case NonFatal(e) =>
+                queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
+                  mutated = false, error = Some(e.getMessage)))
+                Left(Option(e.getMessage).getOrElse(e.toString))
+            }
+          req.respond(result)
+        } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }, "graft-engine")
+    t.setDaemon(true)
+    t
+  }
 
   def nextRid(): String = s"${System.nanoTime()}-${ridCounter.getAndIncrement()}"
 
@@ -65,8 +74,19 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
   }
 
   def start(): Unit = synchronized {
-    if (!engineThread.isAlive) engineThread.start()
+    if (engineThread == null || !engineThread.isAlive) {
+      engineThread = newEngineThread()
+      engineThread.start()
+    }
   }
 
-  def stop(): Unit = engineThread.interrupt()
+  def stop(): Unit = synchronized {
+    if (engineThread != null) {
+      engineThread.interrupt()
+      // wait (bounded) for the exit: a start() racing an interrupted-
+      // but-still-alive thread would see isAlive and skip spawning,
+      // leaving the queue with no drainer
+      engineThread.join(2000)
+    }
+  }
 }

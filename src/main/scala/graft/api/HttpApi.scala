@@ -29,7 +29,14 @@ class HttpApi(session: GraphSession, port: Int = 0,
   // bind the configured address only (settings.rs api_bind_addr
   // default loopback; server.rs:233-259) — not the wildcard
   private val server = HttpServer.create(new InetSocketAddress(bindAddr, port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  private val pool = Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
+
+  /** Reject request bodies past this size instead of buffering them:
+    * readAllBytes with no cap lets one oversized POST OOM the driver
+    * JVM that also hosts the graph (the WS path caps frames at 64 MB;
+    * this is the HTTP equivalent). */
+  private val maxBodyBytes = 8 * 1024 * 1024
 
   server.createContext("/api/query", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
@@ -38,7 +45,10 @@ class HttpApi(session: GraphSession, port: Int = 0,
         if (apiKey.exists(k => ex.getRequestHeaders.getFirst("X-API-Key") != k)) {
           respond(ex, 401, "unauthorized"); return
         }
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val body = readBounded(ex) match {
+          case Some(b) => b
+          case None => respond(ex, 413, "request body too large"); return
+        }
         val (query, params) = parseBody(body) match {
           case Some(qp) => qp
           case None => respond(ex, 400, "malformed request body"); return
@@ -70,55 +80,132 @@ class HttpApi(session: GraphSession, port: Int = 0,
 
   def stop(): Unit = {
     server.stop(0)
+    pool.shutdown() // non-daemon workers would otherwise pin the JVM open
     if (broker0.isEmpty) broker.stop()
   }
 
-  /** Parse `{"query": "...", "params": {...}, "log": bool}`. */
+  /** Read the request body up to [[maxBodyBytes]]; None once over. */
+  private def readBounded(ex: HttpExchange): Option[String] = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var read = in.read(chunk)
+    while (read >= 0) {
+      if (buf.size() + read > maxBodyBytes) return None
+      buf.write(chunk, 0, read)
+      read = in.read(chunk)
+    }
+    Some(buf.toString(StandardCharsets.UTF_8.name()))
+  }
+
+  /** Parse `{"query": "...", "params": {...}, "log": bool}` with a
+    * single depth-aware scan of the TOP-LEVEL object members. Two bugs
+    * the previous regex probes had, both closed by construction here:
+    * a `"query"` key nested inside params could shadow the real
+    * statement (JSON key order is client-controlled), and any param
+    * key/value containing a backslash escape was silently dropped from
+    * the map. */
   private def parseBody(body: String): Option[(String, Map[String, String])] = {
-    def findString(json: String, key: String): Option[String] = {
-      val keyPat = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"").r
-      keyPat.findFirstMatchIn(json).map { m =>
-        val sb = new StringBuilder
-        var i = m.end
-        while (i < json.length && json(i) != '"') {
-          if (json(i) == '\\' && i + 1 < json.length) {
-            json(i + 1) match {
-              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
-              case 'r' => sb.append('\r')
-              case 'u' =>
-                sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
-                i += 4
-              case c => sb.append(c)
-            }
-            i += 2
-          } else { sb.append(json(i)); i += 1 }
-        }
-        sb.toString
+    val n = body.length
+    var i = body.indexOf('{')
+    if (i < 0) return None
+    i += 1
+    var query: Option[String] = None
+    var params = Map.empty[String, String]
+
+    def ws(): Unit = while (i < n && body(i).isWhitespace) i += 1
+    // reads a JSON string at body(i) == '"'; returns None if not one
+    def str(): Option[String] = {
+      if (i >= n || body(i) != '"') return None
+      val sb = new StringBuilder
+      i += 1
+      while (i < n && body(i) != '"') {
+        if (body(i) == '\\' && i + 1 < n) {
+          body(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' if i + 5 < n =>
+              sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case c => sb.append(c)
+          }
+          i += 2
+        } else { sb.append(body(i)); i += 1 }
+      }
+      if (i >= n) return None // unterminated
+      i += 1
+      Some(sb.toString)
+    }
+    // skips any JSON value (string / object / array / scalar)
+    def skipValue(): Unit = {
+      ws()
+      if (i >= n) return
+      body(i) match {
+        case '"' => str(): Unit
+        case '{' | '[' =>
+          var depth = 0
+          while (i < n && { body(i) match {
+            case '{' | '[' => depth += 1; i += 1
+            case '}' | ']' => depth -= 1; i += 1
+            case '"' => str(): Unit
+            case _ => i += 1
+          }; depth > 0 }) ()
+        case _ =>
+          while (i < n && !",}]".contains(body(i))) i += 1
       }
     }
-    findString(body, "query").map { query =>
-      // params: flat string map
-      val params = "\"params\"\\s*:\\s*\\{".r.findFirstMatchIn(body).map { m =>
-        var depth = 1
-        var i = m.end
-        val start = i
-        while (i < body.length && depth > 0) {
-          body(i) match {
-            case '{' => depth += 1
-            case '}' => depth -= 1
-            case '"' => i += 1; while (i < body.length && body(i) != '"') {
-              if (body(i) == '\\') i += 1; i += 1
+    // flat string map at body(i) == '{'; non-string values are skipped
+    def stringMap(): Map[String, String] = {
+      val out = Map.newBuilder[String, String]
+      i += 1 // '{'
+      ws()
+      var ok = true
+      while (ok && i < n && body(i) != '}') {
+        str() match {
+          case Some(k) =>
+            ws()
+            if (i < n && body(i) == ':') { i += 1; ws() } else ok = false
+            if (ok) {
+              val vStart = i
+              str() match {
+                case Some(v) => out += k -> v
+                case None => i = vStart; skipValue()
+              }
             }
-            case _ =>
-          }
-          i += 1
+            ws()
+            if (i < n && body(i) == ',') { i += 1; ws() }
+          case None => ok = false
         }
-        val inner = body.substring(start - 1, i)
-        "\"([^\"\\\\]*)\"\\s*:\\s*\"([^\"\\\\]*)\"".r.findAllMatchIn(inner)
-          .map(mm => mm.group(1) -> mm.group(2)).toMap
-      }.getOrElse(Map.empty[String, String])
-      (query, params)
+      }
+      if (i < n && body(i) == '}') i += 1
+      out.result()
     }
+
+    ws()
+    var ok = true
+    while (ok && i < n && body(i) != '}') {
+      str() match {
+        case Some(k) =>
+          ws()
+          if (i < n && body(i) == ':') { i += 1; ws() } else ok = false
+          if (ok) k match {
+            case "query" =>
+              val vStart = i
+              str() match {
+                case Some(q) => query = Some(q)
+                case None => i = vStart; skipValue()
+              }
+            case "params" =>
+              if (i < n && body(i) == '{') params = stringMap() else skipValue()
+            case _ => skipValue()
+          }
+          ws()
+          if (i < n && body(i) == ',') { i += 1; ws() }
+        case None => ok = false
+      }
+    }
+    query.map((_, params))
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -39,9 +39,27 @@ object Parser {
         val quote = c
         val sb = new StringBuilder
         i += 1
+        // openCypher escape semantics for the standard set; anything
+        // else keeps BOTH characters (the reference never unescapes —
+        // trim_quotes in cypher_spec.rs:85 strips outer quotes only —
+        // so raw preservation is the compatible fallback; the old
+        // behavior of dropping the backslash corrupted '\n' to 'n')
         while (i < n && q(i) != quote) {
-          if (q(i) == '\\' && i + 1 < n) { sb.append(q(i + 1)); i += 2 }
-          else { sb.append(q(i)); i += 1 }
+          if (q(i) == '\\' && i + 1 < n) {
+            q(i + 1) match {
+              case 'n'  => sb.append('\n')
+              case 't'  => sb.append('\t')
+              case 'r'  => sb.append('\r')
+              case '\\' => sb.append('\\')
+              case '\'' => sb.append('\'')
+              case '"'  => sb.append('"')
+              case 'u' if i + 5 < n =>
+                sb.append(Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar)
+                i += 4
+              case other => sb.append('\\').append(other)
+            }
+            i += 2
+          } else { sb.append(q(i)); i += 1 }
         }
         if (i >= n) throw ParseException(s"unterminated string literal")
         i += 1
@@ -56,8 +74,13 @@ object Parser {
         var j = i
         while (j < n && (q(j).isLetterOrDigit || q(j) == '_')) j += 1
         out += Tok.Ident(q.substring(i, j)); i = j
-      } else if (c.isDigit) {
-        var j = i
+      } else if (c.isDigit ||
+          (c == '-' && i + 1 < n && q(i + 1).isDigit)) {
+        // '-' directly followed by a digit is a negative literal, never
+        // a relationship dash (patterns follow '-' with '[', '(' or
+        // '>'); the reference accepts '-1' as a bareword value, so
+        // rejecting it here broke {score: -1} and `> -5` compares
+        var j = if (c == '-') i + 1 else i
         while (j < n && (q(j).isDigit || q(j) == '.')) j += 1
         // "1..3" inside var-length: don't swallow '..' into the number
         var s = q.substring(i, j)

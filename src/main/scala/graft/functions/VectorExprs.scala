@@ -29,6 +29,14 @@ import org.apache.spark.sql.types._
 abstract class BinaryVectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // A null array ELEMENT nulls the result even when both array inputs
+  // are non-nullable, so the default left.nullable || right.nullable
+  // would under-report: codegen would pin isNull to a FalseLiteral and
+  // the `isNull = true` assignment below would reference an undeclared
+  // variable (janino compile failure), while the interpreted fallback
+  // would hand null to a non-nullable projection slot.
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
     case _                                          => None

@@ -69,11 +69,21 @@ object GraphStore {
       val rootPath = new HPath(root)
       val fs = rootPath.getFileSystem(hadoopConf(spark))
       val p = new HPath(rootPath, "active")
-      if (!fs.exists(p)) throw new IllegalStateException(s"no active snapshot under $root")
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } else {
+        // an interrupted save (daemon shutdown mid-autosave) can leave
+        // version dirs with no pointer — the pointer write IS the
+        // commit — so fall back to the newest version instead of
+        // stranding a store that has loadable data
+        val vs = listVersions(root)
+        if (vs.isEmpty)
+          throw new IllegalStateException(s"no active snapshot under $root")
+        vs.last
+      }
     }
     PropertyGraph(
       spark.read.schema(PropertyGraph.nodeSchema).parquet(s"$root/$v/nodes"),

@@ -65,7 +65,12 @@ object RewriteHofVectorFold extends Rule[LogicalPlan] {
 
   private object DoubleZero {
     def unapply(e: Expression): Boolean = e match {
-      case Literal(v: Double, DoubleType) => v == 0.0
+      // raw-bits compare: `v == 0.0` also accepts a -0.0 seed, but the
+      // compiled folds start from +0.0, and an all-negative-zero fold
+      // would then flip the sign of the result's zero (visible via
+      // 1/x) — exactness includes the sign of zero
+      case Literal(v: Double, DoubleType) =>
+        java.lang.Double.doubleToRawLongBits(v) == 0L
       case _                              => false
     }
   }

@@ -20,6 +20,25 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   def idsFromRows(rows: Seq[ResultRow]): Seq[String] =
     rows.filter(r => r.kind == "node" || r.kind == "relationship").map(_.id)
 
+  // beyond-reference lexer contract: openCypher escapes are
+  // interpreted ('\n' is a newline — the old lexer corrupted it to the
+  // letter 'n'), unknown escapes keep BOTH characters (the reference
+  // never unescapes, cypher_spec.rs:85), and '-' adjacent to a digit
+  // is a negative literal, not a relationship dash (the reference
+  // accepts '-1' as a bareword value)
+  test("cypher_string_escapes_and_negative_literals") {
+    val s = newSession()
+    s.execute("CREATE (:Esc {text: 'a\\nb', raw: 'x\\dy', quote: 'O\\'Brien', score: -3})")
+    val n = s.execute("MATCH (n:Esc) RETURN n").rows.head
+    assert(n.properties("text") == "a\nb", "\\n must decode to a newline")
+    assert(n.properties("raw") == "x\\dy", "unknown escapes keep the backslash")
+    assert(n.properties("quote") == "O'Brien")
+    assert(n.properties("score") == "-3")
+    assert(s.execute("MATCH (n:Esc) WHERE n.score = -3 RETURN n").rows.length == 1)
+    assert(s.execute("MATCH (n:Esc) WHERE n.score > -5 RETURN n").rows.length == 1)
+    assert(s.execute("MATCH (n:Esc) WHERE n.score > -1 RETURN n").rows.isEmpty)
+  }
+
   // ---- unittests.rs:23-59 ----
   test("cypher_params_in_pattern_and_where") {
     val s = newSession()

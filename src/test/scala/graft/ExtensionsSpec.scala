@@ -72,6 +72,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nullArr.head().isNullAt(0))
   }
 
+  // BinaryVectorFold nulls the result on a null ELEMENT even when both
+  // array inputs are non-nullable — without `nullable = true` codegen
+  // pins isNull to a FalseLiteral and the generated `isNull = true`
+  // references an undeclared variable (janino failure), while the
+  // interpreted fallback hands null to a non-nullable projection slot
+  test("vector_fold_null_element_is_null_not_a_crash") {
+    import graft.functions.VectorFunctions
+    val out = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double")).as("a"),
+      array(lit(2.0), lit(3.0)).as("b"))
+      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"),
+        VectorFunctions.squaredL2(col("a"), col("b")).as("l2"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
   test("hof_squared_l2_shape_rewritten_and_negated_diff_left_alone") {
     val df = spark.range(2).select(
       array((col("id") + 1).cast("double"), lit(3.0)).as("a"),

@@ -49,6 +49,35 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  // top-level scan, not regex probes: a "query" key nested inside
+  // params must not shadow the real statement (JSON key order is
+  // client-controlled), and escaped quotes/backslashes in param values
+  // must survive into the parameter map instead of being dropped
+  test("http_body_parse_is_top_level_and_escape_aware") {
+    val session = new GraphSession(spark)
+    val api = new HttpApi(session)
+    val port = api.start()
+    try {
+      session.execute("""CREATE (:Person {name: 'O"Brien'})""")
+      // params object FIRST, containing a decoy "query" member
+      val r = post(port,
+        """{"params": {"query": "decoy", "who": "O\"Brien"},""" +
+          """ "query": "MATCH (p:Person {name: $who}) RETURN p"}""")
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("Brien"), "escaped param value must resolve")
+      // broker restart: stop() then start() must serve again (a
+      // terminated Thread can't be start()ed twice)
+      api.broker.stop()
+      api.broker.start()
+      val r2 = post(port, """{"query": "MATCH (p:Person) RETURN p"}""")
+      assert(r2.statusCode() == 200)
+      // oversized body rejected instead of buffered
+      val big = "x" * (9 * 1024 * 1024)
+      val r3 = post(port, s"""{"query": "$big"}""")
+      assert(r3.statusCode() == 413)
+    } finally api.stop()
+  }
+
   test("http_api_key_enforced") {
     val api = new HttpApi(new GraphSession(spark), apiKey = Some("sekret"))
     val port = api.start()
