@@ -25,7 +25,15 @@ object Tables {
     * reader rejects outright — read it as raw epoch nanos (LongType,
     * column `ts_ns`) instead. Nanos are monotonic, so ordering and
     * window semantics are unchanged; render wall-clock strings with
-    * `timestamp_micros(ts_ns div 1000)` under the UTC session. */
+    * `timestamp_micros(ts_ns div 1000)` under the UTC session.
+    *
+    * DELIBERATE session-wide side effect: `nanosAsLong` has no
+    * per-read option and is consulted again at scan planning time, so
+    * scoping-and-restoring it around this call would break the very
+    * read it enables (the DataFrame is lazy). Consequence: any LATER
+    * nanos-timestamp parquet read in the session also comes back as
+    * LongType instead of erroring — acceptable here because ts_ns is
+    * the engine-wide convention for nanos columns. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events").withColumnRenamed("ts", "ts_ns")
