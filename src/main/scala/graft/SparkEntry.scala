@@ -373,7 +373,7 @@ object SparkEntry {
     "q42_cosine_neardup" -> operators.SimilarityOps.cosineNearDupOracleSql(),
     "q44_cosine_dedup_clusters" -> operators.SimilarityOps.cosineDedupClustersOracleSql(),
     "q28_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
         |           WHERE vec_id < 8),
         |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
         |z AS (SELECT qid, nid, qe, ce FROM q, c WHERE qid <> nid),
@@ -386,7 +386,7 @@ object SparkEntry {
         |          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS nc
         |      FROM z),
         |r AS (SELECT qid, nid,
-        |        FLOOR((dot / (sqrt(nq) * sqrt(nc))) * 1e6 + 0.5) / 1e6 AS sim
+        |        ${operators.OracleSql.roundSql("dot / (sqrt(nq) * sqrt(nc))", 6)} AS sim
         |      FROM s),
         |rk AS (SELECT qid, nid, sim,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid

@@ -32,12 +32,19 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
   // built by a factory, not held as a val: a terminated Thread can
   // never be start()ed again (IllegalThreadStateException), so a
   // stop()/start() cycle — daemon restart, test teardown/setup — must
-  // get a FRESH thread draining the same queue
+  // get a FRESH thread draining the same queue. Each thread carries
+  // its own stop flag: interrupt alone is not enough (a long Spark
+  // job can outlive stop()'s bounded join, and some libraries swallow
+  // the interrupt status), and start() must be able to spawn a
+  // replacement while the old thread is still finishing its query
+  // without ever having two threads TAKE from the queue.
   private var engineThread: Thread = _
+  private var stopFlag: java.util.concurrent.atomic.AtomicBoolean = _
 
-  private def newEngineThread(): Thread = {
+  private def newEngineThread(
+      stop: java.util.concurrent.atomic.AtomicBoolean): Thread = {
     val t = new Thread(() => {
-      while (!Thread.currentThread().isInterrupted) {
+      while (!stop.get() && !Thread.currentThread().isInterrupted) {
         try {
           val req = queue.take()
           val result =
@@ -75,18 +82,18 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
 
   def start(): Unit = synchronized {
     if (engineThread == null || !engineThread.isAlive) {
-      engineThread = newEngineThread()
+      stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      engineThread = newEngineThread(stopFlag)
       engineThread.start()
     }
   }
 
   def stop(): Unit = synchronized {
     if (engineThread != null) {
-      engineThread.interrupt()
-      // wait (bounded) for the exit: a start() racing an interrupted-
-      // but-still-alive thread would see isAlive and skip spawning,
-      // leaving the queue with no drainer
+      stopFlag.set(true) // survives a swallowed interrupt: the thread
+      engineThread.interrupt() // exits after its current query
       engineThread.join(2000)
+      engineThread = null // next start() always gets a fresh drainer
     }
   }
 }

@@ -125,9 +125,13 @@ class HttpApi(session: GraphSession, port: Int = 0,
             case 'n' => sb.append('\n'); case 't' => sb.append('\t')
             case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
             case 'f' => sb.append('\f')
-            case 'u' if i + 5 < n =>
+            case 'u' if i + 5 < n &&
+                body.substring(i + 2, i + 6).forall(h =>
+                  Character.digit(h, 16) >= 0) =>
               sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
               i += 4
+            // malformed \\u (short/non-hex) degrades like any unknown
+            // escape instead of a NumberFormatException -> 500
             case c => sb.append(c)
           }
           i += 2

@@ -53,9 +53,13 @@ object Parser {
               case '\\' => sb.append('\\')
               case '\'' => sb.append('\'')
               case '"'  => sb.append('"')
-              case 'u' if i + 5 < n =>
+              case 'u' if i + 5 < n &&
+                  q.substring(i + 2, i + 6).forall(h =>
+                    Character.digit(h, 16) >= 0) =>
                 sb.append(Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar)
                 i += 4
+              // includes malformed \\u (short or non-hex): keep raw,
+              // don't throw a bare NumberFormatException at the user
               case other => sb.append('\\').append(other)
             }
             i += 2

@@ -77,12 +77,17 @@ object GraphStore {
       } else {
         // an interrupted save (daemon shutdown mid-autosave) can leave
         // version dirs with no pointer — the pointer write IS the
-        // commit — so fall back to the newest version instead of
-        // stranding a store that has loadable data
-        val vs = listVersions(root)
-        if (vs.isEmpty)
-          throw new IllegalStateException(s"no active snapshot under $root")
-        vs.last
+        // commit — so fall back to the newest COMPLETE version instead
+        // of stranding a store that has loadable data. Completeness is
+        // probed via the parquet _SUCCESS markers of both datasets: on
+        // stores with non-atomic directory rename (S3A) a crashed save
+        // can leave a partial v_* dir, and blindly taking the newest
+        // would load a graph missing edge partitions.
+        val complete = versionNames(fs, rootPath).reverse.find(v =>
+          fs.exists(new HPath(rootPath, s"$v/nodes/_SUCCESS")) &&
+            fs.exists(new HPath(rootPath, s"$v/edges/_SUCCESS")))
+        complete.getOrElse(
+          throw new IllegalStateException(s"no active snapshot under $root"))
       }
     }
     PropertyGraph(
@@ -168,13 +173,20 @@ object GraphStore {
 
   /** List snapshot versions, newest last (persist.rs:149-166). Rides
     * the session's Hadoop conf when one is live (S3 credentials etc.);
-    * a bare Configuration still resolves file:// and HDFS defaults. */
+    * a bare Configuration still resolves file:// and HDFS defaults.
+    * Callers that already hold the right FileSystem (load's fallback)
+    * use [[versionNames]] directly so credentials can't diverge from
+    * the pointer check they just made. */
   def listVersions(root: String): Seq[String] = {
     val conf = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .map(hadoopConf).getOrElse(new Configuration())
     val rootPath = new HPath(root)
-    val fs = rootPath.getFileSystem(conf)
+    versionNames(rootPath.getFileSystem(conf), rootPath)
+  }
+
+  private def versionNames(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: HPath): Seq[String] = {
     if (!fs.exists(rootPath)) return Seq.empty
     fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("v_")).sorted

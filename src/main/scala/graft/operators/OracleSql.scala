@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, isnan, lit, when}
+import org.apache.spark.sql.functions.{abs, floor, isnan, lit, when}
 
 /** Shared DuckDB-oracle SQL fragments. Every fragment here has an
   * engine-side twin whose arithmetic it must mirror EXACTLY for the
@@ -28,13 +28,15 @@ object OracleSql {
     * double/BIGINT range for the magnitudes these queries round
     * (ratios, z-scores, similarities, estimates).
     *
-    * NaN passes through on both sides: DuckDB's floor keeps NaN
-    * naturally; Spark's floor-to-bigint would swallow it into a
-    * mis-cast, so the Column twin guards explicitly. */
+    * NaN and ±Infinity pass through on both sides: DuckDB's floor
+    * keeps them naturally; Spark's floor-to-bigint would swallow NaN
+    * into a mis-cast and saturate Infinity to Long.MaxValue, so the
+    * Column twin guards both explicitly. */
   def roundTo(c: Column, digits: Int): Column = {
     require(digits >= 1 && digits <= 15, "digits out of exact range")
     val s = math.pow(10, digits) // 10^d ≤ 1e15: exactly representable
-    when(isnan(c), c).otherwise(floor(c * lit(s) + lit(0.5)) / lit(s))
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * lit(s) + lit(0.5)) / lit(s))
   }
 
   /** DuckDB twin of [[roundTo]] — splice around a scalar expression. */

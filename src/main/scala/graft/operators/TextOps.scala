@@ -859,7 +859,9 @@ object TextOps {
       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
       |  CAST(SUM(df) AS BIGINT) AS df_sum,
-      |  FLOOR((CAST(SUM(df) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_df
+      |  """.stripMargin +
+      OracleSql.roundSql("CAST(SUM(df) AS DOUBLE) / COUNT(*)", 6) +
+      """ AS avg_df
       |FROM tok JOIN dfreq USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -354,13 +354,8 @@ object StreamingOps {
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm))
-        p.delete(): Unit
-      }
-      rm(ckpt.toFile)
-    }))
+    ckptCleanupHook // ONE global hook; per-call hooks would accumulate
+    ckptDirs.add(ckpt)
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -371,4 +366,20 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(name)
   }
+
+  // one JVM-exit hook draining a queue of checkpoint dirs: registering
+  // a hook per runToMemory call would grow the global shutdown-hook
+  // set (and its lock contention) without bound in a long-lived
+  // session running repeated streaming queries
+  private val ckptDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val ckptCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      var d = ckptDirs.poll()
+      while (d != null) { rm(d.toFile); d = ckptDirs.poll() }
+    }))
 }
