@@ -21,11 +21,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright — read it as raw epoch nanos (LongType,
-    * column `ts_ns`) instead. Nanos are monotonic, so ordering and
-    * window semantics are unchanged; render wall-clock strings with
-    * `timestamp_micros(ts_ns div 1000)` under the UTC session.
+  /** `events.ts` has shipped at BOTH parquet timestamp widths across
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects unless `nanosAsLong` maps it to raw LongType) and
+    * TIMESTAMP(MICROS) (which reads as a native timestamp column). The
+    * engine-wide convention is width-agnostic: expose `ts_ns` = epoch
+    * NANOS as LongType regardless of what's on disk, so every consumer
+    * (`ts_ns div 1000` → exact µs floor) is unchanged. Nanos are
+    * monotonic, so ordering and window semantics are identical; render
+    * wall-clock strings with `timestamp_micros(ts_ns div 1000)`.
     *
     * DELIBERATE session-wide side effect: `nanosAsLong` has no
     * per-read option and is consulted again at scan planning time, so
@@ -36,7 +40,42 @@ object Tables {
     * the engine-wide convention for nanos columns. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumnRenamed("ts", "ts_ns")
+    deriveTsNs(apply(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column of ANY supported width to LongType epoch
+    * nanos named `ts_ns`, in place (same column position). Row-pure,
+    * codegen'd, timezone-independent:
+    *  - LongType            → already raw nanos (NANOS data read under
+    *    `nanosAsLong`): rename only.
+    *  - TIMESTAMP_NTZ       → wall-clock µs since the epoch via
+    *    `timestampdiff` against the NTZ epoch literal — pure datetime
+    *    arithmetic, no session-timezone cast (a non-UTC session would
+    *    shift a cast-based derivation).
+    *  - TIMESTAMP           → `unix_micros` (an instant; tz-free).
+    * Shared by the batch reader above and the streaming file source
+    * ([[graft.streaming.StreamingOps.eventsStream]]) so batch/stream
+    * parity holds by construction. */
+  private[graft] def deriveTsNs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumnRenamed("ts", "ts_ns")
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+          .withColumnRenamed("ts", "ts_ns")
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+          .withColumnRenamed("ts", "ts_ns")
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported type $other (expected long nanos or a timestamp)")
+      case None =>
+        throw new IllegalArgumentException(
+          s"events table has no `ts` column: ${df.schema.treeString}")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -33,12 +33,18 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
-  /** File-stream source over the events parquet (nanos timestamps read
-    * as long, converted to a proper event-time column). */
+  /** File-stream source over the events parquet. Timestamp-width-
+    * agnostic: `ts` normalizes to LongType epoch-nanos `ts_ns` through
+    * the SAME derivation as the batch reader (`Tables.deriveTsNs` —
+    * NANOS-as-long, TIMESTAMP_NTZ, or TIMESTAMP all accepted), so
+    * batch/stream parity is by construction. The `nanosAsLong` conf is
+    * set before the schema probe so a NANOS file both probes and
+    * streams as LongType; the file-source `.schema(...)` is the raw
+    * batch-read schema and the derivation runs on top of the stream. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stagedFileStream(spark, s"$sfDir/events.parquet", "events_stream")
-      .withColumnRenamed("ts", "ts_ns")
+    graft.Tables.deriveTsNs(
+        stagedFileStream(spark, s"$sfDir/events.parquet", "events_stream"))
       .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
   }
 
