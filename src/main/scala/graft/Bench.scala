@@ -3,12 +3,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark: one JSON line with per-query seconds.
   *
-  * Methodology (fixed in r3): queries run in FIXED sorted order, twice
-  * each; `queries` reports the 2nd (steady-state) run so numbers are
-  * reproducible run-to-run, while `cold` keeps the 1st-run times so
-  * one-time costs (graph build, LPA chain, IVF training — shared via
-  * per-dataset caches) stay visible instead of landing on whichever
-  * query a hash-ordered Map happened to put first. No Kryo: every
+  * Methodology (fixed in r3, warm-min added in r7): queries run in
+  * FIXED sorted order; `cold` is the 1st pass so one-time costs
+  * (graph build, LPA chain, IVF training — shared via per-dataset
+  * caches) stay visible instead of landing on whichever query a
+  * hash-ordered Map happened to put first, and `queries` reports the
+  * per-query MIN of two steady-state passes. Why min-of-two: the
+  * steady-state time of a fixed cached plan is a constant plus
+  * ambient noise, so the min estimates the constant; single-pass warm
+  * numbers on this shared host have shown one-off 5-27× spikes on
+  * map-only cached plans (r6 q50/q51, r7 q83 — each adjudicated as
+  * load, not plan) that a second sample removes. A real regression
+  * slows EVERY pass, so the min cannot hide one. No Kryo: every
   * RDD-shuffle stage moves flat primitive tuples since the LPA rewrite,
   * so the serializer choice is immaterial (and Kryo was measured +70%
   * on the old map-shaped loop, contradicting its original rationale).
@@ -31,7 +37,12 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> timeOne(n))
-    val warm = names.map(n => n -> timeOne(n))
+    val warm1 = names.map(n => n -> timeOne(n))
+    val warm2 = names.map(n => n -> timeOne(n))
+    // min-of-two steady-state; a thrown query (-1) stays -1 on any pass
+    val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warm.map(_._2).filter(_ >= 0).sum
