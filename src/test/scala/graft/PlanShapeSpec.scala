@@ -283,6 +283,57 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected the id-only candidate dedup aggregate")
   }
 
+  test("q45 as-of click attaches via one user shuffle + window, never a join") {
+    val p = plan("q45_asof_click")
+    // the as-of is a union of both event kinds + last-value carry over a
+    // (user, time) window: ONE data shuffle on user_id, plus the
+    // presentation sort — no join operator of any kind, so there is no
+    // per-pair candidate blowup to control at scale
+    assert(p.contains("Window"), "as-of carry must be a window, not a join")
+    assert(!p.contains("Join"), "no join — the union+window shape is the pin")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"one user_id shuffle + one presentation sort expected (found $exchanges)")
+    assert("hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+        .forall(_.group(1).contains("user_id")),
+      "the only hash shuffle must key on user_id")
+  }
+
+  test("q66 sessionize runs both windows and the session agg on ONE user shuffle") {
+    val p = plan("q66_sessions")
+    // gap-split window, session-id window, and the per-session aggregate
+    // all ride the same user_id hashpartitioning — re-shuffling between
+    // them is the shape whose cost doubles with every added stage
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"one user_id shuffle + one presentation sort expected (found $exchanges)")
+    assert("hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+        .forall(_.group(1).contains("user_id")),
+      "windows and session agg must reuse the user_id partitioning")
+  }
+
+  test("q90 state intervals derive from a single user partitioning") {
+    val p = plan("q90_state_intervals")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"one user_id shuffle + one presentation sort expected (found $exchanges)")
+    assert("hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+        .forall(_.group(1).contains("user_id")),
+      "interval windows and the dwell aggregate must share the user_id shuffle")
+  }
+
+  test("q105 latest-state compaction is a partial+final agg, no window sort") {
+    val p = plan("q105_latest_state")
+    // latest-wins = max_by struct aggregation with map-side combine; a
+    // row_number-over-window formulation would sort every partition and
+    // move every version of every key instead of one partial per mapper
+    assert(!p.contains("Window"),
+      "compaction must be an aggregate, not a ranked window")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"one key shuffle + one presentation sort expected (found $exchanges)")
+  }
+
   test("q58 supplier overlap broadcasts the per-supplier size table") {
     val p = plan("q58_supplier_overlap")
     assert(p.contains("BroadcastHashJoin"),
