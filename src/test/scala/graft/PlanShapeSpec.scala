@@ -334,6 +334,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"one key shuffle + one presentation sort expected (found $exchanges)")
   }
 
+  test("q82 fuzzy match candidates come from the deletion-variant join") {
+    val p = plan("q82_fuzzy_match")
+    // the exact-superset candidate key is the exploded <=k-deletion
+    // variant; a refactor back to the nation-only block self-join is
+    // the measured super-linear shape (block width grows with the
+    // table when the block-key cardinality is fixed)
+    assert(p.contains("sig#"),
+      "candidates must join on the deletion-variant signature column")
+    assert(p.contains("Generate explode"),
+      "variants must be exploded from the per-name array")
+    assert(p.contains("levenshtein"),
+      "the exact verify must remain in the plan")
+  }
+
   test("q58 supplier overlap broadcasts the per-supplier size table") {
     val p = plan("q58_supplier_overlap")
     assert(p.contains("BroadcastHashJoin"),
