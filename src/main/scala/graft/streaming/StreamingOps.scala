@@ -23,13 +23,28 @@ object StreamingOps {
       prefix: String): DataFrame = {
     val schema = spark.read.parquet(parquetFile).schema
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    val link = java.nio.file.Files.createSymbolicLink(
-      dir.resolve(new java.io.File(parquetFile).getName),
-      java.nio.file.Paths.get(parquetFile))
     // deleteOnExit runs in REVERSE registration order: register the dir
-    // first so the link is deleted before the (then-empty) dir
+    // first so the links are deleted before the (then-empty) dir
     dir.toFile.deleteOnExit()
-    link.toFile.deleteOnExit()
+    // the source may be a single parquet file (the driver's pandas
+    // layout) or a directory of part files (any Spark-written table —
+    // the layout every cluster-scale dataset has). The file-stream
+    // source does not follow a symlinked DIRECTORY, so staging the dir
+    // as one link silently streams zero files; stage each data file
+    // flat instead.
+    val src = new java.io.File(parquetFile)
+    val parts =
+      if (src.isDirectory)
+        src.listFiles().toSeq.filter { f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+        }
+      else Seq(src)
+    require(parts.nonEmpty, s"no parquet data files under $parquetFile")
+    parts.foreach { f =>
+      val link = java.nio.file.Files.createSymbolicLink(
+        dir.resolve(f.getName), f.toPath)
+      link.toFile.deleteOnExit()
+    }
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
