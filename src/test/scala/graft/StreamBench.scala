@@ -41,6 +41,12 @@ object StreamBench {
         case "dedup" =>
           StreamingOps.runToMemory(spark,
             StreamingOps.dedupStream(stream, Seq("event_id")), s"sb_$name")
+        case "nearpairs" =>
+          StreamingOps.runToMemory(spark,
+            StreamingOps.nearPairsStream(stream), s"sb_$name")
+        case "attribution" =>
+          StreamingOps.runToMemory(spark,
+            StreamingOps.attributionStream(stream), s"sb_$name")
         case other => sys.error(s"unknown stream op: $other")
       }
       val rows = out.count()
