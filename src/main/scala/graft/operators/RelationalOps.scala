@@ -840,7 +840,12 @@ object RelationalOps {
     // their entire variant neighborhood (all ~172 keys), turning each
     // duplicate clique into a duplicate-candidate storm. Real corpora
     // always carry exact-dup mass; this groupBy bounds it at one row.
+    // null names can never satisfy `levenshtein(...) <= k` (null
+    // comparison), so the naive formulation drops them; dropping them
+    // BEFORE grouping keeps the dedup path from pairing two null-named
+    // rows at distance 0
     val groups = Tables.supplier(s, d)
+      .filter(col("s_name").isNotNull)
       .groupBy(col("s_nationkey").as("nk"), col("s_name"))
       .agg(sort_array(collect_list(col("s_suppkey"))).as("ks"))
     // intra-group pairs: identical names, dist 0, all key pairs i<j

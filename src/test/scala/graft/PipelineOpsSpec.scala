@@ -881,4 +881,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stats("const") == 0.0)   // constant group: clamped, not NaN
     assert(math.abs(stats("pair") - math.sqrt(2.0)) < 1e-12)
   }
+
+  // the deletion-neighborhood candidate join must reproduce the naive
+  // quadratic semantics EXACTLY on every edge the corpus doesn't have:
+  // exact-duplicate cliques (incl. cross-nation same-name rows that
+  // must NOT pair), distance-1/2/3 neighbors, length differences,
+  // empty strings, and null names (which the naive levenshtein filter
+  // silently drops)
+  test("fuzzy_pairs_match_naive_quadratic_on_crafted_edges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_edges").toString
+    val rows = Seq(
+      (1L, "alpha", 1), (2L, "alphx", 1), (3L, "alpxx", 1),
+      (4L, "omega", 1), (5L, "alpha", 1),
+      (6L, null.asInstanceOf[String], 1), (7L, null.asInstanceOf[String], 1),
+      (8L, "alpha", 2), (9L, "alpha", 2), (10L, "alphabet", 2),
+      (11L, "", 1), (12L, "", 1), (13L, "a", 1))
+    rows.toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = graft.operators.RelationalOps.fuzzySupplierPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sp = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nk"), col("s_suppkey"), col("s_name"))
+    val naive = sp.select(col("nk"), col("s_suppkey").as("k1"), col("s_name").as("n1"))
+      .join(sp.select(col("nk"), col("s_suppkey").as("k2"), col("s_name").as("n2")), "nk")
+      .filter(col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getAs[Long]("k1"), r.getAs[Long]("k2"),
+        r.getAs[Int]("dist").toLong)).toSet
+    assert(got == naive, s"deletion-join diverged: extra=${got -- naive} missing=${naive -- got}")
+    // spot invariants: the twin pair, no null pair, no cross-nation pair
+    assert(got.contains((1L, 5L, 0L)) && got.contains((11L, 12L, 0L)))
+    assert(!got.exists(p => Set(p._1, p._2).contains(6L) || Set(p._1, p._2).contains(7L)))
+    assert(!got.exists(p => Set(p._1, p._2) == Set(5L, 8L)))
+  }
 }
