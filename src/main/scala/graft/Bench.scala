@@ -47,7 +47,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warm.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(warm)},"cold":${obj(cold)},"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    // the driver's artifact capture keeps only the TAIL of this line, so
+    // the warm dict and warm_total are repeated after cold_total — a
+    // truncated capture then still records the warm numbers (r7's
+    // artifact kept only the cold dict, inviting cold-as-warm misreads)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(warm)},"cold":${obj(cold)},"cold_total":$coldTotal,"warm":${obj(warm)},"warm_total":$total,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -843,9 +843,11 @@ object RelationalOps {
     // null names can never satisfy `levenshtein(...) <= k` (null
     // comparison), so the naive formulation drops them; dropping them
     // BEFORE grouping keeps the dedup path from pairing two null-named
-    // rows at distance 0
+    // rows at distance 0. Null nation keys likewise: the naive equi-join
+    // on s_nationkey drops them, so a null-nk group must not emit dist-0
+    // pairs for duplicate names either
     val groups = Tables.supplier(s, d)
-      .filter(col("s_name").isNotNull)
+      .filter(col("s_name").isNotNull && col("s_nationkey").isNotNull)
       .groupBy(col("s_nationkey").as("nk"), col("s_name"))
       .agg(sort_array(collect_list(col("s_suppkey"))).as("ks"))
     // intra-group pairs: identical names, dist 0, all key pairs i<j

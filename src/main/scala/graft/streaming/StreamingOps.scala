@@ -18,34 +18,35 @@ object StreamingOps {
   /** The file-stream source requires a DIRECTORY; the testdata tables
     * are single parquet files, so stage a symlink dir (testdata is
     * read-only). Both the dir and the link are registered for JVM-exit
-    * cleanup so long-lived sessions don't accumulate /tmp entries. */
+    * cleanup so long-lived sessions don't accumulate /tmp entries.
+    *
+    * A source that already IS a directory streams in place: the file
+    * source natively handles part files AND partitioned (nested-dir)
+    * layouts — which any flat symlink staging would silently break,
+    * because partition-column values live in the directory names. (The
+    * earlier listFiles-based staging also dropped nested dirs and NPE'd
+    * on IO errors instead of raising.) The schema probe is a batch read
+    * of the same path, so partition columns appear in the stream schema
+    * exactly as they do in batch. */
   private def stagedFileStream(spark: SparkSession, parquetFile: String,
       prefix: String): DataFrame = {
     val schema = spark.read.parquet(parquetFile).schema
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    // deleteOnExit runs in REVERSE registration order: register the dir
-    // first so the links are deleted before the (then-empty) dir
-    dir.toFile.deleteOnExit()
-    // the source may be a single parquet file (the driver's pandas
-    // layout) or a directory of part files (any Spark-written table —
-    // the layout every cluster-scale dataset has). The file-stream
-    // source does not follow a symlinked DIRECTORY, so staging the dir
-    // as one link silently streams zero files; stage each data file
-    // flat instead.
     val src = new java.io.File(parquetFile)
-    val parts =
-      if (src.isDirectory)
-        src.listFiles().toSeq.filter { f =>
-          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
-        }
-      else Seq(src)
-    require(parts.nonEmpty, s"no parquet data files under $parquetFile")
-    parts.foreach { f =>
+    if (src.isDirectory)
+      spark.readStream.schema(schema).parquet(parquetFile)
+    else {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      // deleteOnExit runs in REVERSE registration order: register the
+      // dir first so the link is deleted before the (then-empty) dir.
+      // The file-stream source does not follow a symlinked DIRECTORY
+      // (it would silently stream zero files), so the FILE is linked
+      // into a real temp dir instead.
+      dir.toFile.deleteOnExit()
       val link = java.nio.file.Files.createSymbolicLink(
-        dir.resolve(f.getName), f.toPath)
+        dir.resolve(src.getName), src.toPath)
       link.toFile.deleteOnExit()
+      spark.readStream.schema(schema).parquet(dir.toString)
     }
-    spark.readStream.schema(schema).parquet(dir.toString)
   }
 
   /** File-stream source over the events parquet. Timestamp-width-

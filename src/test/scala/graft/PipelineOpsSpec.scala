@@ -886,17 +886,20 @@ class PipelineOpsSpec extends AnyFunSuite {
   // quadratic semantics EXACTLY on every edge the corpus doesn't have:
   // exact-duplicate cliques (incl. cross-nation same-name rows that
   // must NOT pair), distance-1/2/3 neighbors, length differences,
-  // empty strings, and null names (which the naive levenshtein filter
-  // silently drops)
+  // empty strings, null names, and null nation keys (both nulls the
+  // naive form silently drops — the levenshtein filter and the nk
+  // equi-join respectively)
   test("fuzzy_pairs_match_naive_quadratic_on_crafted_edges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fuzzy_edges").toString
     val rows = Seq(
-      (1L, "alpha", 1), (2L, "alphx", 1), (3L, "alpxx", 1),
-      (4L, "omega", 1), (5L, "alpha", 1),
-      (6L, null.asInstanceOf[String], 1), (7L, null.asInstanceOf[String], 1),
-      (8L, "alpha", 2), (9L, "alpha", 2), (10L, "alphabet", 2),
-      (11L, "", 1), (12L, "", 1), (13L, "a", 1))
+      (1L, "alpha", Some(1)), (2L, "alphx", Some(1)), (3L, "alpxx", Some(1)),
+      (4L, "omega", Some(1)), (5L, "alpha", Some(1)),
+      (6L, null.asInstanceOf[String], Some(1)),
+      (7L, null.asInstanceOf[String], Some(1)),
+      (8L, "alpha", Some(2)), (9L, "alpha", Some(2)), (10L, "alphabet", Some(2)),
+      (11L, "", Some(1)), (12L, "", Some(1)), (13L, "a", Some(1)),
+      (14L, "dupnull", None), (15L, "dupnull", None))
     rows.toDF("s_suppkey", "s_name", "s_nationkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     val got = graft.operators.RelationalOps.fuzzySupplierPairs(spark, dir)
@@ -911,9 +914,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("k1"), r.getAs[Long]("k2"),
         r.getAs[Int]("dist").toLong)).toSet
     assert(got == naive, s"deletion-join diverged: extra=${got -- naive} missing=${naive -- got}")
-    // spot invariants: the twin pair, no null pair, no cross-nation pair
+    // spot invariants: the twin pair, no null-name pair, no
+    // cross-nation pair, no null-nationkey pair
     assert(got.contains((1L, 5L, 0L)) && got.contains((11L, 12L, 0L)))
     assert(!got.exists(p => Set(p._1, p._2).contains(6L) || Set(p._1, p._2).contains(7L)))
     assert(!got.exists(p => Set(p._1, p._2) == Set(5L, 8L)))
+    assert(!got.exists(p => Set(p._1, p._2).contains(14L) || Set(p._1, p._2).contains(15L)))
   }
 }

@@ -40,9 +40,11 @@ object ScaleUp {
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // replica index 0..n-1 exploded per row; offsets are i * base where
-    // base = max(key)+1 so replicas never collide
+    // base = max(key)+1 so replicas never collide. Keys are read as
+    // Number: the testdata contract allows int32 key columns, where
+    // getLong would ClassCastException
     def keyBase(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      df.agg(max(col(key))).head.getAs[Number](0).longValue + 1L
     def replicate(df: DataFrame, shifted: (DataFrame, Column) => DataFrame): DataFrame = {
       val withI = df.withColumn("__i", explode(sequence(lit(0L), lit(n - 1L))))
       shifted(withI, col("__i")).drop("__i")
@@ -74,20 +76,25 @@ object ScaleUp {
       .withColumn("l_partkey", col("l_partkey") + i * pBase)
       .withColumn("l_suppkey", col("l_suppkey") + i * sBase)), "lineitem")
 
-    val ev = read("events")
+    // events go through the engine's width-agnostic reader
+    // (Tables.events → deriveTsNs): a plain read crashes on a
+    // TIMESTAMP(NANOS) regeneration, and a timestampadd-based shift
+    // breaks on the LongType ts that nanosAsLong produces. The shift is
+    // pure Long arithmetic on ts_ns, and the result is written back
+    // under the on-disk name `ts` at the canonical LongType raw-nanos
+    // width (deriveTsNs maps LongType ts → ts_ns losslessly on re-read)
+    val ev = Tables.events(spark, src)
     val eBase = keyBase(ev, "event_id")
     val uBase = keyBase(ev, "user_id")
-    // span in µs regardless of on-disk width (goes through the same
-    // normalization the engine uses)
-    val evNs = Tables.deriveTsNs(ev)
     val Array(tsMin, tsMax) =
-      evNs.agg(min(col("ts_ns")), max(col("ts_ns"))).head
+      ev.agg(min(col("ts_ns")), max(col("ts_ns"))).head
         .toSeq.map(_.asInstanceOf[Long]).toArray
-    val shiftUs = (tsMax - tsMin) / 1000L + 3600L * 1000000L
+    val shiftNs = (tsMax - tsMin) + 3600L * 1000000000L
     write(replicate(ev, (d, i) => d
       .withColumn("event_id", col("event_id") + i * eBase)
       .withColumn("user_id", col("user_id") + i * uBase)
-      .withColumn("ts", expr(s"timestampadd(MICROSECOND, __i * ${shiftUs}L, ts)"))),
+      .withColumn("ts_ns", col("ts_ns") + i * shiftNs))
+      .withColumnRenamed("ts_ns", "ts"),
       "events")
 
     val doc = read("documents"); val dBase = keyBase(doc, "doc_id")

@@ -23,7 +23,9 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    // count through the width-agnostic reader: a plain read crashes on
+    // TIMESTAMP(NANOS) events data before the stream path ever runs
+    val nEvents = Tables.events(spark, sfDir).count()
     val names = if (args.nonEmpty) args.toSeq else Seq("sessionize", "hourly", "latest")
     for (name <- names) {
       val t0 = System.nanoTime()

@@ -80,6 +80,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == batchDistinct)
   }
 
+  // cluster-scale tables are DIRECTORIES of part files, often with
+  // partition-column subdirectories; both layouts must stream the same
+  // rows as the single-file testdata layout. The partitioned layout in
+  // particular would break under any flat file-staging scheme, because
+  // the partition-column values live in the directory names.
+  test("streaming_source_handles_directory_and_partitioned_layouts") {
+    val expected = RelationalOps.eventsHourly(spark, sf)
+      .select("hour", "event_type", "cnt", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    def streamedHourly(dir: String) = StreamingOps.runToMemory(spark,
+        StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, dir)),
+        s"layout_${dir.hashCode.abs}", OutputMode.Complete)
+      .select("hour", "event_type", "cnt", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    // canonical LongType raw-nanos ts, written by Spark itself
+    val ev = Tables.events(spark, sf).withColumnRenamed("ts_ns", "ts")
+    val flat = java.nio.file.Files.createTempDirectory("ev_dir").toString
+    ev.repartition(4).write.mode("overwrite").parquet(s"$flat/events.parquet")
+    assert(streamedHourly(flat) == expected)
+    val parted = java.nio.file.Files.createTempDirectory("ev_part").toString
+    ev.write.partitionBy("event_type").mode("overwrite")
+      .parquet(s"$parted/events.parquet")
+    assert(streamedHourly(parted) == expected)
+  }
+
   test("streaming_doc_gate_matches_batch") {
     // the stateless ingest gate must emit exactly the batch filter's
     // rows: same quality floor, same md5-stratified keep set
