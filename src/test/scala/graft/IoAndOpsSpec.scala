@@ -528,6 +528,40 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(edge.isNullAt(1), "NULL must stay NULL")
   }
 
+  // the cluster-survivability path end-to-end: a full iterative chain
+  // (k-core — up to 8 peel sweeps, one graftCheckpoint per sweep, plus
+  // the graph-build materialization) must produce EXACTLY the
+  // local-checkpoint results when every materialization goes to
+  // reliable checkpoint files, and the files must be a plain removable
+  // directory tree once the results are collected (the ContextCleaner
+  // owns live-session cleanup only when the context was built with
+  // cleanCheckpoints=true — Serve/Shell do; tests sweep by hand)
+  test("durable_checkpoint_iterative_chain_matches_local_mode") {
+    import graft.algo.GraphAlgos
+    def run(): Seq[(String, Long)] =
+      GraphAlgos.kCore(GraphBuilder.fromTables(spark, sf).materialized)
+        .orderBy("id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val baseline = run()
+    assert(baseline.nonEmpty)
+    val dir = tmpDir("graft_ckpt_chain")
+    spark.conf.set("spark.graft.durableCheckpoint", dir)
+    val durable = try run()
+      finally spark.conf.unset("spark.graft.durableCheckpoint")
+    assert(durable == baseline,
+      "durable-mode iterative chain must match local-checkpoint results")
+    val root = java.nio.file.Paths.get(dir)
+    val walk = Files.walk(root)
+    val entries = try walk.sorted(java.util.Comparator.reverseOrder())
+      .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]) finally walk.close()
+    assert(entries.count(Files.isRegularFile(_)) > 0,
+      "every sweep's materialization must land reliable checkpoint files")
+    // results are collected; the store must be reclaimable with a
+    // plain recursive delete (no open handles, no hidden state)
+    entries.foreach(Files.delete)
+    assert(!Files.exists(root), "checkpoint dir must be fully removable")
+  }
+
   // the reliable-checkpoint write job must read cached blocks, not
   // re-execute the plan — otherwise every iterative sweep in durable
   // mode computes twice (the documented RDD.checkpoint caveat)

@@ -346,6 +346,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "variants must be exploded from the per-name array")
     assert(p.contains("levenshtein"),
       "the exact verify must remain in the plan")
+    // the naive fallback shapes must never reappear: every join in the
+    // plan is an equi-join on (nk, sig) / the key-expansion columns
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no all-pairs operator anywhere below or above the candidate join")
+    // the variant generator is codegen substring arithmetic, not a UDF
+    // (a UDF would break whole-stage codegen in the widest map stage)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "deletion variants must stay native expressions")
   }
 
   test("q58 supplier overlap broadcasts the per-supplier size table") {

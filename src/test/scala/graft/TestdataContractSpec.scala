@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -105,5 +106,34 @@ class TestdataContractSpec extends AnyFunSuite {
         s"embeddings.embedding must be array<float|double> (got $other) — " +
           "the DotProduct expression and the fixed-point oracles assume it")
     }
+  }
+
+  // schema pins above guard TYPES; the similarity/dedup family also
+  // leans on DATA invariants a regeneration could silently break: the
+  // shingle/fingerprint paths key on non-null doc_id+text, the
+  // LSH/IVF/cosine paths assume one uniform embedding dimensionality
+  // (hyperplanes and centroids are sized from it) with no NaN/null
+  // elements (a single NaN poisons every dot product it touches).
+  // Events' silent width drift cost 13 gate queries in round 6 — these
+  // columns get the same loud-failure treatment
+  test("documents/embeddings data invariants the similarity family assumes") {
+    val docs = Tables.documents(spark, sf)
+    assert(docs.filter(col("doc_id").isNull || col("text").isNull).count() == 0,
+      "documents.doc_id/text must be non-null — dedup keys on both")
+    assert(docs.select("doc_id").distinct().count() == docs.count(),
+      "doc_id must be unique — cluster representatives assume it")
+    val emb = Tables.embeddings(spark, sf)
+    assert(emb.filter(col("vec_id").isNull || col("embedding").isNull).count() == 0,
+      "embeddings.vec_id/embedding must be non-null")
+    assert(emb.select("vec_id").distinct().count() == emb.count(),
+      "vec_id must be unique — top-k dedups on it")
+    val dims = emb.select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims.length == 1 && dims.head > 0,
+      s"embedding dim must be one positive constant (got $dims) — " +
+        "hyperplane/IVF geometry is sized from it")
+    assert(emb.filter(exists(col("embedding"),
+        x => x.isNull || isnan(x.cast("double")))).count() == 0,
+      "embedding elements must be finite non-null — NaN poisons cosine")
   }
 }
