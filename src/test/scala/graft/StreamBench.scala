@@ -34,6 +34,9 @@ object StreamBench {
         case "sessionize" =>
           StreamingOps.runToMemory(spark,
             StreamingOps.sessionize(stream).toDF, s"sb_$name", OutputMode.Update)
+        case "sessionize_flat" =>
+          StreamingOps.runToMemory(spark,
+            StreamingOps.sessionizeFlat(stream).toDF, s"sb_$name", OutputMode.Update)
         case "hourly" =>
           StreamingOps.runToMemory(spark,
             StreamingOps.hourlyCounts(stream), s"sb_$name", OutputMode.Complete)
