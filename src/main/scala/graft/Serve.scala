@@ -139,15 +139,16 @@ object Serve {
       case Nil => Nil
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // long-lived service: if spark.graft.durableCheckpoint is turned
-      // on, let the ContextCleaner delete superseded checkpoint files
-      // (must be set at context build — see core.Materialize)
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .getOrCreate()
+    // long-lived service: if spark.graft.durableCheckpoint is turned
+    // on, the ContextCleaner must delete superseded checkpoint files
+    // (set at context build — see Materialize.longLivedSessionConf)
+    val spark = graft.core.Materialize.longLivedSessionConf
+      .foldLeft(SparkSession.builder().withExtensions(new GraftExtensions)
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // honor the persisted driver-result cap (Executor.collectCapped)
     settings.maxResultRows.foreach(v =>

@@ -53,13 +53,14 @@ object Shell {
       case "--ws" :: rest => wsMain(rest); return
       case _ =>
     }
-    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      // see Serve: lets the ContextCleaner reap durable-checkpoint files
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .getOrCreate()
+    // see Serve: the ContextCleaner must reap durable-checkpoint files
+    val spark = graft.core.Materialize.longLivedSessionConf
+      .foldLeft(SparkSession.builder().withExtensions(new GraftExtensions)
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val session = new GraphSession(spark)
 

@@ -35,6 +35,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize extends Logging {
 
+  /** Context-BUILD-time conf every long-lived graft session applies
+    * (`graft.Serve`, `graft.Shell`): without the cleaner flag, durable
+    * mode leaks one rdd-N checkpoint directory per materialization
+    * forever (see the file-lifecycle note above). One shared constant
+    * so the two builders cannot drift apart — pinned by a spec. */
+  val longLivedSessionConf: Map[String, String] =
+    Map("spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
+
   /** The (applicationId, dir) last applied to the SparkContext, so a
     * conf change mid-session re-points the context exactly once (Spark
     * appends a UUID subdir, so the raw conf value can't be compared

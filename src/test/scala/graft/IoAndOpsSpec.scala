@@ -528,6 +528,16 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(edge.isNullAt(1), "NULL must stay NULL")
   }
 
+  // the builders that front long-lived use (Serve, Shell) must build
+  // their contexts with the cleaner flag, or durable mode leaks one
+  // rdd-N dir per materialization forever; the shared constant is what
+  // both fold into their builders, so pinning it pins the wiring
+  test("long_lived_session_conf_enables_checkpoint_cleanup") {
+    assert(graft.core.Materialize.longLivedSessionConf
+      .get("spark.cleaner.referenceTracking.cleanCheckpoints")
+      .contains("true"))
+  }
+
   // the cluster-survivability path end-to-end: a full iterative chain
   // (k-core — up to 8 peel sweeps, one graftCheckpoint per sweep, plus
   // the graph-build materialization) must produce EXACTLY the
