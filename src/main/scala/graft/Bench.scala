@@ -43,15 +43,29 @@ object Bench {
     val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    println(renderLine(warm, cold, sfDir))
+    spark.stop()
+  }
+
+  /** The one JSON line the driver captures. The capture keeps only the
+    * LAST ~2000 chars, and each full 101-query dict is ~3500 chars — so
+    * any full dict placed after a number pushes that number out of the
+    * capture (r7 lost the warm numbers to head-truncation; a fix that
+    * repeated the warm dict after cold_total would have lost cold_total
+    * the same way). The line therefore ENDS with a compact
+    * self-contained block — top-10 warm, top-10 cold, failure count,
+    * both totals — that fits entirely inside the tail; the full dicts
+    * come first for untruncated readers. BenchLineSpec pins the
+    * tail-survivability property.
+    */
+  def renderLine(warm: Seq[(String, Double)], cold: Seq[(String, Double)], sfDir: String): String = {
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def top10(rs: Seq[(String, Double)]): String =
+      obj(rs.filter(_._2 >= 0).sortBy(-_._2).take(10))
     val total = warm.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    // the driver's artifact capture keeps only the TAIL of this line, so
-    // the warm dict and warm_total are repeated after cold_total — a
-    // truncated capture then still records the warm numbers (r7's
-    // artifact kept only the cold dict, inviting cold-as-warm misreads)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(warm)},"cold":${obj(cold)},"cold_total":$coldTotal,"warm":${obj(warm)},"warm_total":$total,"sf":"$sfDir"}""")
-    spark.stop()
+    val failed = warm.count(_._2 < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(warm)},"cold":${obj(cold)},"warm_top":${top10(warm)},"cold_top":${top10(cold)},"failed":$failed,"cold_total":$coldTotal,"warm_total":$total,"sf":"$sfDir"}"""
   }
 }
