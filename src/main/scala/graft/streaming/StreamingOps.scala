@@ -417,6 +417,21 @@ object StreamingOps {
     val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name")
     ckptCleanupHook // ONE global hook; per-call hooks would accumulate
     ckptDirs.add(ckpt)
+    runToMemoryResumable(spark, df, name, ckpt, outputMode)._1
+  }
+
+  /** [[runToMemory]] with a CALLER-OWNED checkpoint dir — the
+    * restart/recovery path: a later call on the same (rebuilt) plan
+    * with the same checkpoint RESUMES from the committed offsets and
+    * the recovered state store instead of reprocessing, which is the
+    * fault-tolerance contract every stateful op here leans on at
+    * cluster scale. Returns the sink table and the run's input-row
+    * count — the recovery proof: a resumed run reads only data that
+    * arrived after the previous run's commit. The caller owns ckpt
+    * cleanup (it must OUTLIVE single runs to be a restart). */
+  def runToMemoryResumable(spark: SparkSession, df: DataFrame, name: String,
+      ckpt: java.nio.file.Path,
+      outputMode: OutputMode = OutputMode.Append): (DataFrame, Long) = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -425,7 +440,7 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    (spark.table(name), q.recentProgress.map(_.numInputRows).sum)
   }
 
   // one JVM-exit hook draining a queue of checkpoint dirs: registering
