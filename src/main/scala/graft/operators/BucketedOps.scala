@@ -136,7 +136,10 @@ object BucketedOps {
   def partitionPrunedTypeStats(s: SparkSession, d: String,
       eventType: String = "purchase"): DataFrame = {
     val path = ensurePartitionedEvents(s, d)
-    s.read.parquet(path)
+    // explicit schema: skips the footer-inference listing pass, and a
+    // ZERO-ROW source writes no partition dirs at all — inference would
+    // throw UNABLE_TO_INFER_SCHEMA where the schema is statically known
+    s.read.schema(Tables.events(s, d).schema).parquet(path)
       .filter(col("event_type") === eventType)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),

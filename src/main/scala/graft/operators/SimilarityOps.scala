@@ -265,12 +265,25 @@ object SimilarityOps {
       val emb = Tables.embeddings(s, d)
         .withColumn("vec", array_to_vector(col("embedding")))
         .graftCheckpoint()
-      val model = new KMeans().setK(nlist).setSeed(42L)
-        .setFeaturesCol("vec").setPredictionCol("cell")
-        .fit(emb.filter(col("vec_id") < sampleCap))
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.toSeq)
-      }.toSeq
+      val sampled = emb.filter(col("vec_id") < sampleCap)
+      // An EMPTY training sample (empty corpus, or upstream pruning
+      // excluded the sample id range) degrades to one zero centroid:
+      // every vector lands in cell 0 and IVF becomes brute force —
+      // a total operator instead of a KMeans crash. The oracle embeds
+      // whatever centroids exist as literals, so it follows suit.
+      val centroids: Seq[(Int, Seq[Double])] =
+        if (sampled.isEmpty) {
+          val dim = emb.select(size(col("embedding"))).head(1)
+            .headOption.map(_.getInt(0)).getOrElse(0)
+          Seq((0, Seq.fill(dim)(0.0)))
+        } else {
+          val model = new KMeans().setK(nlist).setSeed(42L)
+            .setFeaturesCol("vec").setPredictionCol("cell")
+            .fit(sampled)
+          model.clusterCenters.zipWithIndex.map { case (c, i) =>
+            (i, c.toArray.toSeq)
+          }.toSeq
+        }
       // Cell assignment by compiled sequential-fold squaredL2 argmin
       // over the centroid LITERALS (ties → smallest cell), NOT
       // model.transform: the ML transform's BLAS norm-shortcut distance
@@ -282,9 +295,13 @@ object SimilarityOps {
             col("embedding"), typedLit(cvec)).as("d2"),
           lit(i).as("cell"))
       }
+      // least() requires ≥2 args; the degraded single-centroid index
+      // has exactly one cell column
+      val nearest =
+        if (d2Cols.sizeIs == 1) d2Cols.head else least(d2Cols: _*)
       val assigned = emb
         .select(col("vec_id"), col("embedding"),
-          least(d2Cols: _*).getField("cell").as("cell"))
+          nearest.getField("cell").as("cell"))
         .graftCheckpoint()
       (centroids, assigned)
     })
