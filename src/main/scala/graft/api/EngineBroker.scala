@@ -55,12 +55,25 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
               if (out.mutated) onMutation()
               Right(out)
             } catch {
-              case NonFatal(e) =>
+              // deliberately WIDER than NonFatal: a StackOverflowError
+              // or OutOfMemoryError raised by one pathological query
+              // would escape NonFatal and kill the single engine thread
+              // — from then on EVERY request times out and the queue
+              // grows unboundedly (a silently bricked daemon). Once the
+              // failing frame unwinds, the query's references are
+              // dropped and the thread is healthy again, so the durable
+              // behavior is: answer the client with the error and keep
+              // draining. Only the interrupt (= stop()) exits the loop.
+              case e: InterruptedException => throw e
+              case e: Throwable =>
                 queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
                   mutated = false, error = Some(e.getMessage)))
                 Left(Option(e.getMessage).getOrElse(e.toString))
             }
-          req.respond(result)
+          // a throwing transport callback (client gone, closed socket)
+          // must not take the shared drainer down with it
+          try req.respond(result)
+          catch { case NonFatal(_) => () }
         } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       }
     }, "graft-engine")
@@ -75,9 +88,22 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
     * recv_timeout semantics). */
   def execute(query: String, params: Map[String, String],
       timeoutSec: Long): Option[Either[String, QueryOutcome]] = {
+    ensureAlive()
     val resultQ = new LinkedBlockingQueue[Either[String, QueryOutcome]](1)
     queue.put(Req(nextRid(), query, params, r => resultQ.put(r)))
     Option(resultQ.poll(timeoutSec, TimeUnit.SECONDS))
+  }
+
+  /** Self-heal an UNEXPECTEDLY dead drainer (a Throwable the loop
+    * guards can't contain, e.g. a LinkageError inside the logging
+    * path). `stop()` nulls `engineThread`, so `!= null && !isAlive`
+    * can only mean "died without being asked" — a deliberate stop is
+    * never overridden. */
+  private def ensureAlive(): Unit = synchronized {
+    if (engineThread != null && !engineThread.isAlive && !stopFlag.get()) {
+      engineThread = newEngineThread(stopFlag)
+      engineThread.start()
+    }
   }
 
   def start(): Unit = synchronized {

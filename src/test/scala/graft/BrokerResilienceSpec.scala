@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.EngineBroker
+import graft.engine.{GraphSession, QueryOutcome}
+
+/** The broker's single engine thread is the daemon's heart — if one
+  * request kills it, every later API call times out while the queue
+  * grows without bound: a silently bricked server. `NonFatal` does NOT
+  * match StackOverflowError / OutOfMemoryError, and a pathological
+  * query (deep lineage, a huge literal list, an executor-side error
+  * rethrown as an Error) can raise exactly those on the engine thread.
+  * This spec pins the survivability contract: a fatal per-query error
+  * is answered as Left and the SAME thread keeps draining; a
+  * deliberate stop() still stops. */
+class BrokerResilienceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Stub session: magic query strings raise synthetic fatal errors
+    * (nothing is actually exhausted); anything else answers canned. */
+  private def stubSession() = new GraphSession(spark) {
+    override def executeWithParams(query: String,
+        params: Map[String, String]): QueryOutcome = query match {
+      case "boom_soe" => throw new StackOverflowError("synthetic overflow")
+      case "boom_oom" => throw new OutOfMemoryError("synthetic oom")
+      case "boom_npe" => throw new NullPointerException("plain nonfatal")
+      case _          => QueryOutcome(Nil, 0L, 0L, mutated = false)
+    }
+  }
+
+  test("engine thread survives fatal per-query errors and keeps serving") {
+    val broker = new EngineBroker(stubSession())
+    broker.start()
+    try {
+      assert(broker.execute("ok", Map.empty, 10).contains(Right(
+        QueryOutcome(Nil, 0L, 0L, mutated = false))))
+      // each fatal flavor answers the CLIENT (no timeout) with Left...
+      assert(broker.execute("boom_soe", Map.empty, 10)
+        .exists(_.swap.exists(_.contains("synthetic overflow"))))
+      assert(broker.execute("boom_oom", Map.empty, 10)
+        .exists(_.swap.exists(_.contains("synthetic oom"))))
+      assert(broker.execute("boom_npe", Map.empty, 10)
+        .exists(_.swap.exists(_.contains("plain nonfatal"))))
+      // ...and the SAME drainer still answers healthy traffic after
+      assert(broker.execute("ok", Map.empty, 10).exists(_.isRight))
+    } finally broker.stop()
+  }
+
+  test("deliberate stop() is final — no self-heal past it") {
+    val broker = new EngineBroker(stubSession())
+    broker.start()
+    assert(broker.execute("ok", Map.empty, 10).exists(_.isRight))
+    broker.stop()
+    // post-stop the request must time out (thread gone, not restarted)
+    assert(broker.execute("ok", Map.empty, 1).isEmpty)
+  }
+}
