@@ -106,7 +106,13 @@ object Parser {
   private class P(toks: Vector[Tok]) {
     var pos = 0
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
-    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    // EOF here is a USER error (a statement cut mid-clause: `LIMIT`,
+    // `CONTAINS`, a dangling `a.`), so it must surface as the typed
+    // ParseException every API transport maps cleanly — not the
+    // IndexOutOfBoundsException raw indexing would leak
+    def next(): Tok =
+      if (pos < toks.length) { val t = toks(pos); pos += 1; t }
+      else throw ParseException("unexpected end of query")
     def eof: Boolean = pos >= toks.length
 
     def isKw(t: Tok, kw: String): Boolean = t match {
@@ -207,13 +213,13 @@ object Parser {
           var mn = 1
           var mx = 8
           peek match {
-            case Some(Tok.Num(s)) => pos += 1; mn = s.toInt; mx = mn
+            case Some(Tok.Num(s)) => pos += 1; mn = intVal(s); mx = mn
             case _ =>
           }
           if (tryTakeSym("..")) {
             mx = 8
             peek match {
-              case Some(Tok.Num(s)) => pos += 1; mx = s.toInt
+              case Some(Tok.Num(s)) => pos += 1; mx = intVal(s)
               case _ =>
             }
           }
@@ -348,8 +354,23 @@ object Parser {
       (order, skip, limit)
     }
 
+    /** Numeric token → Int with the decimal-truncation tolerance the
+      * grammar always had (`LIMIT 1.5` = 1), but malformed
+      * ("1.2.3") and out-of-Int-range values become ParseException
+      * instead of a leaked NumberFormatException / a saturated value
+      * that trips Spark's LIMIT+OFFSET overflow check downstream. */
+    def intVal(s: String): Int = {
+      val d =
+        try s.toDouble
+        catch { case _: NumberFormatException =>
+          throw ParseException(s"invalid number: $s") }
+      if (d > Int.MaxValue || d < Int.MinValue)
+        throw ParseException(s"number out of range: $s")
+      d.toInt
+    }
+
     def num(): Int = next() match {
-      case Tok.Num(s) => s.toDouble.toInt
+      case Tok.Num(s) => intVal(s)
       case t => throw ParseException(s"expected number, got $t")
     }
 
