@@ -12,15 +12,25 @@ import java.time.format.DateTimeFormatter
 class QueryLog(dir: String, prefix: String) {
   private val dayFmt = DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(ZoneOffset.UTC)
-  Files.createDirectories(Paths.get(dir))
+  // best-effort like the reference (`let _ = create_dir_all`,
+  // query_interface.rs:37): an unwritable log dir must not prevent the
+  // engine from serving
+  try Files.createDirectories(Paths.get(dir))
+  catch { case scala.util.control.NonFatal(_) => () }
 
   private def file() =
     Paths.get(dir, s"${prefix}_${dayFmt.format(Instant.now())}.log")
 
   def append(line: String): Unit = synchronized {
     val stamped = s"[${tsFmt.format(Instant.now())}] $line\n"
-    Files.writeString(file(), stamped,
+    // reference parity (`let _ = file.write_all`, query_interface.rs:50,
+    // api/server.rs:50): the logs are observability, not correctness — a
+    // full disk mid-request must neither flip a SUCCEEDED query's answer
+    // to error (the ok-path log call sits inside the engine-thread try)
+    // nor propagate out of the error path and kill the drainer
+    try Files.writeString(file(), stamped,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Reference query-log shape: status + counters + mutated flag. */

@@ -47,6 +47,19 @@ class BrokerResilienceSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("unwritable query log never flips a query's answer") {
+    // log dir "under" a regular file = every mkdir and append fails;
+    // reference parity (`let _ = write_all`, query_interface.rs:50):
+    // logging is observability, so the query must still answer Right
+    val f = java.nio.file.Files.createTempFile("graft-notadir", ".tmp")
+    val badDir = f.resolve("logs").toString
+    new graft.io.QueryLog(badDir, "queries").append("must not throw")
+    val broker = new EngineBroker(stubSession(), logDir = Some(badDir))
+    broker.start()
+    try assert(broker.execute("ok", Map.empty, 10).exists(_.isRight))
+    finally broker.stop()
+  }
+
   test("deliberate stop() is final — no self-heal past it") {
     val broker = new EngineBroker(stubSession())
     broker.start()
