@@ -49,6 +49,45 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("http_transport_survives_fuzzed_bodies") {
+    // every body — valid, mutated, truncated, raw garbage — must get
+    // AN HTTP STATUS back (the hand-rolled top-level JSON scanner and
+    // the engine both fail typed), and the server must still answer a
+    // healthy request afterwards. A hang or connection reset here is a
+    // parser hole a public endpoint would be hammered with.
+    val api = new HttpApi(new GraphSession(spark))
+    val port = api.start()
+    try {
+      val rnd = new scala.util.Random(7L)
+      val seeds = Seq(
+        """{"query": "MATCH (a) RETURN a"}""",
+        """{"query": "CREATE (a:P {x: 'y'})", "params": {"k": "v"}}""",
+        """{"params": {"query": "nested shadow"}, "query": "RETURN 'x'"}""",
+        """{"query": "RETURN $p", "params": {"p": "1"}}""")
+      val bodies =
+        Seq("", "{", "}", "null", "[]", "{}", "\"query\"",
+          """{"query": 42}""", """{"query": }""", """{"query": "\"""",
+          "{" + "\"a\":" * 50 + "1" + "}" * 50,
+          """{"query": "RETURN 'x'", "params": {"a": {"b": "c"}}}""") ++
+        (0 until 150).map { _ =>
+          val base = seeds(rnd.nextInt(seeds.length))
+          rnd.nextInt(3) match {
+            case 0 => val i = rnd.nextInt(base.length); base.take(i) + base.drop(i + 1)
+            case 1 => base.take(rnd.nextInt(base.length + 1))
+            case _ =>
+              val i = rnd.nextInt(base.length + 1)
+              base.take(i) + "\\\"{}[]:,".charAt(rnd.nextInt(8)) + base.drop(i)
+          }
+        }
+      for (b <- bodies) {
+        val r = post(port, b)
+        assert(Set(200, 400, 504).contains(r.statusCode()),
+          s"unexpected status ${r.statusCode()} for body [${b.take(60)}]")
+      }
+      assert(post(port, """{"query": "RETURN 'alive'"}""").statusCode() == 200)
+    } finally api.stop()
+  }
+
   // top-level scan, not regex probes: a "query" key nested inside
   // params must not shadow the real statement (JSON key order is
   // client-controlled), and escaped quotes/backslashes in param values

@@ -23,6 +23,11 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATE_STORE=rocksdb → measure the disk-backed scale
+    // path (RocksDbStateSpec pins result parity; this measures cost)
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb")))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // count through the width-agnostic reader: a plain read crashes on
     // TIMESTAMP(NANOS) events data before the stream path ever runs
     val nEvents = Tables.events(spark, sfDir).count()
