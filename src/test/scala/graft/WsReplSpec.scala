@@ -54,6 +54,46 @@ class WsReplSpec extends AnyFunSuite {
     } finally { ws.stop(); broker.stop() }
   }
 
+  test("ws_server_survives_abusive_clients") {
+    // the accept loop and per-connection threads must shrug off every
+    // abuse shape a public socket sees — garbage instead of HTTP, a
+    // handshake cut mid-header, an upgraded client sending raw noise,
+    // an over-cap declared frame length — and still serve the next
+    // healthy client
+    val broker = new EngineBroker(new GraphSession(spark))
+    val ws = new WsRepl(broker)
+    val port = ws.start()
+    def raw(bytes: Array[Byte]): Unit = {
+      val s = new java.net.Socket("127.0.0.1", port)
+      try {
+        s.getOutputStream.write(bytes); s.getOutputStream.flush()
+        s.setSoTimeout(2000)
+        try { while (s.getInputStream.read() >= 0) () } // drain until close
+        catch { case _: java.io.IOException => () }
+      } finally s.close()
+    }
+    try {
+      raw(Array[Byte](0, 1, 2, 3, -1, -2))                  // not HTTP at all
+      raw("POST /api/repl HTTP/1.1\r\n\r\n".getBytes)       // wrong method
+      raw("GET /api/repl HTTP/1.1\r\nHost: x".getBytes)     // cut mid-header
+      raw(("GET /api/repl HTTP/1.1\r\nx: " + "a" * 20000).getBytes) // over 16k cap
+      raw("GET /nope HTTP/1.1\r\nSec-WebSocket-Key: aaaa\r\n\r\n".getBytes)
+      // upgrade properly, then abuse the frame layer
+      val handshake = ("GET /api/repl HTTP/1.1\r\n" +
+        "Sec-WebSocket-Key: ZHVtbXlrZXlkdW1teWtleQ==\r\n\r\n").getBytes
+      raw(handshake ++ Array[Byte](-1, -1, -1, -1))         // junk frame header
+      raw(handshake ++ Array[Byte](0x81.toByte, 0xff.toByte,
+        0x7f, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f))    // 64-bit len >> cap
+      raw(handshake ++ Array[Byte](0x81.toByte, 0x7e.toByte, 0x7f)) // truncated len16
+      // the server is still healthy for a real client
+      val c = new WsClient("127.0.0.1", port)
+      assert(c.recvText(5000).exists(_.contains("REPL ready")))
+      c.sendText("RETURN 'alive'")
+      assert(c.recvText(5000).exists(_.contains("alive")))
+      c.close()
+    } finally { ws.stop(); broker.stop() }
+  }
+
   test("daemon_autosave_within_window_and_reload") {
     val dir = Files.createTempDirectory("graft_daemon").toString
     val session = new GraphSession(spark)
