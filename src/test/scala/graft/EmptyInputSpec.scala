@@ -27,4 +27,28 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"queries not total on empty input:\n${failures.mkString("\n")}")
   }
+
+  test("streaming ops drain a zero-event day to empty, not to a crash") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamingOps
+    // one per state-machinery family — the "quiet day" twin of the
+    // batch totality test above: an empty ingest window must drain to
+    // zero rows with clean state, not throw at schema probe or drain
+    val stream = () => StreamingOps.eventsStream(spark, emptyDir)
+    val outs = Map(
+      "hourly" -> StreamingOps.runToMemory(spark,
+        StreamingOps.hourlyCounts(stream()), "empty_hourly", OutputMode.Complete),
+      "sessionize" -> StreamingOps.runToMemory(spark,
+        StreamingOps.sessionize(stream()).toDF, "empty_sess", OutputMode.Update),
+      "dedup" -> StreamingOps.runToMemory(spark,
+        StreamingOps.dedupStream(stream(), Seq("event_id")), "empty_dedup"),
+      "attribution" -> StreamingOps.runToMemory(spark,
+        StreamingOps.attributionStream(stream()).toDF, "empty_attr"),
+      "docgate" -> StreamingOps.runToMemory(spark,
+        StreamingOps.docGateStream(
+          StreamingOps.documentsStream(spark, emptyDir)), "empty_gate"),
+    )
+    for ((name, df) <- outs)
+      assert(df.count() == 0L, s"stream $name non-empty on zero events")
+  }
 }
