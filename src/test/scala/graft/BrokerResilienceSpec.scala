@@ -60,6 +60,42 @@ class BrokerResilienceSpec extends AnyFunSuite {
     finally broker.stop()
   }
 
+  test("concurrent clients all get answers and mutations linearize") {
+    // 8 client threads x 25 requests against the ONE engine thread:
+    // every request must get SOME answer (no lost respond callbacks,
+    // no cross-talk), and the serialized CREATEs must all land —
+    // the linearization contract the single-engine-thread design
+    // exists to provide (every API transport funnels through here)
+    val session = new GraphSession(spark)
+    val broker = new EngineBroker(session)
+    broker.start()
+    try {
+      val nThreads = 8; val perThread = 25
+      val missed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          for (i <- 0 until perThread) {
+            val q =
+              if (i % 5 == 4) s"MATCH (n:Stress) RETURN n LIMIT 1"
+              else s"CREATE (:Stress {tag: 't${t}_$i'})"
+            broker.execute(q, Map.empty, 120) match {
+              case None          => missed.incrementAndGet()
+              case Some(Left(_)) => errs.incrementAndGet()
+              case Some(Right(_)) => ()
+            }
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      assert(missed.get() == 0, s"${missed.get()} requests timed out")
+      assert(errs.get() == 0, s"${errs.get()} requests errored")
+      val nCreated = nThreads * perThread - nThreads * (perThread / 5)
+      assert(session.graph.nodeCount == nCreated,
+        s"expected $nCreated Stress nodes, got ${session.graph.nodeCount}")
+    } finally broker.stop()
+  }
+
   test("deliberate stop() is final — no self-heal past it") {
     val broker = new EngineBroker(stubSession())
     broker.start()
