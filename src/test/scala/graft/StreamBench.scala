@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingOps
 
@@ -15,6 +15,25 @@ import graft.streaming.StreamingOps
   *        sessionize hourly latest
   */
 object StreamBench {
+
+  /** Drain to the NOOP sink, not the memory sink: MemorySink collects
+    * every output row into DRIVER memory, so ops whose output is
+    * corpus-sized (dedup emits all 10 M uniques at the 100x dataset)
+    * die on spark.driver.maxResultSize — a harness artifact, since a
+    * real pipeline writes to a distributed sink. Noop measures the
+    * pipeline (source + state + shuffle) and discards rows executor-
+    * side. Returns rows-out from the sink's progress metrics. */
+  private def drainToNoop(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): Long = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"sbck_$name")
+    val q = df.writeStream.format("noop").outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,31 +54,24 @@ object StreamBench {
     for (name <- names) {
       val t0 = System.nanoTime()
       val stream = StreamingOps.eventsStream(spark, sfDir)
-      val out = name match {
+      val (df, mode) = name match {
         case "sessionize" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.sessionize(stream).toDF, s"sb_$name", OutputMode.Update)
+          (StreamingOps.sessionize(stream).toDF, OutputMode.Update())
         case "sessionize_flat" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.sessionizeFlat(stream).toDF, s"sb_$name", OutputMode.Update)
+          (StreamingOps.sessionizeFlat(stream).toDF, OutputMode.Update())
         case "hourly" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.hourlyCounts(stream), s"sb_$name", OutputMode.Complete)
+          (StreamingOps.hourlyCounts(stream), OutputMode.Complete())
         case "latest" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.latestStateStream(stream), s"sb_$name", OutputMode.Complete())
+          (StreamingOps.latestStateStream(stream), OutputMode.Complete())
         case "dedup" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.dedupStream(stream, Seq("event_id")), s"sb_$name")
+          (StreamingOps.dedupStream(stream, Seq("event_id")), OutputMode.Append())
         case "nearpairs" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.nearPairsStream(stream), s"sb_$name")
+          (StreamingOps.nearPairsStream(stream), OutputMode.Append())
         case "attribution" =>
-          StreamingOps.runToMemory(spark,
-            StreamingOps.attributionStream(stream), s"sb_$name")
+          (StreamingOps.attributionStream(stream).toDF, OutputMode.Append())
         case other => sys.error(s"unknown stream op: $other")
       }
-      val rows = out.count()
+      val rows = drainToNoop(spark, df, name, mode)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"$name: $sec%.2f s, $rows rows out, $nEvents events in, " +
         f"${nEvents / sec}%.0f events/s")
