@@ -50,6 +50,33 @@ class GrpcApiSpec extends AnyFunSuite {
     } finally { client.close(); api.stop() }
   }
 
+  test("grpc_server_survives_raw_garbage_bytes") {
+    // not-HTTP/2 bytes, a TLS-looking hello, and an abrupt hangup on
+    // the gRPC port: the runtime must drop each connection without
+    // taking the server down, and a real client must still round-trip
+    val broker = new EngineBroker(new GraphSession(spark))
+    val api = new GrpcApi(broker)
+    val port = api.start()
+    try {
+      for (payload <- Seq(
+          Array[Byte](0, 1, 2, 3, -1, -2, -3),
+          "GET / HTTP/1.1\r\n\r\n".getBytes,
+          Array[Byte](0x16, 0x03, 0x01, 0x00, 0x00),
+          Array.empty[Byte])) {
+        val s = new java.net.Socket("127.0.0.1", port)
+        try {
+          if (payload.nonEmpty) { s.getOutputStream.write(payload); s.getOutputStream.flush() }
+          s.setSoTimeout(2000)
+          try { while (s.getInputStream.read() >= 0) () }
+          catch { case _: java.io.IOException => () }
+        } finally s.close()
+      }
+      val client = new GrpcClient("127.0.0.1", port)
+      try assert(client.execute("RETURN 'alive'").error.isEmpty)
+      finally client.close()
+    } finally { api.stop(); broker.stop() }
+  }
+
   test("grpc_api_key_enforced_via_metadata") {
     val broker = new EngineBroker(new GraphSession(spark))
     val api = new GrpcApi(broker, apiKey = Some("sekret"))
