@@ -354,17 +354,20 @@ object Parser {
       (order, skip, limit)
     }
 
-    /** Numeric token → Int with the decimal-truncation tolerance the
-      * grammar always had (`LIMIT 1.5` = 1), but malformed
-      * ("1.2.3") and out-of-Int-range values become ParseException
-      * instead of a leaked NumberFormatException / a saturated value
-      * that trips Spark's LIMIT+OFFSET overflow check downstream. */
+    /** Numeric token → non-negative Int with the decimal-truncation
+      * tolerance the grammar always had (`LIMIT 1.5` = 1), but
+      * malformed ("1.2.3"), out-of-Int-range, and NEGATIVE values
+      * become ParseException: every caller is a count position
+      * (SKIP/LIMIT/var-length hops) where the reference's usize parse
+      * rejects a sign, and letting a negative through leaks Spark's
+      * internal negative-limit/offset AnalysisException instead of a
+      * typed parse error. */
     def intVal(s: String): Int = {
       val d =
         try s.toDouble
         catch { case _: NumberFormatException =>
           throw ParseException(s"invalid number: $s") }
-      if (d > Int.MaxValue || d < Int.MinValue)
+      if (d > Int.MaxValue || d < 0)
         throw ParseException(s"number out of range: $s")
       d.toInt
     }

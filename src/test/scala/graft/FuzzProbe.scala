@@ -46,6 +46,9 @@ object FuzzProbe {
     "MATCH (a) RETURN a LIMIT 1.2.3",     // multi-dot numeric token
     "MATCH (a) RETURN a SKIP 99999999999999999999", // > Long.MaxValue
     "MATCH (a) RETURN a LIMIT -0.7",      // negative fractional
+    "MATCH (a) RETURN a LIMIT -5",        // negative limit
+    "MATCH (a) RETURN a SKIP -3",         // negative offset
+    "MATCH (a)-[*-2..3]->(b) RETURN b",   // negative hop bound
     "MATCH (a:Person RETURN a",           // unclosed node pattern
     "MATCH (a)-[r]- RETURN a",            // dangling undirected stub
     "MATCH (a)-[*3..1]->(b) RETURN b",    // inverted hop range

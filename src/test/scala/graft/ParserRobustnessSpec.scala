@@ -35,7 +35,13 @@ class ParserRobustnessSpec extends AnyFunSuite {
   test("malformed and out-of-range numbers are typed parse errors") {
     for (q <- Seq("MATCH (a) RETURN a LIMIT 1.2.3",
         "MATCH (a) RETURN a SKIP 99999999999999999999",
-        "MATCH (a)-[*1.>.3]->(b) RETURN b"))
+        "MATCH (a)-[*1.>.3]->(b) RETURN b",
+        // negative counts: the reference's usize parse rejects a sign,
+        // and letting one through leaks Spark's internal
+        // negative-limit/offset AnalysisException at execution
+        "MATCH (a) RETURN a LIMIT -5",
+        "MATCH (a) RETURN a SKIP -3",
+        "MATCH (a)-[*-2..3]->(b) RETURN b"))
       assertThrows[ParseException](Parser.parse(q))
     // the long-standing truncation tolerance must survive the guard
     assert(Parser.parse("MATCH (a) RETURN a LIMIT 1.5") != null)
