@@ -401,9 +401,14 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
 
     conds.foreach {
       case Cond.IdCmp(l, op, r) =>
-        if (!kinds.contains(l) || !kinds.contains(r))
-          throw ParseException("WHERE references unknown variable")
-        filter = filter && strCmp(col(l), col(r), op)
+        // the row passes only when BOTH operands are bound NODE vars —
+        // the reference pattern-matches (Val::NodeId, Val::NodeId) and
+        // silently drops the row otherwise (cypher_spec.rs:1075-1081),
+        // so a rel var or unknown var in id() filters everything, it
+        // never errors
+        if (kinds.get(l).contains(NodeKind) && kinds.get(r).contains(NodeKind))
+          filter = filter && strCmp(col(l), col(r), op)
+        else filter = filter && lit(false)
       case Cond.PropCmp(v, key, op, value) =>
         nodePropLhs(v, key) match {
           case None => filter = filter && lit(false)

@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.core.Materialize.GraftMaterializeOps
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -195,26 +195,32 @@ class GraphSession(val spark: SparkSession) {
     * executes as BroadcastNestedLoopJoin; the id-comparator prunes to
     * the upper triangle before the anti-join. */
   private def execPairwiseMerge(c: LegacyCmd.PairwiseMerge): (Seq[ResultRow], Long, Long, Boolean) = {
-    c.idCmp.foreach { case (l, _, r) =>
-      if (!Set(c.aVar, c.bVar).equals(Set(l, r)) && !(l == r && (l == c.aVar || l == c.bVar)))
-        if (!(Set(l, r) subsetOf Set(c.aVar, c.bVar)))
-          throw ParseException("WHERE references unknown variables")
-    }
     val a = graph.nodes.filter(col("label") === c.aLabel).select(col("id").as("__a"))
     val b = graph.nodes.filter(col("label") === c.bLabel).select(col("id").as("__b"))
     var pairs = a.crossJoin(b)
     // same-variable self pairs skipped (query_interface.rs:493)
     if (c.aVar == c.bVar) pairs = pairs.filter(col("__a") =!= col("__b"))
     c.idCmp.foreach { case (l, op, r) =>
-      val (lc, rc) =
-        if (l == c.aVar && r == c.bVar) (col("__a"), col("__b"))
-        else if (l == c.bVar && r == c.aVar) (col("__b"), col("__a"))
-        else throw ParseException("WHERE references unknown variables")
-      val cond = op match {
-        case "<" => lc < rc; case "<=" => lc <= rc; case ">" => lc > rc
-        case ">=" => lc >= rc; case "=" => lc === rc; case "<>" => lc =!= rc
+      val mapped: Option[(Column, Column)] =
+        if (l == c.aVar && r == c.bVar) Some((col("__a"), col("__b")))
+        else if (l == c.bVar && r == c.aVar) Some((col("__b"), col("__a")))
+        else None
+      mapped match {
+        case Some((lc, rc)) =>
+          val cond = op match {
+            case "<" => lc < rc; case "<=" => lc <= rc; case ">" => lc > rc
+            case ">=" => lc >= rc; case "=" => lc === rc; case "<>" => lc =!= rc
+          }
+          pairs = pairs.filter(cond)
+        case None =>
+          // the reference raises this error INSIDE the pair loop
+          // (query_interface.rs:502-510): with zero candidate pairs the
+          // comparator is never evaluated and the statement succeeds
+          // with nothing created
+          if (pairs.limit(1).count() > 0)
+            throw ParseException("WHERE references unknown variables")
+          pairs = pairs.limit(0)
       }
-      pairs = pairs.filter(cond)
     }
     // MERGE direction: leftVar -> rightVar
     val oriented =

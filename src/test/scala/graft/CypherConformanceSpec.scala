@@ -592,6 +592,53 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ok = s.execute("MATCH (a:MCap), (b:MCap) WHERE id(a) < id(b) MERGE (a)-[:LINKED]->(b);")
     assert(ok.affectedRels == 6 && ok.rows.length == 6)
   }
+
+  // id() comparisons pass only when BOTH operands are bound NODE vars —
+  // the reference pattern-matches (Val::NodeId, Val::NodeId) and silently
+  // drops the row otherwise (cypher_spec.rs:1075-1081): a rel var or an
+  // unknown var in id() filters everything and never errors
+  test("cypher_id_compare_is_node_vars_only_and_fail_closed") {
+    val s = newSession()
+    s.execute("CREATE (:IdC {n:'1'}) CREATE (:IdC {n:'2'})")
+    s.execute("MATCH (a:IdC), (b:IdC) CREATE (a)-[:E]->(b)")
+    // sanity: the node-var form matches the upper triangle
+    assert(s.execute(
+      "MATCH (a:IdC), (b:IdC) WHERE id(a) < id(b) RETURN a").rows.length == 1)
+    // rel vars: 4 edges → 16 (r,q) pairs exist, every row dropped
+    assert(s.execute(
+      "MATCH (x)-[r]->(y), (w)-[q]->(z) WHERE id(r) < id(q) RETURN r").rows.isEmpty)
+    // one rel operand is enough to drop the row
+    assert(s.execute(
+      "MATCH (x)-[r]->(y) WHERE id(r) = id(x) RETURN x").rows.isEmpty)
+    assert(s.execute(
+      "MATCH (x)-[r]->(y) WHERE id(x) <> id(r) RETURN x").rows.isEmpty)
+    // unknown variable: rows dropped, NOT a parse/runtime error
+    assert(s.execute(
+      "MATCH (a:IdC) WHERE id(a) < id(zz) RETURN a").rows.isEmpty)
+    // fail-closed is per-row, statement still succeeds and mutates later
+    val out = s.execute(
+      "MATCH (a:IdC) WHERE id(zz) = id(zz) RETURN a")
+    assert(out.rows.isEmpty && !out.mutated)
+  }
+
+  // the legacy pairwise merge raises its unknown-WHERE-vars error INSIDE
+  // the pair loop (query_interface.rs:502-510): with zero candidate
+  // pairs the comparator is never evaluated and the statement succeeds
+  test("legacy_pairwise_unknown_where_vars_error_is_pair_lazy") {
+    val s = newSession()
+    // no :Ghost nodes exist → zero pairs → no error, nothing created
+    val ok = s.execute(
+      "MATCH (a:Ghost), (b:Ghost) WHERE id(a) < id(zz) MERGE (a)-[:G]->(b);")
+    assert(ok.rows.isEmpty && ok.affectedRels == 0 && !ok.mutated)
+    // with candidates present the same WHERE errors like the reference
+    s.execute("""CREATE NODE Pz {name:"p1"};""")
+    s.execute("""CREATE NODE Pz {name:"p2"};""")
+    val e = intercept[ParseException] {
+      s.execute("MATCH (a:Pz), (b:Pz) WHERE id(a) < id(zz) MERGE (a)-[:G]->(b);")
+    }
+    assert(e.getMessage.contains("unknown variables"))
+    assert(s.relationshipCount == 0)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */
