@@ -77,6 +77,23 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     }
   }
 
+  /** Endpoint-node filter for relationship steps: `$param` props are NOT
+    * resolved — the reference's triple-enumeration endpoint check
+    * compares the raw pattern text (cypher_spec.rs:903-905), exactly
+    * like var-length endpoints (cypher_spec.rs:806-810). Only node-ONLY
+    * patterns resolve params (cypher_spec.rs:775). */
+  private def filterNodesRawParams(nodes: DataFrame, label: Option[String],
+      props: Map[String, PropValue]): DataFrame = {
+    val l = label.map(lb => nodes.filter(col("label") === lb)).getOrElse(nodes)
+    props.foldLeft(l) { case (d, (k, v)) =>
+      val raw = v match {
+        case PropValue.Lit(s) => s
+        case PropValue.Param(name) => "$" + name
+      }
+      d.filter(col("properties")(k) === raw)
+    }
+  }
+
   // ---------------------------------------------------------------- MATCH
 
   /** Expand the binding table over one path pattern. */
@@ -134,13 +151,14 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
 
     def expand(b: DataFrame, eo0: DataFrame): DataFrame = {
       var eo = eo0
-      // endpoint label/prop constraints applied to the edge candidate set
+      // endpoint label/prop constraints applied to the edge candidate
+      // set; raw-param matching per cypher_spec.rs:903-905
       if (npL.label.nonEmpty || npL.props.nonEmpty) {
-        val nl = filterNodes(g.nodes, npL.label, npL.props).select(col("id").as("__l"))
+        val nl = filterNodesRawParams(g.nodes, npL.label, npL.props).select(col("id").as("__l"))
         eo = eo.join(nl, "__l")
       }
       if (npR.label.nonEmpty || npR.props.nonEmpty) {
-        val nr = filterNodes(g.nodes, npR.label, npR.props).select(col("id").as("__r"))
+        val nr = filterNodesRawParams(g.nodes, npR.label, npR.props).select(col("id").as("__r"))
         eo = eo.join(nr, "__r")
       }
       // shared-variable collisions WITHIN the pattern (the reference
@@ -205,17 +223,9 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
 
     // param props in var-length endpoints are NOT resolved (reference
     // falls back to exact-string matching of the raw "$name" text,
-    // cypher_spec.rs:806-810)
-    def filterNodesRaw(label: Option[String], props: Map[String, PropValue]): DataFrame = {
-      val l = label.map(lb => g.nodes.filter(col("label") === lb)).getOrElse(g.nodes)
-      props.foldLeft(l) { case (d, (k, v)) =>
-        val raw = v match {
-          case PropValue.Lit(s) => s
-          case PropValue.Param(name) => "$" + name
-        }
-        d.filter(col("properties")(k) === raw)
-      }
-    }
+    // cypher_spec.rs:806-810) — same rule as single-hop endpoints
+    def filterNodesRaw(label: Option[String], props: Map[String, PropValue]): DataFrame =
+      filterNodesRawParams(g.nodes, label, props)
 
     // bound left endpoints are still re-filtered by the left node
     // pattern (the reference applies node_ok over left_ids before the

@@ -593,6 +593,29 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.affectedRels == 6 && ok.rows.length == 6)
   }
 
+  // $params resolve in node-ONLY pattern props (cypher_spec.rs:775) but
+  // NOT in the endpoint props of a relationship step — the reference's
+  // triple-enumeration endpoint check compares the raw "$name" text
+  // (cypher_spec.rs:903-905), the same rule as var-length endpoints
+  test("cypher_rel_step_endpoint_params_match_raw_text") {
+    val s = newSession()
+    s.execute("CREATE (:PEnd {name:'x'}) CREATE (:PEnd {name:'$who'})")
+    s.execute("MATCH (a:PEnd), (b:PEnd) CREATE (a)-[:L]->(b)")
+    // node-only pattern: $who resolves to 'x' → 1 node
+    val nodeOnly = s.executeWithParams(
+      "MATCH (n:PEnd {name:$who}) RETURN n", Map("who" -> "x"))
+    assert(nodeOnly.rows.length == 1 && nodeOnly.rows.head.properties("name") == "x")
+    // rel-step endpoint: $who stays raw text → matches the '$who' node
+    // (4 edges exist: 2 nodes fully connected incl. self-loops)
+    val ep = s.executeWithParams(
+      "MATCH (a:PEnd {name:$who})-[r:L]->(b) RETURN a", Map("who" -> "x"))
+    assert(ep.rows.length == 2 && ep.rows.forall(_.properties("name") == "$who"),
+      s"endpoint params must stay raw: ${ep.rows.map(_.properties("name"))}")
+    // an UNDEFINED param in an endpoint is not an error either — raw match
+    val undef = s.execute("MATCH (a:PEnd {name:$nope})-[r:L]->(b) RETURN a")
+    assert(undef.rows.isEmpty)
+  }
+
   // id() comparisons pass only when BOTH operands are bound NODE vars —
   // the reference pattern-matches (Val::NodeId, Val::NodeId) and silently
   // drops the row otherwise (cypher_spec.rs:1075-1081): a rel var or an
