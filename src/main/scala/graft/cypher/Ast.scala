@@ -34,12 +34,14 @@ object Ast {
 
   /** Relationship pattern `-[r:TYPE {props}]->`, `<-[...]-,` or
     * undirected `-[...]-`; `*min..max` variable length
-    * (cypher_spec.rs:153-198). */
+    * (cypher_spec.rs:153-198). The reference IR keeps only a
+    * `right: bool` — a leading `<` is dropped by its parser
+    * (cypher_spec.rs:253-256), so `<-[...]-` is undirected; there is
+    * no "incoming" direction. */
   sealed trait Direction
   object Direction {
     case object Out extends Direction  // (a)-[]->(b)
-    case object In extends Direction   // (a)<-[]-(b)
-    case object Both extends Direction // (a)-[]-(b)
+    case object Both extends Direction // (a)-[]-(b) and (a)<-[]-(b)
   }
 
   case class RelPattern(

@@ -230,11 +230,13 @@ object Parser {
       }
       expectSym("-")
       val outgoing = tryTakeSym(">")
-      val dir =
-        if (incoming && !outgoing) Direction.In
-        else if (!incoming && outgoing) Direction.Out
-        else if (!incoming && !outgoing) Direction.Both
-        else throw ParseException("relationship cannot be both <- and ->")
+      // the reference's parse_pattern drops a leading '<' silently and
+      // derives direction ONLY from a trailing "]->"
+      // (cypher_spec.rs:253-256): `<-[...]-` is UNDIRECTED and even
+      // `<-[...]->` is directed out — adjudicated against the reference
+      // executor. The consumed `incoming` token is syntax-only.
+      locally { val _ = incoming }
+      val dir = if (outgoing) Direction.Out else Direction.Both
       RelPattern(variable, typ, props, dir, varLen)
     }
 

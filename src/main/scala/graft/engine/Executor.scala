@@ -49,14 +49,39 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
   private var anonCounter = 0
   private def freshAnon(): String = { anonCounter += 1; s"__anon$anonCounter" }
 
+  /** WHERE-RHS resolution: `$param` tokens resolve; a QUOTED literal
+    * stays literal even when it starts with '$' (the reference's WHERE
+    * branches only call resolve_param on unquoted RHS text,
+    * cypher_spec.rs:1089/1101/1112/1123). */
   private def resolve(v: PropValue): String = v match {
     case PropValue.Lit(s) => s
     case PropValue.Param(name) =>
       params.getOrElse(name, throw ParseException(s"Missing parameter: $$$name"))
   }
 
+  /** Pattern / CREATE / MERGE prop-value resolution — the reference's
+    * resolve_param (cypher_spec.rs:738-746) applied to parse_props
+    * output (cypher_spec.rs:94-104): quotes are stripped at parse, so
+    * ANY stored value starting with '$' — even one written as a quoted
+    * literal — is a parameter reference (missing ⇒ error), and
+    * non-param values are whitespace-trimmed and quote-trimmed once
+    * more. */
+  private def resolvePropValue(v: PropValue): String = {
+    val t = (v match {
+      case PropValue.Lit(s) => s
+      case PropValue.Param(name) => "$" + name
+    }).trim
+    if (t.startsWith("$")) {
+      val key = t.substring(1)
+      params.getOrElse(key, throw ParseException(s"Missing parameter: $$$key"))
+    } else if (t.length >= 2 &&
+        ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
   private def propsLit(props: Map[String, PropValue]): Column = {
-    val resolved = props.map { case (k, v) => k -> resolve(v) }
+    val resolved = props.map { case (k, v) => k -> resolvePropValue(v) }
     if (resolved.isEmpty) typedLit(Map.empty[String, String])
     else map(resolved.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
   }
@@ -65,7 +90,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       props: Map[String, PropValue]): DataFrame = {
     val l = label.map(lb => nodes.filter(col("label") === lb)).getOrElse(nodes)
     props.foldLeft(l) { case (d, (k, v)) =>
-      d.filter(col("properties")(k) === resolve(v))
+      d.filter(col("properties")(k) === resolvePropValue(v))
     }
   }
 
@@ -73,7 +98,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       props: Map[String, PropValue]): DataFrame = {
     val l = typ.map(t => edges.filter(col("label") === t)).getOrElse(edges)
     props.foldLeft(l) { case (d, (k, v)) =>
-      d.filter(col("properties")(k) === resolve(v))
+      d.filter(col("properties")(k) === resolvePropValue(v))
     }
   }
 
@@ -143,7 +168,6 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     // orientations: (leftEndpointCol, rightEndpointCol)
     val orients: Seq[DataFrame] = rp.direction match {
       case Direction.Out  => Seq(e0.select(col("__rid"), col("__src").as("__l"), col("__dst").as("__r")))
-      case Direction.In   => Seq(e0.select(col("__rid"), col("__dst").as("__l"), col("__src").as("__r")))
       case Direction.Both => Seq(
         e0.select(col("__rid"), col("__src").as("__l"), col("__dst").as("__r")),
         e0.select(col("__rid"), col("__dst").as("__l"), col("__src").as("__r")))
@@ -216,7 +240,6 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       .select(col("src").as("__es"), col("dst").as("__ed"))
     val eAll = rp.direction match {
       case Direction.Out  => e0
-      case Direction.In   => e0.select(col("__ed").as("__es"), col("__es").as("__ed"))
       case Direction.Both => e0.unionByName(
         e0.select(col("__ed").as("__es"), col("__es").as("__ed")))
     }
@@ -265,21 +288,27 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       val nr = filterNodesRaw(npR.label, npR.props).select(col("id").as("__r"))
       pairs = pairs.join(nr, "__r")
     }
-    // same unbound variable on both endpoints: cycles back to the
-    // source only (see matchRelStep's shared-variable handling)
-    if (lv == rv && !kinds.contains(lv)) pairs = pairs.filter(col("__l") === col("__r"))
+    // UNLIKE single-hop steps, the right endpoint var is never
+    // consistency-checked: the reference inserts it unconditionally
+    // into the row, overwriting any earlier binding
+    // (cypher_spec.rs:846-848) — so a pre-bound right var rebinds to
+    // every BFS target, and a shared left/right var binds to the
+    // TARGET (left insert, then right insert wins), it does NOT filter
+    // to self-cycles. Only the left var is checked (pre-BFS,
+    // cypher_spec.rs:835).
     val conds = mutable.Buffer.empty[Column]
+    // (for a shared bound var this checks the OLD value; the overwrite
+    // below then rebinds it to the target)
     if (kinds.contains(lv)) conds += col(lv) === col("__l")
-    if (kinds.contains(rv)) conds += col(rv) === col("__r")
     val joined =
       if (conds.isEmpty) binding.crossJoin(pairs)
       else binding.join(pairs, conds.reduce(_ && _))
     var out = joined
-    if (!kinds.contains(lv)) out = out.withColumn(lv, col("__l"))
-    if (!kinds.contains(rv) && rv != lv) out = out.withColumn(rv, col("__r"))
+    if (!kinds.contains(lv) && lv != rv) out = out.withColumn(lv, col("__l"))
+    out = out.withColumn(rv, col("__r"))
     out = out.drop("__l", "__r")
     if (!kinds.contains(lv)) kinds(lv) = NodeKind
-    if (!kinds.contains(rv)) kinds(rv) = NodeKind
+    kinds(rv) = NodeKind
     out
   }
 
@@ -341,7 +370,14 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         binding = b2; g = g2
 
       case Clause.SetProp(v, key, value) =>
-        g = execSetProp(g, binding, v, key, resolve(value))
+        // SET values are stored as written — the reference's Set
+        // executor never calls resolve_param (cypher_spec.rs:1283-1292),
+        // so `SET n.p = $x` stores the literal text "$x"
+        val raw = value match {
+          case PropValue.Lit(s) => s
+          case PropValue.Param(name) => "$" + name
+        }
+        g = execSetProp(g, binding, v, key, raw)
 
       case Clause.SetLabel(v, label) =>
         g = execSetLabel(g, binding, v, label)
@@ -473,7 +509,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
           val np = p.nodes.head
           val id = IdGen.next()
           (np, id, np.label.getOrElse("_"),
-            np.props.map { case (k, v) => k -> resolve(v) })
+            np.props.map { case (k, v) => k -> resolvePropValue(v) })
         }
         val newNodes = PropertyGraph.nodesDf(spark,
           rows.map { case (_, id, label, props) => (id, label, props) })
@@ -530,7 +566,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     val lv = l.variable.get
     val rv = r.variable.get
     val typ = rel.relType.getOrElse("_")
-    val mergeProps = rel.props.map { case (k, v) => k -> resolve(v) }
+    val mergeProps = rel.props.map { case (k, v) => k -> resolvePropValue(v) }
 
     // existing candidates: same (src,dst,label) and all MERGE props match
     var cand = g0.edges.filter(col("label") === typ)

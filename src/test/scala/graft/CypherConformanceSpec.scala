@@ -495,14 +495,18 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = s.execute("MATCH (x)-[r:L]->(x) RETURN x")
     assert(out.rows.length == 1)
     assert(out.rows.head.properties("name") == "loop")
-    // var-length flavor: the BFS visited set is seeded with the source
-    // (reference `seen.insert(lid)` at depth 0), so a node can never
-    // re-reach itself at depth >= 1 — shared-var var-length is empty
+    // var-length flavor is DIFFERENT: the reference inserts the right
+    // endpoint without a consistency check (cypher_spec.rs:846-848), so
+    // a shared var REBINDS to the BFS target instead of filtering to
+    // self-cycles — x becomes 'plain', reached from 'loop' at depth 1
+    // (adjudicated against the reference executor itself)
     val vl = s.execute("MATCH (x:N)-[:L*1..1]->(x) RETURN x")
-    assert(vl.rows.isEmpty)
-    // at depth 0 (*0..) every source trivially matches itself
+    assert(vl.rows.map(_.properties("name")) == Seq("plain"))
+    // *0..: depth-0 (self) pairs AND depth-1 targets all emit, one row
+    // per (source, target) pair — 'plain' is reached from both sources,
+    // so it appears twice
     val vl0 = s.execute("MATCH (x:N)-[:L*0..1]->(x) RETURN x")
-    assert(vl0.rows.length == 2)
+    assert(vl0.rows.map(_.properties("name")).sorted == Seq("loop", "plain", "plain"))
   }
 
   // *0..n matches the source node itself at depth 0 (cypher_spec.rs
@@ -518,7 +522,14 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // a bound left endpoint is re-filtered by the var-length pattern's
-  // label (reference applies node_ok over left_ids before the BFS)
+  // label (reference applies node_ok over left_ids before the BFS).
+  // NOTE the same-clause comma form: a SECOND `MATCH` keyword inside
+  // one statement is not a clause boundary in the reference's parser —
+  // the text folds into the first pattern and produces a label that
+  // matches nothing. Our parser accepts multi-MATCH statements as a
+  // deliberate beyond-reference extension; reference-expressible
+  // queries use comma patterns, which both engines treat identically
+  // (adjudicated against the reference executor).
   test("cypher_varlength_bound_left_refiltered") {
     val s = newSession()
     s.execute("CREATE (:Good {name:'g'})")
@@ -526,10 +537,82 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.execute("CREATE (:Tgt {name:'t'})")
     s.execute("MATCH (a:Good), (t:Tgt) CREATE (a)-[:E]->(t)")
     s.execute("MATCH (a:Bad), (t:Tgt) CREATE (a)-[:E]->(t)")
-    // first MATCH binds a to every node; the var-length step must keep
-    // only rows whose bound a satisfies (:Good)
-    val out = s.execute("MATCH (a) MATCH (a:Good)-[:E*1..1]->(b) RETURN a")
+    // pattern 1 binds a to every node; the var-length step keeps only
+    // rows whose bound a satisfies (:Good)
+    val out = s.execute("MATCH (a), (a:Good)-[:E*1..1]->(b) RETURN a")
     assert(out.rows.length == 1 && out.rows.head.label == "Good")
+    val tgt = s.execute("MATCH (a), (a:Good)-[:E*1..1]->(b) RETURN b")
+    assert(tgt.rows.length == 1 && tgt.rows.head.label == "Tgt")
+  }
+
+  // the right endpoint of a var-length step OVERWRITES a pre-bound
+  // variable instead of consistency-checking it (cypher_spec.rs:846-848
+  // inserts unconditionally; adjudicated against the reference
+  // executor): b pre-bound to b2 still rebinds to every BFS target
+  test("cypher_varlength_right_endpoint_overwrites_binding") {
+    val s = newSession()
+    s.execute("CREATE (:VA {name:'a1'})")
+    s.execute("CREATE (:VB {name:'b1'})")
+    s.execute("CREATE (:VB {name:'b2'})")
+    s.execute("MATCH (a:VA), (b:VB {name:'b1'}) CREATE (a)-[:T]->(b)")
+    s.execute("MATCH (x:VB {name:'b1'}), (y:VB {name:'b2'}) CREATE (x)-[:T]->(y)")
+    val two = s.execute("MATCH (b:VB {name:'b2'}), (a:VA)-[:T*1..2]->(b) RETURN b")
+    assert(two.rows.map(_.properties("name")).sorted == Seq("b1", "b2"))
+    val one = s.execute("MATCH (r:VB {name:'b2'}), (a:VA)-[:T*1..1]->(r) RETURN r")
+    assert(one.rows.map(_.properties("name")) == Seq("b1"))
+  }
+
+  // a leading '<' on a relationship is dropped by the reference's
+  // parser and direction comes ONLY from a trailing "]->"
+  // (cypher_spec.rs:253-256): `<-[...]-` is UNDIRECTED — it matches the
+  // edge in both orientations — and `<-[...]->` is directed out
+  // (adjudicated against the reference executor)
+  test("cypher_reversed_arrow_is_undirected") {
+    val s = newSession()
+    s.execute("CREATE (:Src9 {name:'s'})")
+    s.execute("CREATE (:Dst9 {name:'d'})")
+    s.execute("MATCH (a:Src9), (b:Dst9) CREATE (a)-[:T]->(b)")
+    // under honored-in semantics this would be empty: s has no incoming
+    val rev = s.execute("MATCH (x:Src9)<-[r:T]-(y:Dst9) RETURN x")
+    assert(rev.rows.length == 1 && rev.rows.head.properties("name") == "s")
+    // both-arrows form is directed out, '<' ignored
+    val both = s.execute("MATCH (x:Dst9)<-[r:T]->(y:Src9) RETURN x")
+    assert(both.rows.isEmpty)
+    val bothOk = s.execute("MATCH (x:Src9)<-[r:T]->(y:Dst9) RETURN x")
+    assert(bothOk.rows.length == 1 && bothOk.rows.head.properties("name") == "s")
+    // var-length flavor: reversed arrow traverses undirected adjacency
+    val vl = s.execute("MATCH (x:Src9)<-[:T*1..1]-(y) RETURN y")
+    assert(vl.rows.length == 1 && vl.rows.head.properties("name") == "d")
+  }
+
+  // pattern-prop VALUES are quote-stripped at parse, so any stored
+  // value starting with '$' is a parameter reference even when written
+  // as a quoted literal, and non-param values get a whitespace trim
+  // plus one more quote-trim (resolve_param, cypher_spec.rs:738-746 on
+  // parse_props output, cypher_spec.rs:94-104; adjudicated against the
+  // reference executor). WHERE RHS is different: quoted text stays
+  // literal there.
+  test("cypher_pattern_prop_dollar_values_are_params") {
+    val s = newSession()
+    // unresolvable quoted-$ prop value errors like the reference
+    val e = intercept[ParseException] { s.execute("CREATE (:C8 {tag: '$t'})") }
+    assert(e.getMessage.contains("Missing parameter"))
+    // with the param defined, the quoted-$ value resolves — in CREATE
+    // and in node-only MATCH props alike
+    s.executeWithParams("CREATE (:C8 {tag: '$t'})", Map("t" -> "hello"))
+    val m = s.executeWithParams("MATCH (c:C8 {tag: '$t'}) RETURN c", Map("t" -> "hello"))
+    assert(m.rows.length == 1 && m.rows.head.properties("tag") == "hello")
+    // whitespace trim and second quote-trim on non-param values
+    s.execute("CREATE (:D8 {v: ' padded ', q: \"'x'\"})")
+    val d = s.execute("MATCH (d:D8) RETURN d").rows.head
+    assert(d.properties("v") == "padded")
+    assert(d.properties("q") == "x")
+    // WHERE RHS keeps quoted text literal — '$t' is NOT a param there
+    // (SET stores its value raw, so n.w holds the text "$t")
+    s.execute("CREATE (:E8 {w: 'x'})")
+    s.execute("MATCH (n:E8) SET n.w = '$t'")
+    val w = s.execute("MATCH (n:E8) WHERE n.w = '$t' RETURN n")
+    assert(w.rows.length == 1, "quoted WHERE RHS must stay literal")
   }
 
   // multi-batch edge creation in one statement must emit distinct ids
@@ -599,7 +682,10 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   // (cypher_spec.rs:903-905), the same rule as var-length endpoints
   test("cypher_rel_step_endpoint_params_match_raw_text") {
     val s = newSession()
-    s.execute("CREATE (:PEnd {name:'x'}) CREATE (:PEnd {name:'$who'})")
+    // a node whose name is the literal text "$who": CREATE would treat
+    // the $-leading prop value as a param, so store it via SET (raw)
+    s.execute("CREATE (:PEnd {name:'x'}) CREATE (:PEnd {name:'tmp'})")
+    s.execute("MATCH (n:PEnd {name:'tmp'}) SET n.name = '$who'")
     s.execute("MATCH (a:PEnd), (b:PEnd) CREATE (a)-[:L]->(b)")
     // node-only pattern: $who resolves to 'x' → 1 node
     val nodeOnly = s.executeWithParams(

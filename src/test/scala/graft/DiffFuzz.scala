@@ -1,0 +1,365 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cypher.Parser.ParseException
+import graft.engine.{GraphSession, ResultRow}
+
+/** Differential Cypher fuzzer: runs the SAME randomly generated
+  * statement stream through the Spark engine ([[GraphSession]]) and the
+  * clean-room reference model ([[RefModel]]), comparing result rows and
+  * full graph state. Optionally (env `GRAFT_REF_ORACLE` = path to a
+  * REPL binary wrapping the reference's own executor) the stream is
+  * also cross-checked against the reference implementation itself —
+  * used to adjudicate model-vs-engine disagreements during development.
+  *
+  * Node/relationship ids differ across implementations, so rows are
+  * canonicalized through the generator's unique `k` (node) / `ek`
+  * (edge) marker props before comparison; `id()` info rows translate
+  * through the same maps. Creation ORDER is identical on all sides and
+  * every implementation's id strings sort in creation order (UUIDv7 /
+  * zero-padded counters), so `id(a) < id(b)` predicates agree without
+  * sharing id values.
+  *
+  * The generator stays inside the REFERENCE-expressible dialect: comma
+  * patterns (never a second MATCH or chained hops — the reference
+  * parser folds those into garbage patterns, pinned separately in
+  * CypherConformanceSpec), one trailing mutation per statement,
+  * terminal WITH, single-item RETURN modifiers, values free of clause
+  * keywords. Pagination always rides a unique ORDER key so the selected
+  * window is deterministic; all row comparisons are multiset-based (the
+  * reference scans HashMaps, so its row order is arbitrary).
+  */
+object DiffFuzz {
+
+  case class Mismatch(seed: Long, step: Int, stmt: String, detail: String)
+
+  type Runner = (String, Map[String, String]) => Either[String, Seq[ResultRow]]
+
+  // ------------------------------------------------------------ protocol
+
+  /** Line-protocol client for the external reference oracle. */
+  final class RefOracle(binary: String) {
+    private val proc = new ProcessBuilder(binary).start()
+    private val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    private val out = new java.io.PrintWriter(proc.getOutputStream, true)
+
+    def reset(): Unit = {
+      out.println("RESET")
+      val l = in.readLine()
+      require(l == "OK", s"oracle said: $l")
+    }
+
+    def run(query: String, params: Map[String, String]): Either[String, Seq[ResultRow]] = {
+      val enc = query.replace("\n", "")
+      if (params.isEmpty) out.println(s"Q $enc")
+      else out.println(
+        (s"P $enc" +: params.toSeq.map { case (k, v) => s"$k=$v" }).mkString(""))
+      val rows = mutable.Buffer.empty[ResultRow]
+      var line = in.readLine()
+      while (line != null && line != "OK" && !line.startsWith("ERR ")) {
+        val p = line.split('|')
+        p(0) match {
+          case "node" =>
+            rows += ResultRow.node(p(1), p(2), parseProps(if (p.length > 3) p(3) else ""))
+          case "rel" =>
+            rows += ResultRow.rel(p(1), p(2), p(3), p(4),
+              parseProps(if (p.length > 5) p(5) else ""))
+          case _ => rows += ResultRow.info(line.drop(5))
+        }
+        line = in.readLine()
+      }
+      if (line == null) Left("oracle died")
+      else if (line.startsWith("ERR ")) Left(line.drop(4))
+      else Right(rows.toSeq)
+    }
+
+    private def parseProps(s: String): Map[String, String] =
+      if (s.isEmpty) Map.empty
+      else s.split('').map { kv =>
+        val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
+
+    def close(): Unit = proc.destroy()
+  }
+
+  // -------------------------------------------------------- generation
+
+  private val Labels = Seq("La", "Lb", "Lc")
+  private val RelTypes = Seq("T", "U")
+  private val Groups = Seq("g1", "g2", "g3")
+
+  case class GenGraph(nodeCount: Int, stmts: Seq[String])
+
+  /** Node i carries k='n<i>' (unique), u='<unique int>', g='g1..3',
+    * and (sometimes) opt. Edge j carries ek='e<j>' and (sometimes) w. */
+  def genGraph(rnd: Random): GenGraph = {
+    val n = 6 + rnd.nextInt(7)
+    val us = rnd.shuffle((10 until 10 + n).toList)
+    val stmts = mutable.Buffer.empty[String]
+    (0 until n).foreach { i =>
+      val label = Labels(rnd.nextInt(Labels.size))
+      val opt = if (rnd.nextBoolean()) s", opt:'o${rnd.nextInt(3)}'" else ""
+      stmts += s"CREATE (:$label {k:'n$i', u:'${us(i)}', g:'${Groups(rnd.nextInt(3))}'$opt})"
+    }
+    val e = 8 + rnd.nextInt(13)
+    (0 until e).foreach { j =>
+      val src = rnd.nextInt(n)
+      val dst = if (rnd.nextInt(10) == 0) src else rnd.nextInt(n)
+      val typ = RelTypes(rnd.nextInt(RelTypes.size))
+      val w = if (rnd.nextBoolean()) s", w:'${rnd.nextInt(50)}'" else ""
+      stmts += s"MATCH (a {k:'n$src'}), (b {k:'n$dst'}) " +
+        s"CREATE (a)-[:$typ {ek:'e$j'$w}]->(b)"
+    }
+    GenGraph(n, stmts.toSeq)
+  }
+
+  private def pick[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+  private def genNodePat(rnd: Random, v: String): String = {
+    val label = if (rnd.nextBoolean()) ":" + pick(rnd, Labels) else ""
+    val props = rnd.nextInt(4) match {
+      case 0 => s" {g:'${pick(rnd, Groups)}'}"
+      case 1 if rnd.nextBoolean() => s" {k:'n${rnd.nextInt(12)}'}"
+      case _ => ""
+    }
+    s"($v$label$props)"
+  }
+
+  private def genWhere(rnd: Random, vars: Seq[String]): String = {
+    val conds = (0 until 1 + rnd.nextInt(2)).map { _ =>
+      val v = pick(rnd, vars)
+      rnd.nextInt(7) match {
+        case 0 => s"$v.u ${pick(rnd, Seq("<", "<=", ">", ">=", "=", "<>"))} '${5 + rnd.nextInt(20)}'"
+        case 1 => s"$v.g = '${pick(rnd, Groups)}'"
+        case 2 => s"$v.k CONTAINS '${rnd.nextInt(10)}'"
+        case 3 => s"$v.k STARTS WITH 'n${rnd.nextInt(3)}'"
+        case 4 => s"$v.u ENDS WITH '${rnd.nextInt(10)}'"
+        case 5 => s"$v.opt = 'o${rnd.nextInt(3)}'" // missing prop reads ""
+        case _ if vars.size >= 2 =>
+          val w = pick(rnd, vars.filterNot(_ == v))
+          s"id($v) ${pick(rnd, Seq("<", ">", "<>"))} id($w)"
+        case _ => s"$v.u > '0'"
+      }
+    }
+    conds.mkString(" AND ")
+  }
+
+  private def genReturn(rnd: Random, vars: Seq[String]): String = {
+    def item(): String = {
+      val v = pick(rnd, vars)
+      rnd.nextInt(5) match {
+        case 0 => v
+        case 1 => s"$v.u"
+        case 2 => s"$v.opt"
+        case 3 => s"id($v)"
+        case _ => s"$v.g"
+      }
+    }
+    if (rnd.nextInt(3) == 0) {
+      // single item with modifiers
+      val it = item()
+      val distinct = if (rnd.nextBoolean()) "DISTINCT " else ""
+      val order =
+        if (rnd.nextBoolean()) s" ORDER BY $it${if (rnd.nextBoolean()) " DESC" else ""}"
+        else ""
+      s"RETURN $distinct$it$order"
+    } else {
+      val items = (0 until 1 + rnd.nextInt(2)).map(_ => item())
+      s"RETURN ${items.mkString(", ")}"
+    }
+  }
+
+  /** A read query in the reference-expressible dialect. */
+  def genQuery(rnd: Random): String = {
+    rnd.nextInt(6) match {
+      case 0 =>
+        val where = if (rnd.nextBoolean()) s" WHERE ${genWhere(rnd, Seq("n"))}" else ""
+        s"MATCH ${genNodePat(rnd, "n")}$where ${genReturn(rnd, Seq("n"))}"
+      case 1 =>
+        val (arrow, tip) = pick(rnd, Seq(("-", "->"), ("-", "-"), ("<-", "-")))
+        val typ = if (rnd.nextBoolean()) ":" + pick(rnd, RelTypes) else ""
+        val where = if (rnd.nextBoolean()) s" WHERE ${genWhere(rnd, Seq("a", "b", "r"))}" else ""
+        s"MATCH ${genNodePat(rnd, "a")}$arrow[r$typ]$tip${genNodePat(rnd, "b")}" +
+          s"$where ${genReturn(rnd, Seq("a", "b", "r"))}"
+      case 2 =>
+        // comma patterns with a shared variable
+        val where = if (rnd.nextBoolean()) s" WHERE ${genWhere(rnd, Seq("a", "b"))}" else ""
+        s"MATCH ${genNodePat(rnd, "a")}, (a)-[r:${pick(rnd, RelTypes)}]->${genNodePat(rnd, "b")}" +
+          s"$where ${genReturn(rnd, Seq("a", "b"))}"
+      case 3 =>
+        val mn = rnd.nextInt(3)
+        val mx = mn + rnd.nextInt(3)
+        val tip = if (rnd.nextBoolean()) "->" else "-"
+        s"MATCH ${genNodePat(rnd, "a")}-[:${pick(rnd, RelTypes)}*$mn..$mx]$tip" +
+          s"${genNodePat(rnd, "b")} ${genReturn(rnd, Seq("a", "b"))}"
+      case 4 =>
+        // shared-var var-length: right endpoint overwrite semantics
+        val mn = 1 + rnd.nextInt(2)
+        s"MATCH ${genNodePat(rnd, "x")}, (x)-[:${pick(rnd, RelTypes)}*$mn..${mn + 1}]->(x) RETURN x"
+      case _ =>
+        // terminal WITH (implicit return after projection); pagination
+        // always rides the unique key u so the window is deterministic
+        val page = if (rnd.nextBoolean()) s" SKIP ${rnd.nextInt(3)}" else s" LIMIT ${1 + rnd.nextInt(4)}"
+        s"MATCH ${genNodePat(rnd, "n")} WITH n ORDER BY n.u$page"
+    }
+  }
+
+  /** A mutation statement; `fresh` supplies unique k/ek markers. */
+  def genMutation(rnd: Random, fresh: () => Int): String = {
+    rnd.nextInt(7) match {
+      case 0 =>
+        val i = fresh()
+        s"CREATE (:${pick(rnd, Labels)} {k:'f$i', u:'${100 + i}', g:'${pick(rnd, Groups)}'})"
+      case 1 =>
+        val i = fresh()
+        s"MATCH (a {g:'${pick(rnd, Groups)}'}), (b {g:'${pick(rnd, Groups)}'}) " +
+          s"WHERE id(a) < id(b) CREATE (a)-[:${pick(rnd, RelTypes)} {ek:'f$i'}]->(b)"
+      case 2 =>
+        s"MATCH ${genNodePat(rnd, "n")} SET n.mark = 'm${rnd.nextInt(5)}'"
+      case 3 =>
+        s"MATCH ${genNodePat(rnd, "n")} SET n:${pick(rnd, Labels)}"
+      case 4 =>
+        s"MATCH ${genNodePat(rnd, "n")} REMOVE n.${pick(rnd, Seq("opt", "mark", "g"))}"
+      case 5 =>
+        s"MATCH (a)-[r:${pick(rnd, RelTypes)}]->(b {g:'${pick(rnd, Groups)}'}) DELETE r"
+      case _ =>
+        s"MATCH (n {g:'${pick(rnd, Groups)}'}) DETACH DELETE n"
+    }
+  }
+
+  // ------------------------------------------------------ normalization
+
+  private def canonProps(p: Map[String, String]): String =
+    p.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** One side's current state + marker maps, refreshed after mutations. */
+  final class SideState(val name: String, val run: Runner) {
+    var nodeK: Map[String, String] = Map.empty
+    var edgeK: Map[String, String] = Map.empty
+    var stateCanon: (Seq[String], Seq[String]) = (Seq.empty, Seq.empty)
+
+    def refresh(): Unit = {
+      val nodes = run("MATCH (n) RETURN n", Map.empty).getOrElse(Seq.empty)
+      val rels = run("MATCH ()-[r]->() RETURN r", Map.empty).getOrElse(Seq.empty)
+      nodeK = nodes.map(r => r.id -> r.properties.getOrElse("k", s"?${r.id}")).toMap
+      edgeK = rels.map(r => r.id -> r.properties.getOrElse("ek", s"?${r.id}")).toMap
+      stateCanon = (nodes.map(canonRow).sorted, rels.map(canonRow).sorted)
+    }
+
+    def canonRow(r: ResultRow): String = r.kind match {
+      case "node" => s"node|${nodeK.getOrElse(r.id, "?")}|${r.label}|${canonProps(r.properties)}"
+      case "relationship" =>
+        s"rel|${edgeK.getOrElse(r.id, "?")}|${nodeK.getOrElse(r.src, "?")}|" +
+          s"${nodeK.getOrElse(r.dst, "?")}|${r.label}|${canonProps(r.properties)}"
+      case _ =>
+        val v = nodeK.get(r.info).orElse(edgeK.get(r.info)).map("#" + _).getOrElse(r.info)
+        s"info|$v"
+    }
+  }
+
+  private def normErr(e: String): String =
+    if (e.startsWith("Cannot DELETE node")) "Cannot DELETE node #" else e
+
+  // ------------------------------------------------------------ driving
+
+  /** Run one seed; returns mismatches (empty = agreement). */
+  def runSeed(seed: Long, spark: SparkSession, oracle: Option[RefOracle]): Seq[Mismatch] = {
+    val rnd = new Random(seed)
+    val session = new GraphSession(spark)
+    val model = new RefModel
+    oracle.foreach(_.reset())
+
+    def guard(body: => Seq[ResultRow]): Either[String, Seq[ResultRow]] =
+      try Right(body) catch { case e: ParseException => Left(e.getMessage) }
+
+    val sides: Seq[SideState] =
+      new SideState("engine", (q, p) => guard(session.executeWithParams(q, p).rows)) +:
+        new SideState("model", (q, p) => guard(model.executeWithParams(q, p))) +:
+        oracle.map(o => new SideState("reference", (q, p) => o.run(q, p))).toSeq
+
+    val mismatches = mutable.Buffer.empty[Mismatch]
+    var step = 0
+    var freshCounter = 0
+    def fresh(): Int = { freshCounter += 1; freshCounter }
+
+    /** Execute on all sides; compare result rows (multiset); on
+      * mutating statements refresh marker maps and compare full state. */
+    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean): Unit = {
+      step += 1
+      val results = sides.map(s => s -> s.run(stmt, params))
+      if (mutates) sides.foreach(_.refresh())
+      val canon = results.map { case (s, res) =>
+        (s, res.left.map(normErr).map(rows => rows.map(s.canonRow).sorted))
+      }
+      val (base, baseRes) = canon.head
+      canon.tail.foreach { case (s, res) =>
+        (baseRes, res) match {
+          case (Left(a), Left(b)) if a != b =>
+            mismatches += Mismatch(seed, step, stmt,
+              s"${base.name} error [$a] vs ${s.name} error [$b]")
+          case (Left(a), Right(_)) =>
+            mismatches += Mismatch(seed, step, stmt,
+              s"${base.name} error [$a] but ${s.name} succeeded")
+          case (Right(_), Left(b)) =>
+            mismatches += Mismatch(seed, step, stmt,
+              s"${base.name} succeeded but ${s.name} error [$b]")
+          case (Right(a), Right(b)) if a != b =>
+            mismatches += Mismatch(seed, step, stmt,
+              s"${base.name} rows [${a.mkString("; ")}] vs ${s.name} rows [${b.mkString("; ")}]")
+          case _ =>
+        }
+        if (mutates && base.stateCanon != s.stateCanon)
+          mismatches += Mismatch(seed, step, stmt,
+            s"state diverged: ${base.name}-only " +
+              s"${(base.stateCanon._1.diff(s.stateCanon._1) ++ base.stateCanon._2.diff(s.stateCanon._2)).take(4)}" +
+              s" ; ${s.name}-only " +
+              s"${(s.stateCanon._1.diff(base.stateCanon._1) ++ s.stateCanon._2.diff(base.stateCanon._2)).take(4)}")
+      }
+    }
+
+    // setup: compare CREATE echoes per statement but refresh/compare
+    // state once at the end — per-statement engine dumps dominate the
+    // wall clock and setup state is already pinned by the echoes
+    val g = genGraph(rnd)
+    g.stmts.dropRight(1).foreach(checkStatement(_, Map.empty, mutates = false))
+    checkStatement(g.stmts.last, Map.empty, mutates = true)
+    (0 until 8).foreach(_ => checkStatement(genQuery(rnd), Map.empty, mutates = false))
+    (0 until 5).foreach(_ => checkStatement(genMutation(rnd, () => fresh()), Map.empty, mutates = true))
+    // param-resolution flavors: pattern prop (resolves), WHERE unquoted
+    // (resolves), WHERE quoted (literal), rel-step endpoint (raw),
+    // missing param in a pattern (error on every side)
+    checkStatement("MATCH (n {g:$gg}) RETURN n", Map("gg" -> "g1"), mutates = false)
+    checkStatement("MATCH (n) WHERE n.g = $gg RETURN n.k", Map("gg" -> "g2"), mutates = false)
+    checkStatement("MATCH (n) WHERE n.g = '$gg' RETURN n.k", Map("gg" -> "g2"), mutates = false)
+    checkStatement("MATCH (a {g:$gg})-[r:T]->(b) RETURN b", Map("gg" -> "g1"), mutates = false)
+    checkStatement("MATCH (n {g:$missing}) RETURN n", Map.empty, mutates = false)
+    mismatches.toSeq
+  }
+
+  /** Deep-sweep entry point: DiffFuzz <fromSeed> <toSeed>. Set
+    * GRAFT_REF_ORACLE to also compare against the reference binary. */
+  def main(args: Array[String]): Unit = {
+    val from = if (args.length > 0) args(0).toLong else 1L
+    val to = if (args.length > 1) args(1).toLong else from + 9
+    val spark = SparkTestSession.spark
+    val oracle = sys.env.get("GRAFT_REF_ORACLE").map(new RefOracle(_))
+    var bad = 0
+    (from to to).foreach { seed =>
+      val ms = runSeed(seed, spark, oracle)
+      if (ms.isEmpty) println(s"seed $seed: OK")
+      else {
+        bad += 1
+        ms.foreach(m => println(s"seed $seed step ${m.step}: ${m.stmt}\n  -> ${m.detail}"))
+      }
+    }
+    oracle.foreach(_.close())
+    println(s"${to - from + 1} seeds, $bad with mismatches")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
