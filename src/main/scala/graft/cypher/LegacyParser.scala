@@ -56,23 +56,42 @@ object LegacyParser {
     s.trim.toLowerCase
   }
 
-  /** Legacy WHERE: AND-separated conditions (query_interface.rs:256-352). */
+  /** Legacy WHERE: AND-separated conditions (query_interface.rs:269-352).
+    * The reference dispatches on the TRIMMED key after splitting at the
+    * comparator, so spaced forms (`id = x`, `label = L`) still hit the
+    * id/label/from/to branches; HAS keys are quote-stripped; `!=` on
+    * id/label/from/to is an explicit error. */
   def parseWhere(s: String): Seq[LegacyCond] =
     s.split("(?i)\\bAND\\b").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
       val u = c.toUpperCase
-      if (u.startsWith("ID=")) IdEq(requireUuid(c.substring(3)))
-      else if (u.startsWith("LABEL=")) LabelEq(c.substring(6).trim)
-      else if (u.startsWith("FROM=")) FromEq(requireUuid(c.substring(5)))
-      else if (u.startsWith("TO=")) ToEq(requireUuid(c.substring(3)))
-      else if (u.startsWith("HAS(") && c.endsWith(")")) HasKey(c.substring(4, c.length - 1).trim)
+      if (u.startsWith("HAS(") && c.endsWith(")"))
+        HasKey(unquote(c.substring(4, c.length - 1).trim))
       else if (c.contains("!=")) {
         val i = c.indexOf("!=")
-        KeyNe(c.substring(0, i).trim, unquote(c.substring(i + 2).trim))
+        val key = c.substring(0, i).trim
+        if (Seq("id", "label", "from", "to").exists(key.equalsIgnoreCase))
+          throw ParseException("'!=' supported only for metadata keys")
+        if (key.isEmpty) throw ParseException("missing key before !=")
+        KeyNe(key, unquote(c.substring(i + 2).trim))
       } else if (c.contains("=")) {
         val i = c.indexOf("=")
-        KeyEq(c.substring(0, i).trim, unquote(c.substring(i + 1).trim))
-      } else throw ParseException(s"unsupported WHERE condition: $c")
+        val key = c.substring(0, i).trim
+        val raw = c.substring(i + 1).trim
+        if (key.equalsIgnoreCase("id")) IdEq(requireUuid(stripDq(raw)))
+        else if (key.equalsIgnoreCase("from")) FromEq(requireUuid(stripDq(raw)))
+        else if (key.equalsIgnoreCase("to")) ToEq(requireUuid(stripDq(raw)))
+        else if (key.equalsIgnoreCase("label")) LabelEq(unquote(raw))
+        else if (key.isEmpty) throw ParseException("missing key before =")
+        else KeyEq(key, unquote(raw))
+      } else throw ParseException(s"unrecognized WHERE condition: $c")
     }
+
+  /** The reference strips only double quotes around uuid values
+    * (query_interface.rs trim_matches('"') before Uuid::parse_str). */
+  private def stripDq(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1) else t
+  }
 
   private def unquote(s: String): String = {
     val t = s.trim

@@ -562,6 +562,26 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.rows.map(_.properties("name")) == Seq("b1"))
   }
 
+  // legacy WHERE condition parsing dispatches on the TRIMMED key after
+  // splitting at the comparator (query_interface.rs:269-352): HAS keys
+  // are quote-stripped, spaced `label = L` still hits the label branch,
+  // and `!=` on id/label/from/to is an explicit error (adjudicated
+  // against the reference executor)
+  test("legacy_where_quoted_has_and_spaced_keys") {
+    val s = newSession()
+    s.execute("""CREATE NODE LW {name:"x", opt:"1"};""")
+    s.execute("""CREATE NODE LW {name:"y"};""")
+    assert(s.execute("""MATCH NODE LW WHERE HAS("opt")""").rows.length == 1)
+    assert(s.execute("""MATCH NODE LW WHERE HAS(opt)""").rows.length == 1)
+    assert(s.execute("""MATCH NODE LW WHERE name != "y"""").rows.length == 1)
+    assert(s.execute(
+      """MATCH NODE LW WHERE label = "LW" AND HAS("opt")""").rows.length == 1)
+    val e = intercept[ParseException] {
+      s.execute("""MATCH NODE LW WHERE label != "LW"""")
+    }
+    assert(e.getMessage.contains("metadata keys"))
+  }
+
   // a leading '<' on a relationship is dropped by the reference's
   // parser and direction comes ONLY from a trailing "]->"
   // (cypher_spec.rs:253-256): `<-[...]-` is UNDIRECTED — it matches the

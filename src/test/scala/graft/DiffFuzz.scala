@@ -37,7 +37,11 @@ object DiffFuzz {
 
   case class Mismatch(seed: Long, step: Int, stmt: String, detail: String)
 
-  type Runner = (String, Map[String, String]) => Either[String, Seq[ResultRow]]
+  /** rows + optional (affectedNodes, affectedRels, mutated) — the model
+    * side reports rows only. */
+  case class SideResult(rows: Seq[ResultRow], meta: Option[(Long, Long, Boolean)])
+
+  type Runner = (String, Map[String, String]) => Either[String, SideResult]
 
   // ------------------------------------------------------------ protocol
 
@@ -54,16 +58,18 @@ object DiffFuzz {
       require(l == "OK", s"oracle said: $l")
     }
 
-    def run(query: String, params: Map[String, String]): Either[String, Seq[ResultRow]] = {
+    def run(query: String, params: Map[String, String]): Either[String, SideResult] = {
       val enc = query.replace("\n", "")
       if (params.isEmpty) out.println(s"Q $enc")
       else out.println(
         (s"P $enc" +: params.toSeq.map { case (k, v) => s"$k=$v" }).mkString(""))
       val rows = mutable.Buffer.empty[ResultRow]
+      var meta: Option[(Long, Long, Boolean)] = None
       var line = in.readLine()
       while (line != null && line != "OK" && !line.startsWith("ERR ")) {
         val p = line.split('|')
         p(0) match {
+          case "meta" => meta = Some((p(1).toLong, p(2).toLong, p(3).toBoolean))
           case "node" =>
             rows += ResultRow.node(p(1), p(2), parseProps(if (p.length > 3) p(3) else ""))
           case "rel" =>
@@ -75,7 +81,7 @@ object DiffFuzz {
       }
       if (line == null) Left("oracle died")
       else if (line.startsWith("ERR ")) Left(line.drop(4))
-      else Right(rows.toSeq)
+      else Right(SideResult(rows.toSeq, meta))
     }
 
     private def parseProps(s: String): Map[String, String] =
@@ -211,7 +217,7 @@ object DiffFuzz {
 
   /** A mutation statement; `fresh` supplies unique k/ek markers. */
   def genMutation(rnd: Random, fresh: () => Int): String = {
-    rnd.nextInt(7) match {
+    rnd.nextInt(10) match {
       case 0 =>
         val i = fresh()
         s"CREATE (:${pick(rnd, Labels)} {k:'f$i', u:'${100 + i}', g:'${pick(rnd, Groups)}'})"
@@ -227,6 +233,15 @@ object DiffFuzz {
         s"MATCH ${genNodePat(rnd, "n")} REMOVE n.${pick(rnd, Seq("opt", "mark", "g"))}"
       case 5 =>
         s"MATCH (a)-[r:${pick(rnd, RelTypes)}]->(b {g:'${pick(rnd, Groups)}'}) DELETE r"
+      case 6 =>
+        // SET / REMOVE on a relationship variable (CS:1290-1292, 1310)
+        s"MATCH (a)-[r:${pick(rnd, RelTypes)}]->(b) SET r.tag = 't${rnd.nextInt(4)}'"
+      case 7 =>
+        s"MATCH (a)-[r:${pick(rnd, RelTypes)}]->(b) REMOVE r.${pick(rnd, Seq("w", "tag"))}"
+      case 8 =>
+        // plain DELETE on nodes: errors when any matched node still has
+        // incident edges (constraint check against the pre-delete set)
+        s"MATCH (n {g:'${pick(rnd, Groups)}'}) DELETE n"
       case _ =>
         s"MATCH (n {g:'${pick(rnd, Groups)}'}) DETACH DELETE n"
     }
@@ -244,17 +259,18 @@ object DiffFuzz {
     var stateCanon: (Seq[String], Seq[String]) = (Seq.empty, Seq.empty)
 
     def refresh(): Unit = {
-      val nodes = run("MATCH (n) RETURN n", Map.empty).getOrElse(Seq.empty)
-      val rels = run("MATCH ()-[r]->() RETURN r", Map.empty).getOrElse(Seq.empty)
-      nodeK = nodes.map(r => r.id -> r.properties.getOrElse("k", s"?${r.id}")).toMap
-      edgeK = rels.map(r => r.id -> r.properties.getOrElse("ek", s"?${r.id}")).toMap
+      val nodes = run("MATCH (n) RETURN n", Map.empty).map(_.rows).getOrElse(Seq.empty)
+      val rels = run("MATCH ()-[r]->() RETURN r", Map.empty).map(_.rows).getOrElse(Seq.empty)
+      nodeK = nodes.map(r => r.id -> r.properties.getOrElse("k", "-")).toMap
+      edgeK = rels.map(r => r.id -> r.properties.getOrElse("ek", "-")).toMap
       stateCanon = (nodes.map(canonRow).sorted, rels.map(canonRow).sorted)
     }
 
     def canonRow(r: ResultRow): String = r.kind match {
       case "node" => s"node|${nodeK.getOrElse(r.id, "?")}|${r.label}|${canonProps(r.properties)}"
       case "relationship" =>
-        s"rel|${edgeK.getOrElse(r.id, "?")}|${nodeK.getOrElse(r.src, "?")}|" +
+        val marker = r.properties.get("ek").orElse(edgeK.get(r.id).filterNot(_.startsWith("?"))).getOrElse("-")
+        s"rel|$marker|${nodeK.getOrElse(r.src, "?")}|" +
           s"${nodeK.getOrElse(r.dst, "?")}|${r.label}|${canonProps(r.properties)}"
       case _ =>
         val v = nodeK.get(r.info).orElse(edgeK.get(r.info)).map("#" + _).getOrElse(r.info)
@@ -274,12 +290,15 @@ object DiffFuzz {
     val model = new RefModel
     oracle.foreach(_.reset())
 
-    def guard(body: => Seq[ResultRow]): Either[String, Seq[ResultRow]] =
+    def guard(body: => SideResult): Either[String, SideResult] =
       try Right(body) catch { case e: ParseException => Left(e.getMessage) }
 
     val sides: Seq[SideState] =
-      new SideState("engine", (q, p) => guard(session.executeWithParams(q, p).rows)) +:
-        new SideState("model", (q, p) => guard(model.executeWithParams(q, p))) +:
+      new SideState("engine", (q, p) => guard {
+        val o = session.executeWithParams(q, p)
+        SideResult(o.rows, Some((o.affectedNodes, o.affectedRels, o.mutated)))
+      }) +:
+        new SideState("model", (q, p) => guard(SideResult(model.executeWithParams(q, p), None))) +:
         oracle.map(o => new SideState("reference", (q, p) => o.run(q, p))).toSeq
 
     val mismatches = mutable.Buffer.empty[Mismatch]
@@ -289,12 +308,14 @@ object DiffFuzz {
 
     /** Execute on all sides; compare result rows (multiset); on
       * mutating statements refresh marker maps and compare full state. */
-    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean): Unit = {
+    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean,
+        skipModel: Boolean = false): Unit = {
       step += 1
-      val results = sides.map(s => s -> s.run(stmt, params))
-      if (mutates) sides.foreach(_.refresh())
+      val active = if (skipModel) sides.filterNot(_.name == "model") else sides
+      val results = active.map(s => s -> s.run(stmt, params))
+      if (mutates) active.foreach(_.refresh())
       val canon = results.map { case (s, res) =>
-        (s, res.left.map(normErr).map(rows => rows.map(s.canonRow).sorted))
+        (s, res.left.map(normErr).map(r => (r.rows.map(s.canonRow).sorted, r.meta)))
       }
       val (base, baseRes) = canon.head
       canon.tail.foreach { case (s, res) =>
@@ -308,9 +329,15 @@ object DiffFuzz {
           case (Right(_), Left(b)) =>
             mismatches += Mismatch(seed, step, stmt,
               s"${base.name} succeeded but ${s.name} error [$b]")
-          case (Right(a), Right(b)) if a != b =>
-            mismatches += Mismatch(seed, step, stmt,
+          case (Right((a, ma)), Right((b, mb))) =>
+            if (a != b) mismatches += Mismatch(seed, step, stmt,
               s"${base.name} rows [${a.mkString("; ")}] vs ${s.name} rows [${b.mkString("; ")}]")
+            (ma, mb) match {
+              case (Some(x), Some(y)) if x != y =>
+                mismatches += Mismatch(seed, step, stmt,
+                  s"${base.name} (nodes,rels,mutated)=$x vs ${s.name} $y")
+              case _ =>
+            }
           case _ =>
         }
         if (mutates && base.stateCanon != s.stateCanon)
@@ -338,6 +365,24 @@ object DiffFuzz {
     checkStatement("MATCH (n) WHERE n.g = '$gg' RETURN n.k", Map("gg" -> "g2"), mutates = false)
     checkStatement("MATCH (a {g:$gg})-[r:T]->(b) RETURN b", Map("gg" -> "g1"), mutates = false)
     checkStatement("MATCH (n {g:$missing}) RETURN n", Map.empty, mutates = false)
+    // legacy dialect through the same router (query_interface parity):
+    // legacy create/match plus the pairwise MATCH..MERGE route — also
+    // exercises the ';' statement splitter and the affected-counter /
+    // mutated-flag surface (meta compare vs the reference oracle)
+    val li = fresh()
+    checkStatement(s"""CREATE NODE ${pick(rnd, Labels)} {k:"lg$li", g:"${pick(rnd, Groups)}"};""",
+      Map.empty, mutates = true, skipModel = true)
+    checkStatement(s"MATCH NODE ${pick(rnd, Labels)}", Map.empty, mutates = false, skipModel = true)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = "${pick(rnd, Groups)}"""",
+      Map.empty, mutates = false, skipModel = true)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE HAS("opt") AND g != "g2"""",
+      Map.empty, mutates = false, skipModel = true)
+    checkStatement(s"MATCH REL ${pick(rnd, RelTypes)}", Map.empty, mutates = false, skipModel = true)
+    checkStatement(
+      s"MATCH (a:${pick(rnd, Labels)}), (b:${pick(rnd, Labels)}) WHERE id(a) < id(b) MERGE (a)-[:M]->(b);",
+      Map.empty, mutates = true, skipModel = true)
+    // no-WHERE pairwise: distinct var names allow self-pairs (self-loops)
+    checkStatement("MATCH (a:La), (b:La) MERGE (a)-[:M2]->(b);", Map.empty, mutates = true, skipModel = true)
     mismatches.toSeq
   }
 
