@@ -383,6 +383,22 @@ object DiffFuzz {
       Map.empty, mutates = true, skipModel = true)
     // no-WHERE pairwise: distinct var names allow self-pairs (self-loops)
     checkStatement("MATCH (a:La), (b:La) MERGE (a)-[:M2]->(b);", Map.empty, mutates = true, skipModel = true)
+    // multi-statement execution (';' splitter): rows concatenate,
+    // counters sum, mutated ORs; a mid-stream error keeps the earlier
+    // statements' commits and aborts the rest (query_interface.rs
+    // execute_query propagates the first Err after committing prior
+    // statements). Model skipped: RefModel interprets single Cypher
+    // statements only.
+    val mi = fresh()
+    checkStatement(
+      s"""CREATE NODE ${pick(rnd, Labels)} {k:"ms$mi", g:"g1"}; MATCH NODE ${pick(rnd, Labels)}; MATCH REL ${pick(rnd, RelTypes)}""",
+      Map.empty, mutates = true, skipModel = true)
+    checkStatement(
+      s"CREATE (:${pick(rnd, Labels)} {k:'mc$mi', u:'${200 + mi}', g:'g2'}) ; MATCH (n {k:'mc$mi'}) RETURN n.u",
+      Map.empty, mutates = true, skipModel = true)
+    checkStatement(
+      s"CREATE (:La {k:'me$mi', u:'${300 + mi}', g:'g3'}) ; BOGUS STATEMENT",
+      Map.empty, mutates = true, skipModel = true)
     mismatches.toSeq
   }
 
