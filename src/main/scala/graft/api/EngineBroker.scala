@@ -17,7 +17,12 @@ import graft.io.QueryLog
   */
 class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
 
-  private case class Req(rid: String, query: String, params: Map[String, String],
+  /** `params` None = request carried no params field — routed through
+    * the no-params engine path, like the reference's
+    * `execute_and_log`; Some (even empty) = with-params path
+    * (frontend.rs:1208-1209, main.rs:270-273). */
+  private case class Req(rid: String, query: String,
+      params: Option[Map[String, String]],
       respond: Either[String, QueryOutcome] => Unit)
 
   private val queue = new LinkedBlockingQueue[Req]()
@@ -49,7 +54,10 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
           val req = queue.take()
           val result =
             try {
-              val out = session.executeWithParams(req.query, req.params)
+              val out = req.params match {
+                case Some(p) => session.executeWithParams(req.query, p)
+                case None => session.execute(req.query)
+              }
               queryLog.foreach(_.logQuery(req.query, ok = true,
                 out.affectedNodes, out.affectedRels, out.mutated))
               if (out.mutated) onMutation()
@@ -86,7 +94,7 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
   /** Enqueue and block up to `timeoutSec`; None = timeout (the request
     * still completes on the engine thread, matching the reference's
     * recv_timeout semantics). */
-  def execute(query: String, params: Map[String, String],
+  def execute(query: String, params: Option[Map[String, String]],
       timeoutSec: Long): Option[Either[String, QueryOutcome]] = {
     ensureAlive()
     val resultQ = new LinkedBlockingQueue[Either[String, QueryOutcome]](1)

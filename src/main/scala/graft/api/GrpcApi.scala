@@ -247,7 +247,10 @@ class GrpcApi(broker: EngineBroker, port: Int = 0,
         val rid = broker.nextRid()
         broker.apiLog.foreach(_.append(s"rid=$rid gRPC query qlen=${req.query.length}"))
         val t0 = System.nanoTime()
-        broker.execute(req.query, req.params, timeoutSec) match {
+        // the reference gRPC bridge wraps the proto map in Some(...)
+        // unconditionally (grpc.rs:44) — ALWAYS the with-params path,
+        // even when the map is empty
+        broker.execute(req.query, Some(req.params), timeoutSec) match {
           case Some(Right(out)) =>
             broker.apiLog.foreach(_.logApi(rid, (System.nanoTime() - t0) / 1000000, 200))
             obs.onNext(PbResponse(out.rows.map(toItem), out.affectedNodes,

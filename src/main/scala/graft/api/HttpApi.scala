@@ -105,13 +105,15 @@ class HttpApi(session: GraphSession, port: Int = 0,
     * statement (JSON key order is client-controlled), and any param
     * key/value containing a backslash escape was silently dropped from
     * the map. */
-  private def parseBody(body: String): Option[(String, Map[String, String])] = {
+  private def parseBody(body: String): Option[(String, Option[Map[String, String]])] = {
     val n = body.length
     var i = body.indexOf('{')
     if (i < 0) return None
     i += 1
     var query: Option[String] = None
-    var params = Map.empty[String, String]
+    // None = no params key in the request — the reference keeps the
+    // Option through to the router split (server.rs:64,149)
+    var params: Option[Map[String, String]] = None
 
     def ws(): Unit = while (i < n && body(i).isWhitespace) i += 1
     // reads a JSON string at body(i) == '"'; returns None if not one
@@ -201,7 +203,7 @@ class HttpApi(session: GraphSession, port: Int = 0,
                 case None => i = vStart; skipValue()
               }
             case "params" =>
-              if (i < n && body(i) == '{') params = stringMap() else skipValue()
+              if (i < n && body(i) == '{') params = Some(stringMap()) else skipValue()
             case _ => skipValue()
           }
           ws()

@@ -134,7 +134,9 @@ class WsRepl(broker: EngineBroker, port: Int = 0,
             val rid = broker.nextRid()
             broker.apiLog.foreach(_.append(s"rid=$rid WS query qlen=${query.length}"))
             val t0 = System.nanoTime()
-            val reply = broker.execute(query, Map.empty, timeoutSec) match {
+            // the reference WS REPL builds its ApiRequest with
+            // params: None (server.rs:205) — always the no-params path
+            val reply = broker.execute(query, None, timeoutSec) match {
               case Some(Right(outcome)) => Dto.outcomeJsonPretty(outcome)
               case Some(Left(err)) => s"error: $err"
               case None => "timeout"

@@ -28,9 +28,24 @@ class GraphSession(val spark: SparkSession) {
   def nodeCount: Long = graph.nodeCount
   def relationshipCount: Long = graph.relationshipCount
 
-  def execute(query: String): QueryOutcome = executeWithParams(query, Map.empty)
+  /** The reference exposes TWO router variants and picks by whether the
+    * request carried a params field at all (frontend.rs:1208-1209,
+    * main.rs:270-273): `execute_query` (no params) routes SET/REMOVE to
+    * the Cypher engine and counts them mutated, while
+    * `execute_query_with_params` (query_interface.rs:153-210) has NO
+    * SET/REMOVE route (they fall through to "unrecognized statement"),
+    * requires a space in its `CREATE (` check, and omits SET/REMOVE
+    * from the mutated heuristic. [[execute]] is the former,
+    * [[executeWithParams]] the latter — callers choose by request
+    * shape, like the reference APIs. */
+  def execute(query: String): QueryOutcome =
+    executeRouted(query, Map.empty, hasParams = false)
 
-  def executeWithParams(query: String, params: Map[String, String]): QueryOutcome = {
+  def executeWithParams(query: String, params: Map[String, String]): QueryOutcome =
+    executeRouted(query, params, hasParams = true)
+
+  private def executeRouted(query: String, params: Map[String, String],
+      hasParams: Boolean): QueryOutcome = {
     val trimmed = query.trim
     if (trimmed.isEmpty) throw ParseException("empty query")
     var rows = Seq.empty[ResultRow]
@@ -43,15 +58,16 @@ class GraphSession(val spark: SparkSession) {
     // quote-aware splitter would silently diverge on inputs the
     // reference rejects.
     trimmed.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
-      val (r, n, rc, m) = executeStatement(stmt, params)
+      val (r, n, rc, m) = executeStatement(stmt, params, hasParams)
       rows ++= r; nCnt += n; rCnt += rc; anyMut ||= m
     }
     QueryOutcome(rows, nCnt, rCnt, anyMut)
   }
 
-  /** Dialect router — faithful to query_interface.rs:89-133. */
-  private def executeStatement(stmt: String,
-      params: Map[String, String]): (Seq[ResultRow], Long, Long, Boolean) = {
+  /** Dialect router — faithful to query_interface.rs:89-133 (no-params)
+    * and query_interface.rs:153-210 (with-params). */
+  private def executeStatement(stmt: String, params: Map[String, String],
+      hasParams: Boolean): (Seq[ResultRow], Long, Long, Boolean) = {
     val upper = stmt.toUpperCase
     def restStartsWithParen(prefixLen: Int): Boolean =
       stmt.length > prefixLen && stmt.substring(prefixLen).dropWhile(_.isWhitespace).startsWith("(")
@@ -62,21 +78,31 @@ class GraphSession(val spark: SparkSession) {
         (upper.startsWith("OPTIONAL MATCH ") && restStartsWithParen(15)) ||
         upper.startsWith("MERGE ") ||
         upper.startsWith("RETURN ") ||
-        upper.startsWith("SET ") || upper.startsWith("REMOVE ") ||
+        (!hasParams && (upper.startsWith("SET ") || upper.startsWith("REMOVE "))) ||
         (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
           !upper.startsWith("DELETE REL ")) ||
         upper.startsWith("DETACH DELETE ") ||
-        (upper.startsWith("CREATE") && restStartsWithParen(6))) {
+        (if (hasParams) upper.startsWith("CREATE ") && restStartsWithParen(7)
+         else upper.startsWith("CREATE") && restStartsWithParen(6))) {
       val parsed = Parser.parse(stmt)
       val exec = new CypherExecutor(spark, params)
       val (rows, g2) = exec.run(graph, parsed)
       graph = g2
-      // mutated flag is a prefix heuristic, not observed change (T8)
-      val mutated = upper.startsWith("CREATE") || upper.startsWith("MERGE ") ||
-        upper.startsWith("SET ") || upper.startsWith("REMOVE ") ||
-        (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
-          !upper.startsWith("DELETE REL ")) ||
-        upper.startsWith("DETACH DELETE ")
+      // mutated flag is a prefix heuristic, not observed change (T8);
+      // the with-params variant omits SET/REMOVE (which it never routes
+      // here anyway) and needs the space after CREATE
+      val mutated =
+        if (hasParams)
+          upper.startsWith("CREATE ") || upper.startsWith("MERGE ") ||
+            (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
+              !upper.startsWith("DELETE REL ")) ||
+            upper.startsWith("DETACH DELETE ")
+        else
+          upper.startsWith("CREATE") || upper.startsWith("MERGE ") ||
+            upper.startsWith("SET ") || upper.startsWith("REMOVE ") ||
+            (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
+              !upper.startsWith("DELETE REL ")) ||
+            upper.startsWith("DETACH DELETE ")
       (rows, 0L, 0L, mutated)
     } else if (upper.startsWith("CREATE NODE ")) {
       execCreateNode(LegacyParser.parse(stmt).asInstanceOf[LegacyCmd.CreateNode])

@@ -20,6 +20,8 @@ class BrokerResilienceSpec extends AnyFunSuite {
   /** Stub session: magic query strings raise synthetic fatal errors
     * (nothing is actually exhausted); anything else answers canned. */
   private def stubSession() = new GraphSession(spark) {
+    override def execute(query: String): QueryOutcome =
+      executeWithParams(query, Map.empty)
     override def executeWithParams(query: String,
         params: Map[String, String]): QueryOutcome = query match {
       case "boom_soe" => throw new StackOverflowError("synthetic overflow")
@@ -33,17 +35,17 @@ class BrokerResilienceSpec extends AnyFunSuite {
     val broker = new EngineBroker(stubSession())
     broker.start()
     try {
-      assert(broker.execute("ok", Map.empty, 10).contains(Right(
+      assert(broker.execute("ok", None, 10).contains(Right(
         QueryOutcome(Nil, 0L, 0L, mutated = false))))
       // each fatal flavor answers the CLIENT (no timeout) with Left...
-      assert(broker.execute("boom_soe", Map.empty, 10)
+      assert(broker.execute("boom_soe", None, 10)
         .exists(_.swap.exists(_.contains("synthetic overflow"))))
-      assert(broker.execute("boom_oom", Map.empty, 10)
+      assert(broker.execute("boom_oom", None, 10)
         .exists(_.swap.exists(_.contains("synthetic oom"))))
-      assert(broker.execute("boom_npe", Map.empty, 10)
+      assert(broker.execute("boom_npe", None, 10)
         .exists(_.swap.exists(_.contains("plain nonfatal"))))
       // ...and the SAME drainer still answers healthy traffic after
-      assert(broker.execute("ok", Map.empty, 10).exists(_.isRight))
+      assert(broker.execute("ok", None, 10).exists(_.isRight))
     } finally broker.stop()
   }
 
@@ -56,7 +58,7 @@ class BrokerResilienceSpec extends AnyFunSuite {
     new graft.io.QueryLog(badDir, "queries").append("must not throw")
     val broker = new EngineBroker(stubSession(), logDir = Some(badDir))
     broker.start()
-    try assert(broker.execute("ok", Map.empty, 10).exists(_.isRight))
+    try assert(broker.execute("ok", None, 10).exists(_.isRight))
     finally broker.stop()
   }
 
@@ -79,7 +81,7 @@ class BrokerResilienceSpec extends AnyFunSuite {
             val q =
               if (i % 5 == 4) s"MATCH (n:Stress) RETURN n LIMIT 1"
               else s"CREATE (:Stress {tag: 't${t}_$i'})"
-            broker.execute(q, Map.empty, 120) match {
+            broker.execute(q, None, 120) match {
               case None          => missed.incrementAndGet()
               case Some(Left(_)) => errs.incrementAndGet()
               case Some(Right(_)) => ()
@@ -99,9 +101,9 @@ class BrokerResilienceSpec extends AnyFunSuite {
   test("deliberate stop() is final — no self-heal past it") {
     val broker = new EngineBroker(stubSession())
     broker.start()
-    assert(broker.execute("ok", Map.empty, 10).exists(_.isRight))
+    assert(broker.execute("ok", None, 10).exists(_.isRight))
     broker.stop()
     // post-stop the request must time out (thread gone, not restarted)
-    assert(broker.execute("ok", Map.empty, 1).isEmpty)
+    assert(broker.execute("ok", None, 1).isEmpty)
   }
 }

@@ -562,6 +562,34 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.rows.map(_.properties("name")) == Seq("b1"))
   }
 
+  // the reference has TWO dialect routers picked by whether the request
+  // carried a params field (frontend.rs:1208-1209): the with-params
+  // variant (query_interface.rs:153-210) has no SET/REMOVE route —
+  // those statements become "unrecognized statement" — and its CREATE
+  // check requires a space before the paren; the no-params variant
+  // (query_interface.rs:89-133) routes both and accepts "CREATE(".
+  // Adjudicated against the reference executor.
+  test("router_variants_differ_on_set_and_create_prefix") {
+    val s = newSession()
+    // SET-leading statement: executes without params, errors with them
+    val ok = s.execute("SET n.x = '1'")
+    assert(ok.rows.isEmpty && ok.mutated)
+    val e1 = intercept[ParseException] {
+      s.executeWithParams("SET n.x = '1'", Map("a" -> "b"))
+    }
+    assert(e1.getMessage.contains("unrecognized statement"))
+    // CREATE without a space: Cypher without params, unrecognized with
+    val c = s.execute("CREATE(:NoSpace8 {k:'v'})")
+    assert(c.mutated)
+    assert(s.execute("MATCH (n:NoSpace8) RETURN n").rows.length == 1)
+    val e2 = intercept[ParseException] {
+      s.executeWithParams("CREATE(:NoSpace8 {k:'w'})", Map("a" -> "b"))
+    }
+    assert(e2.getMessage.contains("unrecognized statement"))
+    // spaced CREATE works on both paths
+    assert(s.executeWithParams("CREATE (:Sp8 {k:'w'})", Map("a" -> "b")).mutated)
+  }
+
   // legacy WHERE condition parsing dispatches on the TRIMMED key after
   // splitting at the comparator (query_interface.rs:269-352): HAS keys
   // are quote-stripped, spaced `label = L` still hits the label branch,
