@@ -184,8 +184,10 @@ object DiffFuzz {
   def genQuery(rnd: Random): String = {
     rnd.nextInt(6) match {
       case 0 =>
+        // OPTIONAL MATCH is parsed-but-identical-to-MATCH (T7)
+        val kw = if (rnd.nextInt(4) == 0) "OPTIONAL MATCH" else "MATCH"
         val where = if (rnd.nextBoolean()) s" WHERE ${genWhere(rnd, Seq("n"))}" else ""
-        s"MATCH ${genNodePat(rnd, "n")}$where ${genReturn(rnd, Seq("n"))}"
+        s"$kw ${genNodePat(rnd, "n")}$where ${genReturn(rnd, Seq("n"))}"
       case 1 =>
         val (arrow, tip) = pick(rnd, Seq(("-", "->"), ("-", "-"), ("<-", "-")))
         val typ = if (rnd.nextBoolean()) ":" + pick(rnd, RelTypes) else ""
@@ -217,7 +219,7 @@ object DiffFuzz {
 
   /** A mutation statement; `fresh` supplies unique k/ek markers. */
   def genMutation(rnd: Random, fresh: () => Int): String = {
-    rnd.nextInt(10) match {
+    rnd.nextInt(12) match {
       case 0 =>
         val i = fresh()
         s"CREATE (:${pick(rnd, Labels)} {k:'f$i', u:'${100 + i}', g:'${pick(rnd, Groups)}'})"
@@ -242,6 +244,13 @@ object DiffFuzz {
         // plain DELETE on nodes: errors when any matched node still has
         // incident edges (constraint check against the pre-delete set)
         s"MATCH (n {g:'${pick(rnd, Groups)}'}) DELETE n"
+      case 9 =>
+        // deferred SET between WHERE and RETURN: applies to the WHERE
+        // survivors, and RETURN reads the post-mutation graph
+        s"MATCH ${genNodePat(rnd, "n")} WHERE ${genWhere(rnd, Seq("n"))} " +
+          s"SET n.fz = 'z${rnd.nextInt(3)}' RETURN n.fz"
+      case 10 =>
+        s"MATCH ${genNodePat(rnd, "n")} REMOVE n.opt RETURN n"
       case _ =>
         s"MATCH (n {g:'${pick(rnd, Groups)}'}) DETACH DELETE n"
     }
