@@ -143,10 +143,14 @@ object LegacyParser {
       CreateRel(from, to, label, props)
     } else if (u.startsWith("MATCH NODE")) {
       val (label, props, where) = labelAndProps(s.substring(10))
-      MatchNode(if (label.isEmpty) None else Some(label), props, where)
+      // parse_label_and_props errors on an empty label — there is no
+      // label-less legacy match (query_interface.rs:250-257)
+      if (label.isEmpty) throw ParseException("missing label")
+      MatchNode(Some(label), props, where)
     } else if (u.startsWith("MATCH REL")) {
       val (label, props, where) = labelAndProps(s.substring(9))
-      MatchRel(if (label.isEmpty) None else Some(label), props, where)
+      if (label.isEmpty) throw ParseException("missing label")
+      MatchRel(Some(label), props, where)
     } else if (u.startsWith("DELETE NODE ")) {
       DeleteNode(requireUuid(s.substring(12)))
     } else if (u.startsWith("DELETE REL ")) {

@@ -86,21 +86,53 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     else map(resolved.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
   }
 
-  private def filterNodes(nodes: DataFrame, label: Option[String],
+  /** True when resolving `v` would raise Missing parameter. */
+  private def isMissingParam(v: PropValue): Boolean = {
+    val t = (v match {
+      case PropValue.Lit(s) => s
+      case PropValue.Param(name) => "$" + name
+    }).trim
+    t.startsWith("$") && !params.contains(t.substring(1))
+  }
+
+  private def missingParamError(v: PropValue): Nothing = {
+    val t = (v match {
+      case PropValue.Lit(s) => s
+      case PropValue.Param(name) => "$" + name
+    }).trim
+    throw ParseException(s"Missing parameter: $$${t.substring(1)}")
+  }
+
+  /** Missing-param errors are LAZY in the reference: resolve_param runs
+    * per candidate inside the scan loop (cypher_spec.rs:774-776 nodes,
+    * 890-892 rel props), so when nothing reaches the check the
+    * statement succeeds with zero rows. Emulated by testing the
+    * resolvable-prop candidate set for emptiness before raising. */
+  private def lazyParamFilter(base: DataFrame,
       props: Map[String, PropValue]): DataFrame = {
-    val l = label.map(lb => nodes.filter(col("label") === lb)).getOrElse(nodes)
-    props.foldLeft(l) { case (d, (k, v)) =>
-      d.filter(col("properties")(k) === resolvePropValue(v))
+    props.collectFirst { case (_, v) if isMissingParam(v) => v } match {
+      case Some(bad) =>
+        val cand = props.filterNot(p => isMissingParam(p._2)).foldLeft(base) {
+          case (d, (k, v)) => d.filter(col("properties")(k) === resolvePropValue(v))
+        }
+        if (cand.limit(1).count() > 0) missingParamError(bad)
+        base.limit(0)
+      case None =>
+        props.foldLeft(base) { case (d, (k, v)) =>
+          d.filter(col("properties")(k) === resolvePropValue(v))
+        }
     }
   }
 
+  private def filterNodes(nodes: DataFrame, label: Option[String],
+      props: Map[String, PropValue]): DataFrame =
+    lazyParamFilter(
+      label.map(lb => nodes.filter(col("label") === lb)).getOrElse(nodes), props)
+
   private def filterEdges(edges: DataFrame, typ: Option[String],
-      props: Map[String, PropValue]): DataFrame = {
-    val l = typ.map(t => edges.filter(col("label") === t)).getOrElse(edges)
-    props.foldLeft(l) { case (d, (k, v)) =>
-      d.filter(col("properties")(k) === resolvePropValue(v))
-    }
-  }
+      props: Map[String, PropValue]): DataFrame =
+    lazyParamFilter(
+      typ.map(t => edges.filter(col("label") === t)).getOrElse(edges), props)
 
   /** Endpoint-node filter for relationship steps: `$param` props are NOT
     * resolved — the reference's triple-enumeration endpoint check
@@ -445,6 +477,20 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       }
     }
 
+    // missing-param WHERE errors are lazy like pattern props: the
+    // reference resolves the RHS per ROW reaching the condition
+    // (cypher_spec.rs:1089/1101/1112/1123 inside 'rowloop), so the
+    // error fires only when a row survives the EARLIER conditions;
+    // otherwise everything is already dropped and the query succeeds
+    def lazyWhereParam(value: PropValue): Boolean = value match {
+      case PropValue.Param(n) if !params.contains(n) =>
+        if (b.filter(filter).limit(1).count() > 0)
+          throw ParseException(s"Missing parameter: $$$n")
+        filter = lit(false)
+        true
+      case _ => false
+    }
+
     conds.foreach {
       case Cond.IdCmp(l, op, r) =>
         // the row passes only when BOTH operands are bound NODE vars —
@@ -456,7 +502,9 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
           filter = filter && strCmp(col(l), col(r), op)
         else filter = filter && lit(false)
       case Cond.PropCmp(v, key, op, value) =>
-        nodePropLhs(v, key) match {
+        // the reference resolves the RHS BEFORE the var check, so the
+        // lazy missing-param error fires even for unknown/rel vars
+        if (!lazyWhereParam(value)) nodePropLhs(v, key) match {
           case None => filter = filter && lit(false)
           case Some(lhs) =>
             val rhs = resolve(value)
@@ -469,11 +517,14 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
             }
         }
       case Cond.Contains(v, key, value) =>
-        filter = filter && nodePropLhs(v, key).map(_.contains(resolve(value))).getOrElse(lit(false))
+        if (!lazyWhereParam(value))
+          filter = filter && nodePropLhs(v, key).map(_.contains(resolve(value))).getOrElse(lit(false))
       case Cond.StartsWith(v, key, value) =>
-        filter = filter && nodePropLhs(v, key).map(_.startsWith(resolve(value))).getOrElse(lit(false))
+        if (!lazyWhereParam(value))
+          filter = filter && nodePropLhs(v, key).map(_.startsWith(resolve(value))).getOrElse(lit(false))
       case Cond.EndsWith(v, key, value) =>
-        filter = filter && nodePropLhs(v, key).map(_.endsWith(resolve(value))).getOrElse(lit(false))
+        if (!lazyWhereParam(value))
+          filter = filter && nodePropLhs(v, key).map(_.endsWith(resolve(value))).getOrElse(lit(false))
       case Cond.Unknown(_) => ()
     }
     b.filter(filter).drop(b.columns.filter(_.endsWith("__props")).toSeq: _*)
@@ -527,7 +578,15 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
           val (l, rel, r) = (p.nodes(i), p.rels(i), p.nodes(i + 1))
           val lOk = l.variable.exists(kinds.contains)
           val rOk = r.variable.exists(kinds.contains)
-          if (lOk && rOk) {
+          // rel-prop params resolve per ROW in the reference
+          // (cypher_spec.rs:1339): with zero binding rows a missing
+          // param is never reached, nothing is created, and the
+          // statement succeeds with the binding kept
+          val missingProp =
+            rel.props.collectFirst { case (_, v) if isMissingParam(v) => v }
+          if (lOk && rOk && missingProp.isDefined) {
+            if (binding.limit(1).count() > 0) missingParamError(missingProp.get)
+          } else if (lOk && rOk) {
             val lv = l.variable.get
             val rv = r.variable.get
             val typ = rel.relType.getOrElse("_")

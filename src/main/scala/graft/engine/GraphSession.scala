@@ -108,9 +108,9 @@ class GraphSession(val spark: SparkSession) {
       execCreateNode(LegacyParser.parse(stmt).asInstanceOf[LegacyCmd.CreateNode])
     } else if (upper.startsWith("CREATE REL ")) {
       execCreateRel(LegacyParser.parse(stmt).asInstanceOf[LegacyCmd.CreateRel])
-    } else if (upper.startsWith("MATCH NODE")) {
+    } else if (upper.startsWith("MATCH NODE ")) {
       execMatchNode(LegacyParser.parse(stmt).asInstanceOf[LegacyCmd.MatchNode])
-    } else if (upper.startsWith("MATCH REL")) {
+    } else if (upper.startsWith("MATCH REL ")) {
       execMatchRel(LegacyParser.parse(stmt).asInstanceOf[LegacyCmd.MatchRel])
     } else if (upper.startsWith("DELETE NODE ")) {
       execDeleteNode(LegacyParser.parse(stmt).asInstanceOf[LegacyCmd.DeleteNode])
@@ -170,7 +170,9 @@ class GraphSession(val spark: SparkSession) {
       case LegacyCond.KeyEq(k, v) => d = d.filter(coalesce(col("properties")(k) === v, lit(false)))
       case LegacyCond.KeyNe(k, v) => d = d.filter(coalesce(col("properties")(k) =!= v, lit(true)))
       case LegacyCond.FromEq(_) | LegacyCond.ToEq(_) =>
-        throw ParseException("from=/to= conditions apply to relationships")
+        // relationship-only conds on a node match drop every row, they
+        // do NOT error (query_interface.rs:597 returns false per node)
+        d = d.filter(lit(false))
     }
     d
   }

@@ -302,12 +302,18 @@ object DiffFuzz {
     def guard(body: => SideResult): Either[String, SideResult] =
       try Right(body) catch { case e: ParseException => Left(e.getMessage) }
 
+    // both engine and model branch on params presence, like the
+    // transports: empty map = the no-params router (oracle Q), any
+    // params = the with-params router (oracle P)
     val sides: Seq[SideState] =
       new SideState("engine", (q, p) => guard {
-        val o = session.executeWithParams(q, p)
+        val o = if (p.isEmpty) session.execute(q) else session.executeWithParams(q, p)
         SideResult(o.rows, Some((o.affectedNodes, o.affectedRels, o.mutated)))
       }) +:
-        new SideState("model", (q, p) => guard(SideResult(model.executeWithParams(q, p), None))) +:
+        new SideState("model", (q, p) => guard {
+          val (rows, n, r, m) = model.executeSession(q, p, hasParams = p.nonEmpty)
+          SideResult(rows, Some((n, r, m)))
+        }) +:
         oracle.map(o => new SideState("reference", (q, p) => o.run(q, p))).toSeq
 
     val mismatches = mutable.Buffer.empty[Mismatch]
@@ -317,12 +323,10 @@ object DiffFuzz {
 
     /** Execute on all sides; compare result rows (multiset); on
       * mutating statements refresh marker maps and compare full state. */
-    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean,
-        skipModel: Boolean = false): Unit = {
+    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean): Unit = {
       step += 1
-      val active = if (skipModel) sides.filterNot(_.name == "model") else sides
-      val results = active.map(s => s -> s.run(stmt, params))
-      if (mutates) active.foreach(_.refresh())
+      val results = sides.map(s => s -> s.run(stmt, params))
+      if (mutates) sides.foreach(_.refresh())
       val canon = results.map { case (s, res) =>
         (s, res.left.map(normErr).map(r => (r.rows.map(s.canonRow).sorted, r.meta)))
       }
@@ -374,40 +378,41 @@ object DiffFuzz {
     checkStatement("MATCH (n) WHERE n.g = '$gg' RETURN n.k", Map("gg" -> "g2"), mutates = false)
     checkStatement("MATCH (a {g:$gg})-[r:T]->(b) RETURN b", Map("gg" -> "g1"), mutates = false)
     checkStatement("MATCH (n {g:$missing}) RETURN n", Map.empty, mutates = false)
+    // lazy missing-param: an empty candidate set succeeds
+    checkStatement("MATCH (n:Zz9) WHERE n.g = $missing RETURN n", Map.empty, mutates = false)
     // legacy dialect through the same router (query_interface parity):
     // legacy create/match plus the pairwise MATCH..MERGE route — also
     // exercises the ';' statement splitter and the affected-counter /
-    // mutated-flag surface (meta compare vs the reference oracle)
+    // mutated-flag surface
     val li = fresh()
     checkStatement(s"""CREATE NODE ${pick(rnd, Labels)} {k:"lg$li", g:"${pick(rnd, Groups)}"};""",
-      Map.empty, mutates = true, skipModel = true)
-    checkStatement(s"MATCH NODE ${pick(rnd, Labels)}", Map.empty, mutates = false, skipModel = true)
+      Map.empty, mutates = true)
+    checkStatement(s"MATCH NODE ${pick(rnd, Labels)}", Map.empty, mutates = false)
     checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = "${pick(rnd, Groups)}"""",
-      Map.empty, mutates = false, skipModel = true)
+      Map.empty, mutates = false)
     checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE HAS("opt") AND g != "g2"""",
-      Map.empty, mutates = false, skipModel = true)
-    checkStatement(s"MATCH REL ${pick(rnd, RelTypes)}", Map.empty, mutates = false, skipModel = true)
+      Map.empty, mutates = false)
+    checkStatement(s"MATCH REL ${pick(rnd, RelTypes)}", Map.empty, mutates = false)
     checkStatement(
       s"MATCH (a:${pick(rnd, Labels)}), (b:${pick(rnd, Labels)}) WHERE id(a) < id(b) MERGE (a)-[:M]->(b);",
-      Map.empty, mutates = true, skipModel = true)
+      Map.empty, mutates = true)
     // no-WHERE pairwise: distinct var names allow self-pairs (self-loops)
-    checkStatement("MATCH (a:La), (b:La) MERGE (a)-[:M2]->(b);", Map.empty, mutates = true, skipModel = true)
+    checkStatement("MATCH (a:La), (b:La) MERGE (a)-[:M2]->(b);", Map.empty, mutates = true)
     // multi-statement execution (';' splitter): rows concatenate,
     // counters sum, mutated ORs; a mid-stream error keeps the earlier
     // statements' commits and aborts the rest (query_interface.rs
     // execute_query propagates the first Err after committing prior
-    // statements). Model skipped: RefModel interprets single Cypher
-    // statements only.
+    // statements).
     val mi = fresh()
     checkStatement(
       s"""CREATE NODE ${pick(rnd, Labels)} {k:"ms$mi", g:"g1"}; MATCH NODE ${pick(rnd, Labels)}; MATCH REL ${pick(rnd, RelTypes)}""",
-      Map.empty, mutates = true, skipModel = true)
+      Map.empty, mutates = true)
     checkStatement(
       s"CREATE (:${pick(rnd, Labels)} {k:'mc$mi', u:'${200 + mi}', g:'g2'}) ; MATCH (n {k:'mc$mi'}) RETURN n.u",
-      Map.empty, mutates = true, skipModel = true)
+      Map.empty, mutates = true)
     checkStatement(
       s"CREATE (:La {k:'me$mi', u:'${300 + mi}', g:'g3'}) ; BOGUS STATEMENT",
-      Map.empty, mutates = true, skipModel = true)
+      Map.empty, mutates = true)
     mismatches.toSeq
   }
 

@@ -64,6 +64,154 @@ class RefModel {
     run(stmt, params)
   }
 
+  /** Session-level entry mirroring the reference ROUTER
+    * (query_interface.rs:77-210): ';' split, dialect dispatch (legacy
+    * commands, pairwise merge, Cypher), counters and the mutated
+    * heuristic — the no-params variant when `hasParams` is false, the
+    * with-params variant otherwise. The parser is shared with the
+    * engine (like the Cypher path); EXECUTION semantics are this
+    * model's own, from the reference source. */
+  def executeSession(query: String, params: Map[String, String],
+      hasParams: Boolean): (Seq[ResultRow], Long, Long, Boolean) = {
+    val trimmed = query.trim
+    if (trimmed.isEmpty) throw ParseException("empty query")
+    var rows = Seq.empty[ResultRow]
+    var nCnt = 0L; var rCnt = 0L; var anyMut = false
+    trimmed.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+      val upper = stmt.toUpperCase
+      def restParen(p: Int): Boolean =
+        stmt.length > p && stmt.substring(p).dropWhile(_.isWhitespace).startsWith("(")
+      val (r, n, rc, m) =
+        if (upper.startsWith("MATCH (") && upper.contains(" MERGE "))
+          legacyPairwiseMerge(stmt)
+        else if ((upper.startsWith("MATCH ") && restParen(6)) ||
+            (upper.startsWith("OPTIONAL MATCH ") && restParen(15)) ||
+            upper.startsWith("MERGE ") || upper.startsWith("RETURN ") ||
+            (!hasParams && (upper.startsWith("SET ") || upper.startsWith("REMOVE "))) ||
+            (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
+              !upper.startsWith("DELETE REL ")) ||
+            upper.startsWith("DETACH DELETE ") ||
+            (if (hasParams) upper.startsWith("CREATE ") && restParen(7)
+             else upper.startsWith("CREATE") && restParen(6))) {
+          val out = run(Parser.parse(stmt), params)
+          val mutated =
+            if (hasParams)
+              upper.startsWith("CREATE ") || upper.startsWith("MERGE ") ||
+                (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
+                  !upper.startsWith("DELETE REL ")) ||
+                upper.startsWith("DETACH DELETE ")
+            else
+              upper.startsWith("CREATE") || upper.startsWith("MERGE ") ||
+                upper.startsWith("SET ") || upper.startsWith("REMOVE ") ||
+                (upper.startsWith("DELETE ") && !upper.startsWith("DELETE NODE ") &&
+                  !upper.startsWith("DELETE REL ")) ||
+                upper.startsWith("DETACH DELETE ")
+          (out, 0L, 0L, mutated)
+        } else if (upper.startsWith("CREATE NODE ") || upper.startsWith("MATCH NODE ") ||
+            upper.startsWith("MATCH REL ") || upper.startsWith("CREATE REL ") ||
+            upper.startsWith("DELETE NODE ") || upper.startsWith("DELETE REL "))
+          legacyCommand(stmt)
+        else throw ParseException(s"unrecognized statement: $stmt")
+      rows ++= r; nCnt += n; rCnt += rc; anyMut ||= m
+    }
+    (rows, nCnt, rCnt, anyMut)
+  }
+
+  // ------------------------------------------------------ legacy dialect
+
+  private def legacyCommand(stmt: String): (Seq[ResultRow], Long, Long, Boolean) =
+    graft.cypher.LegacyParser.parse(stmt) match {
+      case LegacyCmd.CreateNode(label, props) =>
+        val id = nextId()
+        nodes(id) = (label, props)
+        (Seq(ResultRow.node(id, label, props)), 1L, 0L, true)
+      case LegacyCmd.MatchNode(label, props, where) =>
+        val out = nodes.toSeq.filter { case (id, (lb, p)) =>
+          label.forall(_ == lb) &&
+            props.forall { case (k, v) => p.get(k).contains(v) } &&
+            where.forall(legacyNodeCond(id, lb, p, _))
+        }.map { case (id, (lb, p)) => ResultRow.node(id, lb, p) }
+        (out, 0L, 0L, false)
+      case LegacyCmd.MatchRel(label, props, where) =>
+        val out = edges.toSeq.filter { case (id, (f, t, lb, p)) =>
+          label.forall(_ == lb) &&
+            props.forall { case (k, v) => p.get(k).contains(v) } &&
+            where.forall(legacyRelCond(id, f, t, lb, p, _))
+        }.map { case (id, (f, t, lb, p)) => ResultRow.rel(id, f, t, lb, p) }
+        (out, 0L, 0L, false)
+      case other =>
+        throw ParseException(s"model does not interpret: $other")
+    }
+
+  /** Relationship-only conds on a node DROP the row (query_interface.rs
+    * exec_match_node returns false per node); `!=` passes when the key
+    * is missing (unwrap_or(false)). */
+  private def legacyNodeCond(id: String, lb: String,
+      p: Map[String, String], c: LegacyCond): Boolean = c match {
+    case LegacyCond.IdEq(x) => id == x
+    case LegacyCond.LabelEq(l) => lb == l
+    case LegacyCond.HasKey(k) => p.contains(k)
+    case LegacyCond.KeyEq(k, v) => p.get(k).contains(v)
+    case LegacyCond.KeyNe(k, v) => !p.get(k).contains(v)
+    case LegacyCond.FromEq(_) | LegacyCond.ToEq(_) => false
+  }
+
+  private def legacyRelCond(id: String, f: String, t: String, lb: String,
+      p: Map[String, String], c: LegacyCond): Boolean = c match {
+    case LegacyCond.IdEq(x) => id == x
+    case LegacyCond.LabelEq(l) => lb == l
+    case LegacyCond.HasKey(k) => p.contains(k)
+    case LegacyCond.KeyEq(k, v) => p.get(k).contains(v)
+    case LegacyCond.KeyNe(k, v) => !p.get(k).contains(v)
+    case LegacyCond.FromEq(x) => f == x
+    case LegacyCond.ToEq(x) => t == x
+  }
+
+  /** exec_cypher_match_merge (query_interface.rs:372-528): label scans,
+    * same-var self-pair skip, id comparator (error raised INSIDE the
+    * pair loop), idempotent insert against a (src,dst,label) set. */
+  private def legacyPairwiseMerge(stmt: String): (Seq[ResultRow], Long, Long, Boolean) = {
+    val c = graft.cypher.LegacyParser.parsePairwiseMerge(stmt)
+    val idsA = nodes.toSeq.collect { case (id, (lb, _)) if lb == c.aLabel => id }
+    val idsB = nodes.toSeq.collect { case (id, (lb, _)) if lb == c.bLabel => id }
+    val exists = mutable.Set.empty[(String, String, String)] ++
+      edges.values.map(e => (e._1, e._2, e._3))
+    val outRows = mutable.Buffer.empty[ResultRow]
+    var relCount = 0L
+    var created = false
+    for (aId <- idsA; bId <- idsB) {
+      val selfSkip = c.aVar == c.bVar && aId == bId
+      if (!selfSkip) {
+        val pass = c.idCmp match {
+          case None => true
+          case Some((l, op, r)) =>
+            val (lv, rv) =
+              if (l == c.aVar && r == c.bVar) (aId, bId)
+              else if (l == c.bVar && r == c.aVar) (bId, aId)
+              else throw ParseException("WHERE references unknown variables")
+            op match {
+              case "<" => lv < rv; case "<=" => lv <= rv; case ">" => lv > rv
+              case ">=" => lv >= rv; case "=" => lv == rv; case "<>" => lv != rv
+            }
+        }
+        if (pass) {
+          val (from, to) =
+            if (c.leftVar == c.aVar) (aId, bId) else (bId, aId)
+          val key = (from, to, c.relType)
+          if (!exists.contains(key)) {
+            val rid = nextId()
+            edges(rid) = (from, to, c.relType, Map.empty)
+            exists += key
+            relCount += 1
+            created = true
+            outRows += ResultRow.rel(rid, from, to, c.relType, Map.empty)
+          }
+        }
+      }
+    }
+    (outRows.toSeq, 0L, relCount, created)
+  }
+
   /** resolve_param (cypher_spec.rs:738-746) over parse_props output:
     * $-leading ⇒ parameter (missing ⇒ error); else whitespace-trim and
     * one more quote-trim. */
