@@ -209,17 +209,27 @@ object Parser {
         }
         if (tryTakeSym(":")) typ = Some(ident())
         if (tryTakeSym("*")) {
-          // *n | *min..max | *..max | *min.. | *
+          // *n | *min..max | *..max | *min.. | *; bounds are usize
+          // parses in the reference — malformed values ERROR ("invalid
+          // min/max", parse_rel_pattern), huge values saturate (the
+          // BFS cap clamps to 8 anyway)
           var mn = 1
           var mx = 8
           peek match {
-            case Some(Tok.Num(s)) => pos += 1; mn = intVal(s); mx = mn
+            case Some(Tok.Num(s)) =>
+              pos += 1
+              mn = usizeVal(s).getOrElse(
+                throw ParseException(s"invalid min in hop range: $s"))
+              mx = mn
             case _ =>
           }
           if (tryTakeSym("..")) {
             mx = 8
             peek match {
-              case Some(Tok.Num(s)) => pos += 1; mx = intVal(s)
+              case Some(Tok.Num(s)) =>
+                pos += 1
+                mx = usizeVal(s).getOrElse(
+                  throw ParseException(s"invalid max in hop range: $s"))
               case _ =>
             }
           }
@@ -324,10 +334,29 @@ object Parser {
       case t => throw ParseException(s"expected return item, got $t")
     }
 
-    def orderSkipLimit(): (Seq[OrderKey], Option[Int], Option[Int]) = {
+    /** Strict usize-style count: digits only, saturating to
+      * Int.MaxValue for values past it (the reference parses usize, so
+      * a 5e9 LIMIT is effectively unbounded there too). None for
+      * anything the reference's `parse::<usize>()` rejects — negative,
+      * decimal, malformed. */
+    def usizeVal(s: String): Option[Int] =
+      if (s.nonEmpty && s.forall(_.isDigit) &&
+          BigInt(s) <= BigInt("18446744073709551615")) // fits u64
+        Some(BigInt(s).min(BigInt(Int.MaxValue)).toInt)
+      else None
+
+    /** ORDER BY / SKIP / LIMIT tail. `poisoned` mirrors the reference's
+      * peel-from-the-end parse (cypher_spec.rs:490-506): a SKIP/LIMIT
+      * count that fails the usize parse is NOT an error — the unpeeled
+      * text stays inside the RETURN/WITH items, turning them into
+      * property names that never resolve, so the statement silently
+      * yields ZERO rows. Callers swap the item list for an unbindable
+      * variable to reproduce that. */
+    def orderSkipLimit(): (Seq[OrderKey], Option[Int], Option[Int], Boolean) = {
       var order = Seq.empty[OrderKey]
       var skip: Option[Int] = None
       var limit: Option[Int] = None
+      var poisoned = false
       var go = true
       while (go && !eof) {
         if (peekKw2("ORDER", "BY")) {
@@ -347,67 +376,59 @@ object Parser {
           order = keys.result()
         } else if (peekKw("SKIP")) {
           pos += 1
-          skip = Some(num())
+          peek match {
+            case Some(Tok.Num(n)) if usizeVal(n).isDefined => pos += 1; skip = usizeVal(n)
+            case _ => poisoned = true; go = false
+          }
         } else if (peekKw("LIMIT")) {
           pos += 1
-          limit = Some(num())
+          peek match {
+            case Some(Tok.Num(n)) if usizeVal(n).isDefined => pos += 1; limit = usizeVal(n)
+            case _ => poisoned = true; go = false
+          }
         } else go = false
       }
-      (order, skip, limit)
+      if (poisoned) while (!eof) pos += 1 // the garble swallows the tail
+      (order, skip, limit, poisoned)
     }
 
-    /** Numeric token → non-negative Int with the decimal-truncation
-      * tolerance the grammar always had (`LIMIT 1.5` = 1), but
-      * malformed ("1.2.3"), out-of-Int-range, and NEGATIVE values
-      * become ParseException: every caller is a count position
-      * (SKIP/LIMIT/var-length hops) where the reference's usize parse
-      * rejects a sign, and letting a negative through leaks Spark's
-      * internal negative-limit/offset AnalysisException instead of a
-      * typed parse error. */
-    def intVal(s: String): Int = {
-      val d =
-        try s.toDouble
-        catch { case _: NumberFormatException =>
-          throw ParseException(s"invalid number: $s") }
-      if (d > Int.MaxValue || d < 0)
-        throw ParseException(s"number out of range: $s")
-      d.toInt
-    }
-
-    def num(): Int = next() match {
-      case Tok.Num(s) => intVal(s)
-      case t => throw ParseException(s"expected number, got $t")
-    }
+    /** Items that can never resolve — the observable effect of the
+      * reference's count garble (a variable name with a space cannot be
+      * produced by the lexer, so it is never bound). */
+    val garbledItems: Seq[Expr] = Seq(Expr.Var("__garbled count__"))
 
     // ----- clause loop ---------------------------------------------------
     def statement(): Statement = {
       val clauses = Seq.newBuilder[Clause]
+      var clauseCount = 0
+      def add(c: Clause): Unit = { clauses += c; clauseCount += 1 }
       while (!eof) {
-        if (peekKw2("OPTIONAL", "MATCH")) { pos += 2; clauses += Clause.Match(pathList(), optional = true) }
-        else if (peekKw("MATCH")) { pos += 1; clauses += Clause.Match(pathList(), optional = false) }
-        else if (peekKw("WHERE")) { pos += 1; clauses += Clause.Where(whereConds()) }
+        if (peekKw2("OPTIONAL", "MATCH")) { pos += 2; add(Clause.Match(pathList(), optional = true)) }
+        else if (peekKw("MATCH")) { pos += 1; add(Clause.Match(pathList(), optional = false)) }
+        else if (peekKw("WHERE")) { pos += 1; add(Clause.Where(whereConds())) }
         else if (peekKw("WITH")) {
           pos += 1
           val distinct = if (peekKw("DISTINCT")) { pos += 1; true } else false
           val items = Seq.newBuilder[Expr]
           items += returnItem()
           while (tryTakeSym(",")) items += returnItem()
-          val (o, s, l) = orderSkipLimit()
-          clauses += Clause.With(items.result(), distinct, o, s, l)
+          val (o, s, l, poisoned) = orderSkipLimit()
+          add(Clause.With(
+            if (poisoned) garbledItems else items.result(), distinct, o, s, l))
         }
-        else if (peekKw("CREATE")) { pos += 1; clauses += Clause.Create(pathList()) }
-        else if (peekKw("MERGE")) { pos += 1; clauses += Clause.Merge(pathPattern()) }
+        else if (peekKw("CREATE")) { pos += 1; add(Clause.Create(pathList())) }
+        else if (peekKw("MERGE")) { pos += 1; add(Clause.Merge(pathPattern())) }
         else if (peekKw("SET")) {
           pos += 1
           var more = true
           while (more) {
             val v = ident()
-            if (tryTakeSym(":")) clauses += Clause.SetLabel(v, ident())
+            if (tryTakeSym(":")) add(Clause.SetLabel(v, ident()))
             else {
               expectSym(".")
               val key = ident()
               expectSym("=")
-              clauses += Clause.SetProp(v, key, propValue())
+              add(Clause.SetProp(v, key, propValue()))
             }
             more = tryTakeSym(",")
           }
@@ -417,20 +438,26 @@ object Parser {
           var more = true
           while (more) {
             val v = ident(); expectSym(".")
-            clauses += Clause.RemoveProp(v, ident())
+            add(Clause.RemoveProp(v, ident()))
             more = tryTakeSym(",")
           }
         }
-        else if (peekKw2("DETACH", "DELETE")) { pos += 2; clauses += delete(detach = true) }
-        else if (peekKw("DELETE")) { pos += 1; clauses += delete(detach = false) }
+        else if (peekKw2("DETACH", "DELETE")) { pos += 2; add(delete(detach = true)) }
+        else if (peekKw("DELETE")) { pos += 1; add(delete(detach = false)) }
         else if (peekKw("RETURN")) {
+          // a statement cannot LEAD with RETURN: the reference's parse
+          // has no RETURN-first branch and falls through to its generic
+          // error (cypher_spec.rs:736)
+          if (clauseCount == 0)
+            throw ParseException("Unsupported or unrecognized Cypher statement")
           pos += 1
           val distinct = if (peekKw("DISTINCT")) { pos += 1; true } else false
           val items = Seq.newBuilder[Expr]
           items += returnItem()
           while (tryTakeSym(",")) items += returnItem()
-          val (o, s, l) = orderSkipLimit()
-          clauses += Clause.Return(items.result(), distinct, o, s, l)
+          val (o, s, l, poisoned) = orderSkipLimit()
+          add(Clause.Return(
+            if (poisoned) garbledItems else items.result(), distinct, o, s, l))
         }
         else throw ParseException(s"unexpected token $describe")
       }

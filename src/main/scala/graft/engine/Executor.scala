@@ -357,6 +357,23 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
   private def collectCapped(b: DataFrame): Array[org.apache.spark.sql.Row] =
     CypherExecutor.collectCapped(spark, b)
 
+  /** SKIP/LIMIT application under Spark's limit+offset <= MaxInt
+    * analyzer rule: the collect cap adds limit(cap+1) on top, so a
+    * saturated usize SKIP (huge but valid in the reference) must not
+    * reach offset() — any query that could produce enough rows for
+    * such a skip to matter errors at the result cap first, so an empty
+    * frame IS the observable reference behavior. */
+  private def applyPage(df: DataFrame, skip: Option[Int], limit: Option[Int]): DataFrame = {
+    val cap = CypherExecutor.resultCap(spark)
+    var b = df
+    skip.foreach { n =>
+      if (n.toLong > Int.MaxValue.toLong - cap - 2L) b = b.limit(0)
+      else if (n > 0) b = b.offset(n)
+    }
+    limit.foreach(n => b = b.limit(n))
+    b
+  }
+
   private def strCmp(l: Column, r: Column, op: String): Column = op match {
     case "<" => l < r; case "<=" => l <= r; case ">" => l > r
     case ">=" => l >= r; case "=" => l === r; case "<>" => l =!= r
@@ -386,9 +403,8 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         // (O4, cypher_spec.rs:1181-1186); WITH DISTINCT parsed+ignored
         val keep = items.collect { case Expr.Var(v) if kinds.contains(v) => v }
         val (sorted, _) = applyOrder(g, binding, orderBy)
-        var b = sorted.select(keep.map(col) :+ lit(0).as("__seed"): _*)
-        skip.foreach(n => b = b.offset(n))
-        limit.foreach(n => b = b.limit(n))
+        var b = applyPage(
+          sorted.select(keep.map(col) :+ lit(0).as("__seed"): _*), skip, limit)
         val keepSet = keep.toSet
         kinds.keys.toSeq.foreach { v => if (!keepSet.contains(v)) kinds.remove(v) }
         binding = b
@@ -835,9 +851,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       b = b.withColumn("__val", valueCol).filter(col("__val").isNotNull)
       if (distinct) b = b.dropDuplicates("__val")
       val (sorted, _) = applyOrder(g, b, orderBy)
-      b = sorted
-      skip.foreach(n => b = b.offset(n))
-      limit.foreach(n => b = b.limit(n))
+      b = applyPage(sorted, skip, limit)
     }
 
     val collected = collectCapped(b)
@@ -876,14 +890,17 @@ object CypherExecutor {
     * by the Cypher RETURN path and the legacy-dialect result echo so
     * no result surface can collect unbounded.
     */
-  private[graft] def collectCapped(
-      spark: SparkSession, b: DataFrame): Array[org.apache.spark.sql.Row] = {
-    // parse as Long and clamp: the settings surface types the cap as a
-    // Long, and a value past Int.MaxValue must mean "huge cap", not a
-    // NumberFormatException on every query
-    val cap = spark.conf.getOption("spark.graft.maxResultRows")
+  /** The driver result cap (spark.graft.maxResultRows, default 1M).
+    * Parsed as Long and clamped: a value past Int.MaxValue must mean
+    * "huge cap", not a NumberFormatException on every query. */
+  private[graft] def resultCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.maxResultRows")
       .map(v => math.min(v.toLong, Int.MaxValue - 1L).toInt)
       .getOrElse(1000000)
+
+  private[graft] def collectCapped(
+      spark: SparkSession, b: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val cap = resultCap(spark)
     val rows = b.limit(cap + 1).collect()
     if (rows.length > cap)
       throw ParseException(

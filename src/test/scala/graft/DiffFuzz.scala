@@ -380,6 +380,11 @@ object DiffFuzz {
     checkStatement("MATCH (n {g:$missing}) RETURN n", Map.empty, mutates = false)
     // lazy missing-param: an empty candidate set succeeds
     checkStatement("MATCH (n:Zz9) WHERE n.g = $missing RETURN n", Map.empty, mutates = false)
+    // unpeelable SKIP/LIMIT counts garble the items to zero rows;
+    // RETURN cannot lead a statement
+    checkStatement("MATCH (n) RETURN n LIMIT -1", Map.empty, mutates = false)
+    checkStatement("MATCH (n) RETURN n.u SKIP 1.5", Map.empty, mutates = false)
+    checkStatement("RETURN 'lonely'", Map.empty, mutates = false)
     // legacy dialect through the same router (query_interface parity):
     // legacy create/match plus the pairwise MATCH..MERGE route — also
     // exercises the ';' statement splitter and the affected-counter /

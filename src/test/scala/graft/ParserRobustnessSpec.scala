@@ -28,22 +28,44 @@ class ParserRobustnessSpec extends AnyFunSuite {
 
   test("eof mid-clause is a typed parse error") {
     for (q <- Seq("RETURN n LIMIT", "MATCH (a) RETURN a.",
-        "MATCH (a) WHERE a.x CONTAINS", "MATCH (a) RETURN a SKIP"))
+        "MATCH (a) WHERE a.x CONTAINS"))
       assertThrows[ParseException](Parser.parse(q))
   }
 
-  test("malformed and out-of-range numbers are typed parse errors") {
-    for (q <- Seq("MATCH (a) RETURN a LIMIT 1.2.3",
-        "MATCH (a) RETURN a SKIP 99999999999999999999",
-        "MATCH (a)-[*1.>.3]->(b) RETURN b",
-        // negative counts: the reference's usize parse rejects a sign,
-        // and letting one through leaks Spark's internal
-        // negative-limit/offset AnalysisException at execution
-        "MATCH (a) RETURN a LIMIT -5",
-        "MATCH (a) RETURN a SKIP -3",
-        "MATCH (a)-[*-2..3]->(b) RETURN b"))
+  // SKIP/LIMIT counts are peeled from the END of the statement text in
+  // the reference (cypher_spec.rs:490-506): a count that fails the
+  // usize parse is NOT an error — the unpeeled text folds into the
+  // RETURN/WITH items as a property name that never resolves, so the
+  // statement silently yields ZERO rows (adjudicated against the
+  // reference executor). Var-length hop bounds are different: those
+  // usize parses ERROR ("invalid min/max", parse_rel_pattern).
+  test("malformed skip_limit counts garble to zero rows, hop bounds error") {
+    val s = new graft.engine.GraphSession(spark)
+    s.execute("CREATE (:Gb {k:'x'})")
+    for (q <- Seq(
+        "MATCH (a:Gb) RETURN a LIMIT 1.2.3",
+        "MATCH (a:Gb) RETURN a SKIP 99999999999999999999",
+        "MATCH (a:Gb) RETURN a LIMIT -5",
+        "MATCH (a:Gb) RETURN a SKIP -3",
+        "MATCH (a:Gb) RETURN a LIMIT 1.5", // decimals garble too
+        "MATCH (a:Gb) RETURN a SKIP"))     // dangling count: no peel
+      assert(s.execute(q).rows.isEmpty, q)
+    // sanity: the same query with a clean count returns the node
+    assert(s.execute("MATCH (a:Gb) RETURN a LIMIT 1").rows.length == 1)
+    // values past Int.MaxValue saturate (usize accepts them; the cap
+    // makes them effectively unbounded on both sides)
+    assert(s.execute("MATCH (a:Gb) RETURN a LIMIT 5000000000").rows.length == 1)
+    // hop-range bounds: malformed or negative values are parse errors
+    for (q <- Seq("MATCH (a)-[*1.>.3]->(b) RETURN b",
+        "MATCH (a)-[*-2..3]->(b) RETURN b",
+        "MATCH (a)-[*1.5..2]->(b) RETURN b"))
       assertThrows[ParseException](Parser.parse(q))
-    // the long-standing truncation tolerance must survive the guard
-    assert(Parser.parse("MATCH (a) RETURN a LIMIT 1.5") != null)
+  }
+
+  // a statement cannot LEAD with RETURN — the reference's parse falls
+  // through to "Unsupported or unrecognized Cypher statement"
+  test("return_first_statement_is_unsupported") {
+    val e = intercept[ParseException](Parser.parse("RETURN 'hello'"))
+    assert(e.getMessage.contains("Unsupported or unrecognized"))
   }
 }
