@@ -222,7 +222,10 @@ object DiffFuzz {
     rnd.nextInt(12) match {
       case 0 =>
         val i = fresh()
-        s"CREATE (:${pick(rnd, Labels)} {k:'f$i', u:'${100 + i}', g:'${pick(rnd, Groups)}'})"
+        // sometimes with the CREATE ... RETURN tail the reference parses
+        // explicitly (cypher_spec.rs:640-679)
+        val ret = if (rnd.nextBoolean()) " RETURN c" else ""
+        s"CREATE (c:${pick(rnd, Labels)} {k:'f$i', u:'${100 + i}', g:'${pick(rnd, Groups)}'})$ret"
       case 1 =>
         val i = fresh()
         s"MATCH (a {g:'${pick(rnd, Groups)}'}), (b {g:'${pick(rnd, Groups)}'}) " +
