@@ -702,8 +702,12 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.rows.length == 1, "quoted WHERE RHS must stay literal")
   }
 
-  // multi-batch edge creation in one statement must emit distinct ids
-  // (the reference allocates a fresh Uuid::now_v7 per relationship)
+  // ENGINE-EXTENSION pin (not reference parity): repeated CREATE
+  // clauses in one statement are a beyond-reference capability — the
+  // reference's parser folds the trailing text into a garbage pattern
+  // (see T5 in SURVEY §2.7). Where our engine executes them, every
+  // created edge must still get a distinct id, like the reference's
+  // per-relationship Uuid::now_v7 in its own reachable paths.
   test("cypher_multi_create_edge_ids_unique") {
     val s = newSession()
     s.execute("CREATE (:A {name:'a1'}) CREATE (:A {name:'a2'})")
