@@ -72,7 +72,7 @@ class GrpcApiSpec extends AnyFunSuite {
         } finally s.close()
       }
       val client = new GrpcClient("127.0.0.1", port)
-      try assert(client.execute("RETURN 'alive'").error.isEmpty)
+      try assert(client.execute("CREATE (n:Ping {k:'alive'}) RETURN n").error.isEmpty)
       finally client.close()
     } finally { api.stop(); broker.stop() }
   }

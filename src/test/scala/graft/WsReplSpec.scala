@@ -88,7 +88,7 @@ class WsReplSpec extends AnyFunSuite {
       // the server is still healthy for a real client
       val c = new WsClient("127.0.0.1", port)
       assert(c.recvText(5000).exists(_.contains("REPL ready")))
-      c.sendText("RETURN 'alive'")
+      c.sendText("CREATE (n:Ping {k:'alive'}) RETURN n")
       assert(c.recvText(5000).exists(_.contains("alive")))
       c.close()
     } finally { ws.stop(); broker.stop() }
