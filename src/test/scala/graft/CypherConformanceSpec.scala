@@ -702,20 +702,23 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.rows.length == 1, "quoted WHERE RHS must stay literal")
   }
 
-  // ENGINE-EXTENSION pin (not reference parity): repeated CREATE
-  // clauses in one statement are a beyond-reference capability — the
-  // reference's parser folds the trailing text into a garbage pattern
-  // (see T5 in SURVEY §2.7). Where our engine executes them, every
-  // created edge must still get a distinct id, like the reference's
-  // per-relationship Uuid::now_v7 in its own reachable paths.
-  test("cypher_multi_create_edge_ids_unique") {
+  // PARITY pin (adjudicated against the reference executor): a SECOND
+  // CREATE clause inside one statement is silently lost. At top level
+  // the pattern splitter keeps only the first pattern segment; in a
+  // MATCH..CREATE tail the defensive truncation (cypher_spec.rs:228-238)
+  // cuts the segment at the first ')' — so `CREATE (a)-[:X]->(b)
+  // CREATE ...` degrades to the bare node pattern `(a)`, which CREATEs
+  // a fresh label-less node and REBINDS a, creating no edges at all.
+  test("cypher_trailing_create_clauses_fold_like_reference") {
     val s = newSession()
     s.execute("CREATE (:A {name:'a1'}) CREATE (:A {name:'a2'})")
-    s.execute("CREATE (:B {name:'b1'}) CREATE (:B {name:'b2'})")
-    s.execute("MATCH (a:A), (b:B) CREATE (a)-[:X]->(b) CREATE (a)-[:Y]->(b)")
-    val rels = s.execute("MATCH (a)-[r]->(b) RETURN r").rows.filter(_.kind == "relationship")
-    assert(rels.length == 8) // 4 pairs x 2 CREATE clauses
-    assert(rels.map(_.id).distinct.length == 8, "duplicate relationship ids")
+    assert(s.execute("MATCH (n:A) RETURN n").rows.map(_.properties("name")) == Seq("a1"))
+    s.execute("CREATE (:B {name:'b1'})")
+    val out = s.execute("MATCH (a:A), (b:B) CREATE (a)-[:X]->(b) CREATE (a)-[:Y]->(b)")
+    // implicit return: a is REBOUND to the fresh '_' node, b unchanged
+    assert(out.rows.exists(r => r.kind == "node" && r.label == "_"))
+    assert(s.execute("MATCH (x)-[r]->(y) RETURN r").rows.isEmpty, "no edges created")
+    assert(s.execute("MATCH (n) RETURN n").rows.count(_.label == "_") == 1)
   }
 
   // driver-result guard: unbounded RETURN past the cap errors clearly
@@ -775,7 +778,7 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = newSession()
     // a node whose name is the literal text "$who": CREATE would treat
     // the $-leading prop value as a param, so store it via SET (raw)
-    s.execute("CREATE (:PEnd {name:'x'}) CREATE (:PEnd {name:'tmp'})")
+    s.execute("CREATE (:PEnd {name:'x'}); CREATE (:PEnd {name:'tmp'})")
     s.execute("MATCH (n:PEnd {name:'tmp'}) SET n.name = '$who'")
     s.execute("MATCH (a:PEnd), (b:PEnd) CREATE (a)-[:L]->(b)")
     // node-only pattern: $who resolves to 'x' → 1 node
@@ -799,7 +802,7 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   // unknown var in id() filters everything and never errors
   test("cypher_id_compare_is_node_vars_only_and_fail_closed") {
     val s = newSession()
-    s.execute("CREATE (:IdC {n:'1'}) CREATE (:IdC {n:'2'})")
+    s.execute("CREATE (:IdC {n:'1'}); CREATE (:IdC {n:'2'})")
     s.execute("MATCH (a:IdC), (b:IdC) CREATE (a)-[:E]->(b)")
     // sanity: the node-var form matches the upper triangle
     assert(s.execute(

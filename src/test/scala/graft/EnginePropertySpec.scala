@@ -87,13 +87,17 @@ class EnginePropertySpec extends AnyFunSuite {
   // every relationship created across an n-statement, m-pair fan-out
   // gets a distinct id (the reference allocates Uuid::now_v7 per rel;
   // distributedExpr must not reuse (timestamp, partition-offset) pairs
-  // across batches)
+  // across batches). Statements are ';'-separated: a SECOND CREATE
+  // clause inside one statement is dropped by the reference's defensive
+  // pattern truncation (pinned in CypherConformanceSpec).
   test("edge_ids_unique_across_multi_batch_creates") {
     forAll(Gen.choose(2, 4)) { n =>
       val s = new GraphSession(spark)
-      (1 to n).foreach(i => s.execute(s"CREATE (:L {i:'$i'}) CREATE (:R {i:'$i'})"))
-      // three edge-creating clauses in ONE statement → three batches
-      s.execute("MATCH (a:L), (b:R) CREATE (a)-[:E1]->(b) CREATE (a)-[:E2]->(b) CREATE (a)-[:E3]->(b)")
+      (1 to n).foreach(i => s.execute(s"CREATE (:L {i:'$i'}); CREATE (:R {i:'$i'})"))
+      // three edge-creating statements in ONE request → three batches
+      s.execute("MATCH (a:L), (b:R) CREATE (a)-[:E1]->(b); " +
+        "MATCH (a:L), (b:R) CREATE (a)-[:E2]->(b); " +
+        "MATCH (a:L), (b:R) CREATE (a)-[:E3]->(b)")
       val ids = s.execute("MATCH (x)-[r]->(y) RETURN r").rows
         .filter(_.kind == "relationship").map(_.id)
       assert(ids.length == 3 * n * n)

@@ -26,10 +26,17 @@ class ParserRobustnessSpec extends AnyFunSuite {
     }.mkString("\n"))
   }
 
-  test("eof mid-clause is a typed parse error") {
-    for (q <- Seq("RETURN n LIMIT", "MATCH (a) RETURN a.",
-        "MATCH (a) WHERE a.x CONTAINS"))
-      assertThrows[ParseException](Parser.parse(q))
+  // Statements cut mid-clause inside a RETURN/WHERE body are NOT
+  // errors in the reference — the string slicer folds the stub into a
+  // never-resolving item ("a." reads property "" → zero rows) or a
+  // fail-open unknown condition (dangling CONTAINS passes every row).
+  // Only a statement-LEADING stub still errors (no RETURN-first branch).
+  test("eof mid-clause folds into junk items or fail-open conds") {
+    assertThrows[ParseException](Parser.parse("RETURN n LIMIT"))
+    val s = new GraphSession(spark)
+    s.execute("CREATE (:Eof {k:'v'})")
+    assert(s.execute("MATCH (a:Eof) RETURN a.").rows.isEmpty)
+    assert(s.execute("MATCH (a:Eof) WHERE a.x CONTAINS").rows.length == 1)
   }
 
   // SKIP/LIMIT counts are peeled from the END of the statement text in
