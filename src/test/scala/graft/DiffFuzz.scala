@@ -182,7 +182,71 @@ object DiffFuzz {
 
   /** A read query in the reference-expressible dialect. */
   def genQuery(rnd: Random): String = {
-    rnd.nextInt(6) match {
+    rnd.nextInt(12) match {
+      case 6 =>
+        // full-strength RETURN modifiers: ORDER key independent of the
+        // item, combined/repeated counts (leftmost repeat wins — the
+        // reference peels from the END and earlier peels overwrite)
+        val ret = pick(rnd, Seq("n.k", "n.u", "n", "id(n)"))
+        val dir = if (rnd.nextBoolean()) " DESC" else ""
+        val page = rnd.nextInt(5) match {
+          case 0 => s" SKIP ${rnd.nextInt(3)} LIMIT ${1 + rnd.nextInt(4)}"
+          case 1 => s" LIMIT ${1 + rnd.nextInt(3)} LIMIT ${1 + rnd.nextInt(3)}"
+          case 2 => s" SKIP ${rnd.nextInt(2)} SKIP ${rnd.nextInt(2)}"
+          case 3 => " LIMIT 0"
+          case _ => s" LIMIT ${1 + rnd.nextInt(4)}"
+        }
+        s"MATCH ${genNodePat(rnd, "n")} RETURN $ret ORDER BY n.u$dir$page"
+      case 7 =>
+        // junk folds into never-resolving items instead of erroring
+        rnd.nextInt(5) match {
+          case 0 => s"MATCH ${genNodePat(rnd, "n")} RETURN n.k junk${rnd.nextInt(3)}"
+          case 1 => "MATCH (n) RETURN n.k, n.u junk"
+          case 2 => s"MATCH ${genNodePat(rnd, "n")} RETURN n.u SKIP 1 ORDER BY n.u"
+          case 3 => "MATCH (n) RETURN 'x' tail"
+          case _ => "MATCH (n) RETURN n.u ORDER BY n.u ORDER BY n.k"
+        }
+      case 8 =>
+        // anonymous / label-only / dot-shorthand second pattern: a
+        // pure cross-product row multiplier
+        val second = rnd.nextInt(3) match {
+          case 0 => s"({g:'${pick(rnd, Groups)}'})"
+          case 1 => s"(:${pick(rnd, Labels)})"
+          case _ => s"(m.${pick(rnd, Labels)})"
+        }
+        s"MATCH (n:${pick(rnd, Labels)}), $second ${genReturn(rnd, Seq("n"))}"
+      case 9 =>
+        // relationship props in the pattern filter the edge scan
+        val p =
+          if (rnd.nextBoolean()) s" {w:'${rnd.nextInt(50)}'}"
+          else s" {ek:'e${rnd.nextInt(20)}'}"
+        val tip = if (rnd.nextBoolean()) "->" else "-"
+        s"MATCH (a)-[r:${pick(rnd, RelTypes)}$p]$tip${genNodePat(rnd, "b")} " +
+          s"RETURN ${pick(rnd, Seq("a", "b", "r"))}"
+      case 10 =>
+        // var-length flavors: exact *N, open *..m / *m.., bare *,
+        // inverted bounds (empty, no error); the rel var never binds
+        val spec = rnd.nextInt(5) match {
+          case 0 => s"*${rnd.nextInt(3)}"
+          case 1 => s"*..${1 + rnd.nextInt(3)}"
+          case 2 => s"*${1 + rnd.nextInt(2)}.."
+          case 3 => "*"
+          case _ => "*3..1"
+        }
+        val tip = if (rnd.nextBoolean()) "->" else "-"
+        val item = pick(rnd, Seq("a", "b", "r")) // r → unbound → empty
+        s"MATCH ${genNodePat(rnd, "a")}-[r:${pick(rnd, RelTypes)}$spec]$tip" +
+          s"${genNodePat(rnd, "b")} RETURN $item"
+      case 11 =>
+        // WITH flavors: prop items project nothing, multi-var WITH
+        // implicit-returns every binding, DISTINCT parsed-and-ignored,
+        // lowercase `where` folds the keyword into the condition
+        rnd.nextInt(4) match {
+          case 0 => s"MATCH (n) where n.g = '${pick(rnd, Groups)}' RETURN n.k"
+          case 1 => s"MATCH ${genNodePat(rnd, "n")} WITH n, n.u"
+          case 2 => s"MATCH (n:${pick(rnd, Labels)}), (m:${pick(rnd, Labels)}) WITH n, m"
+          case _ => "MATCH (n) WITH DISTINCT n"
+        }
       case 0 =>
         // OPTIONAL MATCH is parsed-but-identical-to-MATCH (T7)
         val kw = if (rnd.nextInt(4) == 0) "OPTIONAL MATCH" else "MATCH"
@@ -219,7 +283,50 @@ object DiffFuzz {
 
   /** A mutation statement; `fresh` supplies unique k/ek markers. */
   def genMutation(rnd: Random, fresh: () => Int): String = {
-    rnd.nextInt(12) match {
+    rnd.nextInt(20) match {
+      case 12 =>
+        val i = fresh()
+        s"MATCH ${genNodePat(rnd, "n")} SET n.m1 = 'a$i', n.m2 = 'b$i'"
+      case 13 =>
+        // ':' anywhere in a SET item hijacks it into a label change on
+        // a junk variable — a silent no-op in the reference
+        s"MATCH ${genNodePat(rnd, "n")} SET n.p = 'a:b'"
+      case 14 =>
+        s"MATCH ${genNodePat(rnd, "n")} REMOVE n.opt, n.mark"
+      case 15 =>
+        // multi-var DELETE: the node constraint check runs against the
+        // PRE-delete edge set, so deleting r and a together still
+        // errors when a has the (not yet removed) r incident
+        s"MATCH (a)-[r:${pick(rnd, RelTypes)}]->(b) DELETE r, a"
+      case 16 =>
+        // MATCH..WHERE..SET without RETURN: the reference turns the
+        // WHERE text into SET items and LOSES the filter
+        val i = fresh()
+        s"MATCH (n {g:'${pick(rnd, Groups)}'}) WHERE n.opt = 'o${rnd.nextInt(3)}' SET n.cz = 'z$i'"
+      case 17 =>
+        // ...and the REMOVE flavor: the condition becomes a junk
+        // remove item (no-op) while the tail REMOVE hits every row
+        s"MATCH (n {g:'${pick(rnd, Groups)}'}) WHERE n.u = '${5 + rnd.nextInt(20)}' REMOVE n.opt"
+      case 18 =>
+        // clause-eats-clause: WITH swallows a following DELETE into
+        // junk items (nothing deleted); a SET before WITH is dropped
+        // by the defensive pattern truncation (nothing set)
+        if (rnd.nextBoolean()) s"MATCH (n {g:'${pick(rnd, Groups)}'}) WITH n DELETE n"
+        else {
+          val i = fresh()
+          s"MATCH (n {g:'${pick(rnd, Groups)}'}) SET n.sd = 's$i' WITH n"
+        }
+      case 19 =>
+        // multi-pattern CREATE: later path patterns see earlier
+        // bindings; an unbound endpoint skips edge creation silently
+        val (i, j, e) = (fresh(), fresh(), fresh())
+        if (rnd.nextBoolean())
+          s"CREATE (x:${pick(rnd, Labels)} {k:'f$i', u:'${400 + i}', g:'${pick(rnd, Groups)}'}), " +
+            s"(y:${pick(rnd, Labels)} {k:'f$j', u:'${400 + j}', g:'${pick(rnd, Groups)}'}), " +
+            s"(x)-[:${pick(rnd, RelTypes)} {ek:'f$e'}]->(y)"
+        else
+          s"CREATE (x:${pick(rnd, Labels)} {k:'f$i', u:'${400 + i}', g:'${pick(rnd, Groups)}'}), " +
+            s"(x)-[:${pick(rnd, RelTypes)} {ek:'f$e'}]->(zz)"
       case 0 =>
         val i = fresh()
         // sometimes with the CREATE ... RETURN tail the reference parses
@@ -383,11 +490,54 @@ object DiffFuzz {
     checkStatement("MATCH (n {g:$missing}) RETURN n", Map.empty, mutates = false)
     // lazy missing-param: an empty candidate set succeeds
     checkStatement("MATCH (n:Zz9) WHERE n.g = $missing RETURN n", Map.empty, mutates = false)
+    checkStatement("MATCH (n:Zz9 {g:$missing}) RETURN n", Map.empty, mutates = false)
+    // SET values never resolve params — the literal "$pz" is stored
+    checkStatement("MATCH (n {k:'n0'}) SET n.pz = $pz RETURN n.pz",
+      Map("pz" -> "resolved"), mutates = true)
+    // rel-pattern props DO resolve params (endpoint props stay raw)
+    checkStatement("MATCH (a)-[r:T {w:$wv}]->(b) RETURN b", Map("wv" -> "3"), mutates = false)
     // unpeelable SKIP/LIMIT counts garble the items to zero rows;
     // RETURN cannot lead a statement
     checkStatement("MATCH (n) RETURN n LIMIT -1", Map.empty, mutates = false)
     checkStatement("MATCH (n) RETURN n.u SKIP 1.5", Map.empty, mutates = false)
+    checkStatement("MATCH (n) RETURN n.u LIMIT $x", Map.empty, mutates = false)
     checkStatement("RETURN 'lonely'", Map.empty, mutates = false)
+    // RETURN/WITH bodies swallow the rest of the statement: a trailing
+    // DELETE/SET folds into junk items and never executes
+    checkStatement("MATCH (n) RETURN n.k DELETE n", Map.empty, mutates = true)
+    checkStatement("MATCH (n) WITH n WITH n", Map.empty, mutates = false)
+    checkStatement("MATCH (n) WITH n SET n.ws = '1'", Map.empty, mutates = true)
+    // quote-aware AND split: an AND inside a quoted value is literal
+    checkStatement("CREATE (:La {k:'fand', u:'998', g:'g1', opt:'a AND b'})",
+      Map.empty, mutates = true)
+    checkStatement("MATCH (n) WHERE n.opt = 'a AND b' RETURN n.k", Map.empty, mutates = false)
+    // keyword-case artifacts: lowercase match/return work (found
+    // case-insensitively), but the WHERE strip is case-sensitive so a
+    // capitalized Where folds the word into the condition (zero rows);
+    // CREATE's " RETURN " split is case-sensitive too, and a lowercase
+    // return is dropped by the defensive pattern truncation (implicit
+    // return still echoes the bound var)
+    checkStatement("match (n) return n.k", Map.empty, mutates = false)
+    checkStatement("Match (n) Where n.g = 'g1' Return n.k", Map.empty, mutates = false)
+    val lc = fresh()
+    checkStatement(s"CREATE (c:La {k:'f$lc', u:'${500 + lc}', g:'g1'}) return c",
+      Map.empty, mutates = true)
+    // a bare clause keyword at EOF is dropped (implicit return)
+    checkStatement("MATCH (n) RETURN", Map.empty, mutates = false)
+    checkStatement("MATCH (n {g:'g1'}) DELETE", Map.empty, mutates = true)
+    // statement-leading clause keywords: SET/REMOVE/DELETE route (and
+    // no-op on unbound vars), WITH is a router error, MERGE between
+    // unbound vars is a silent no-op, MERGE of a node pattern errors
+    checkStatement("SET qq.x = 'y'", Map.empty, mutates = true)
+    checkStatement("REMOVE qq.x", Map.empty, mutates = true)
+    checkStatement("DELETE qq", Map.empty, mutates = true)
+    checkStatement("WITH n", Map.empty, mutates = false)
+    checkStatement("MERGE (a)-[:T]->(b)", Map.empty, mutates = true)
+    checkStatement(s"MERGE (n:${pick(rnd, Labels)})", Map.empty, mutates = false)
+    // MATCH..MERGE with prop patterns hits the pairwise route, which
+    // only knows label scans → its unknown-variable error
+    checkStatement("MATCH (a {k:'n0'}), (b {k:'n1'}) MERGE (a)-[:T {w:'5'}]->(b)",
+      Map.empty, mutates = true)
     // legacy dialect through the same router (query_interface parity):
     // legacy create/match plus the pairwise MATCH..MERGE route — also
     // exercises the ';' statement splitter and the affected-counter /
