@@ -261,7 +261,9 @@ object Parser {
       val b = inner.indexOf('{')
       if (b >= 0) {
         val e = inner.lastIndexOf('}')
-        if (e < 0) throw ParseException("unclosed properties")
+        // e < b+1 = reversed/overlapping braces: the reference's slice
+        // panics there; our contract is a typed error for ANY input
+        if (e < b + 1) throw ParseException("unclosed properties")
         (inner.substring(0, b), Some(inner.substring(b + 1, e)))
       } else (inner, None)
     }
@@ -299,7 +301,8 @@ object Parser {
       val b = rest.indexOf('{')
       if (b >= 0) {
         val e = rest.lastIndexOf('}')
-        if (e < 0) throw ParseException("unclosed relationship properties")
+        // reversed/overlapping braces: typed error, not a raw slice
+        if (e < b + 1) throw ParseException("unclosed relationship properties")
         (rest.substring(0, b), Some(rest.substring(b + 1, e)))
       } else (rest, None)
     }

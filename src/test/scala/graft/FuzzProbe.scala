@@ -57,6 +57,8 @@ object FuzzProbe {
     "MATCH () RETURN",                    // empty return list
     "MATCH (a) WHERE RETURN a",           // empty where
     "MATCH (a) ORDER BY RETURN a",        // order keys missing
+    "MERGE (a:Person }name: 'Cyd'{)",     // reversed braces (slice order)
+    "CREATE (}:Person {name: 'x'a)-[:K]->(b)", // stray '}' before '{'
     "CREATE NODE label= props=",          // legacy empties
     "CREATE REL from=zz to=yy label=",    // invalid uuids
     "MATCH NODE where =",                 // empty legacy where
