@@ -842,6 +842,60 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unknown variables"))
     assert(s.relationshipCount == 0)
   }
+
+  // the reference's clause splitter is a string slicer with a fixed
+  // keyword-priority chain (RETURN > WHERE > MERGE > CREATE > WITH >
+  // SET > REMOVE > DETACH DELETE > DELETE, cypher_spec.rs:333-465);
+  // each behavior below was probed against the reference executor in
+  // round 8 and is continuously re-checked by the three-way fuzzer
+  test("cypher_clause_slicing_artifacts") {
+    val s = newSession()
+    s.execute("CREATE (:Sl {k:'s1', u:'10', g:'g1'})")
+    s.execute("CREATE (:Sl {k:'s2', u:'11', g:'g2'})")
+
+    // WHERE..SET without RETURN: the WHERE text becomes SET items and
+    // the filter is LOST — n.u is overwritten on every matched node
+    s.execute("MATCH (n:Sl {k:'s1'}) WHERE n.u = '99' SET n.mark = 'z'")
+    val n1 = s.execute("MATCH (n:Sl {k:'s1'}) RETURN n").rows.head
+    assert(n1.properties("u") == "99" && n1.properties("mark") == "z")
+
+    // WITH swallows a following DELETE into junk items: zero rows, no
+    // deletion; a SET before WITH is dropped by the defensive cut
+    assert(s.execute("MATCH (n:Sl) WITH n DELETE n").rows.isEmpty)
+    assert(s.execute("MATCH (n:Sl) RETURN n").rows.length == 2)
+    s.execute("MATCH (n:Sl) SET n.sd = '1' WITH n")
+    assert(s.execute("MATCH (n:Sl) RETURN n").rows.forall(!_.properties.contains("sd")))
+
+    // a CREATE between MATCH and RETURN is silently dropped
+    s.execute("MATCH (a:Sl {k:'s1'}) CREATE (b:SlX {k:'sx'}) RETURN a")
+    assert(s.execute("MATCH (n:SlX) RETURN n").rows.isEmpty)
+
+    // RETURN bodies swallow the tail: a trailing DELETE folds into a
+    // junk item (zero rows, nothing deleted)
+    assert(s.execute("MATCH (n:Sl) RETURN n.k DELETE n").rows.isEmpty)
+    assert(s.execute("MATCH (n:Sl) RETURN n").rows.length == 2)
+
+    // SKIP/LIMIT peel from the END; the LEFTMOST repeat wins (s1's u
+    // is 99 after the filter-loss SET above, so ascending starts at 11)
+    assert(s.execute("MATCH (n:Sl) RETURN n.u ORDER BY n.u LIMIT 1 LIMIT 2")
+      .rows.map(_.info) == Seq("11"))
+    // an ORDER BY after an unpeeled count garbles the items to zero rows
+    assert(s.execute("MATCH (n:Sl) RETURN n.u SKIP 1 ORDER BY n.u").rows.isEmpty)
+    // junk kills only ITS comma-segment in multi-item mode
+    assert(s.execute("MATCH (n:Sl {k:'s1'}) RETURN n.k, n.u junk")
+      .rows.map(_.info) == Seq("s1"))
+
+    // keyword finds are case-insensitive but the WHERE strip is
+    // case-sensitive: a lowercase `where` folds into the condition
+    assert(s.execute("MATCH (n:Sl) where n.g = 'g1' RETURN n.k").rows.isEmpty)
+
+    // WITH..RETURN cannot be expressed: the WITH text lands in the
+    // patterns region and fails as an invalid node pattern
+    val e2 = intercept[ParseException] {
+      s.execute("MATCH (n:Sl) WITH n RETURN n")
+    }
+    assert(e2.getMessage.contains("invalid node pattern"))
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */
