@@ -24,13 +24,15 @@ import graft.engine.{GraphSession, ResultRow}
   * zero-padded counters), so `id(a) < id(b)` predicates agree without
   * sharing id values.
   *
-  * The generator stays inside the REFERENCE-expressible dialect: comma
-  * patterns (never a second MATCH or chained hops — the reference
-  * parser folds those into garbage patterns, pinned separately in
-  * CypherConformanceSpec), one trailing mutation per statement,
-  * terminal WITH, single-item RETURN modifiers, values free of clause
-  * keywords. Pagination always rides a unique ORDER key so the selected
-  * window is deterministic; all row comparisons are multiset-based (the
+  * The generator covers the REFERENCE-expressible dialect INCLUDING
+  * its slicing artifacts (junk-folding RETURN/WITH tails, count-peel
+  * repeats, clause-eats-clause shapes, filter-loss WHERE..SET — all
+  * mirrored by the round-8 parser rewrite), but never chained hops or
+  * a second MATCH (engine extensions, outside reference semantics) and
+  * keeps values free of clause keywords so the quote-blind keyword
+  * finds cannot mangle patterns nondeterministically. Pagination
+  * always rides a unique ORDER key so the selected window is
+  * deterministic; all row comparisons are multiset-based (the
   * reference scans HashMaps, so its row order is arbitrary).
   */
 object DiffFuzz {

@@ -34,11 +34,13 @@ import graft.engine.ResultRow
   *    single-item mode (cypher_spec.rs:1426-1512); ordering compares
   *    numeric when both keys parse as f64, else string, per pair.
   *
-  * The model consumes graft's parsed AST: the reference's string-slicing
-  * parser accepts only the shapes the fuzz generator emits (single-hop /
-  * var-length comma patterns, one trailing mutation, terminal WITH), so
-  * parser-level divergence is out of scope here and pinned separately in
-  * CypherConformanceSpec.
+  * The model consumes graft's parsed AST. Since the round-8 parser
+  * rewrite, [[graft.cypher.Parser]] mirrors the reference's
+  * string-slicing clause splitter (priority chain, junk folding, peel
+  * artifacts), so the PARSER is shared and under test three-way: a
+  * slicing-mirror bug shows up as model+engine agreeing against the
+  * reference side. The remaining deliberate extensions (chained-hop
+  * patterns, processed escapes) stay outside the generator.
   */
 class RefModel {
 
