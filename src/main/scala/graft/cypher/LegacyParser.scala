@@ -50,10 +50,19 @@ object LegacyParser {
   }
 
   private val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+  private val simpleUuidRe = "^[0-9a-fA-F]{32}$".r
+  /** The reference parses ids with `Uuid::parse_str`, which accepts
+    * BOTH the hyphenated and the simple 32-hex form and normalizes
+    * them to one value — mirror by normalizing the simple form to
+    * hyphenated lowercase so id equality behaves like parsed-Uuid
+    * equality. */
   def requireUuid(s: String): String = {
-    if (uuidRe.findFirstIn(s.trim).isEmpty)
-      throw ParseException(s"invalid uuid: ${s.trim}")
-    s.trim.toLowerCase
+    val t = s.trim
+    if (uuidRe.findFirstIn(t).isDefined) t.toLowerCase
+    else if (simpleUuidRe.findFirstIn(t).isDefined)
+      (t.substring(0, 8) + "-" + t.substring(8, 12) + "-" + t.substring(12, 16) +
+        "-" + t.substring(16, 20) + "-" + t.substring(20)).toLowerCase
+    else throw ParseException(s"invalid uuid: $t")
   }
 
   /** Legacy WHERE: AND-separated conditions (query_interface.rs:269-352).

@@ -152,7 +152,8 @@ class GraphSession(val spark: SparkSession) {
     val found = graph.nodes.filter(col("id").isin(c.from, c.to))
       .select("id").distinct().count()
     if (found != 2 && c.from != c.to || (c.from == c.to && found != 1))
-      throw ParseException(s"cannot create relationship: missing endpoint node(s)")
+      // exact reference error text (query_interface.rs exec_create_rel)
+      throw ParseException("invalid endpoint(s) for relationship")
     val id = IdGen.next()
     val df = PropertyGraph.edgesDf(spark, Seq((id, c.from, c.to, c.label, c.props)))
     graph = PropertyGraph(graph.nodes, graph.edges.unionByName(df)).materialized

@@ -400,7 +400,9 @@ object DiffFuzz {
   }
 
   private def normErr(e: String): String =
-    if (e.startsWith("Cannot DELETE node")) "Cannot DELETE node #" else e
+    if (e.startsWith("Cannot DELETE node")) "Cannot DELETE node #"
+    else if (e.startsWith("invalid uuid")) "invalid uuid #" // id text is side-local
+    else e
 
   // ------------------------------------------------------------ driving
 
@@ -435,9 +437,19 @@ object DiffFuzz {
 
     /** Execute on all sides; compare result rows (multiset); on
       * mutating statements refresh marker maps and compare full state. */
-    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean): Unit = {
+    def checkStatement(stmt: String, params: Map[String, String], mutates: Boolean): Unit =
+      checkPerSide(_ => stmt, params, mutates)
+
+    /** Like [[checkStatement]] but the statement text is built PER
+      * SIDE — node/relationship ids differ across implementations, so
+      * the legacy id-addressed commands (CREATE REL from=/to=, DELETE
+      * NODE/REL <id>, WHERE id=/from=/to=) inject each side's own id
+      * for the same k/ek marker. */
+    def checkPerSide(mkStmt: SideState => String, params: Map[String, String],
+        mutates: Boolean): Unit = {
       step += 1
-      val results = sides.map(s => s -> s.run(stmt, params))
+      val stmt = mkStmt(sides.head)
+      val results = sides.map(s => s -> s.run(mkStmt(s), params))
       if (mutates) sides.foreach(_.refresh())
       val canon = results.map { case (s, res) =>
         (s, res.left.map(normErr).map(r => (r.rows.map(s.canonRow).sorted, r.meta)))
@@ -573,6 +585,37 @@ object DiffFuzz {
     checkStatement(
       s"CREATE (:La {k:'me$mi', u:'${300 + mi}', g:'g3'}) ; BOGUS STATEMENT",
       Map.empty, mutates = true)
+    // legacy id-addressed commands, with EACH SIDE'S OWN id for the
+    // same marker (ids are implementation-local): CREATE REL with and
+    // without props, duplicate-tolerant insert, the exact
+    // missing-endpoint error, id/from/to WHERE filters, DELETE REL,
+    // and DELETE NODE with cascade plus the unknown-id no-op. A marker
+    // deleted by an earlier random mutation degrades to an unknown id
+    // CONSISTENTLY on every side, so outcomes still agree.
+    def nid(s: SideState, k: String): String =
+      s.nodeK.find(_._2 == k).map(_._1).getOrElse("ffffffffffffffffffffffffffffffff")
+    def eid(s: SideState, ek: String): String =
+      s.edgeK.find(_._2 == ek).map(_._1).getOrElse("ffffffffffffffffffffffffffffffff")
+    checkPerSide(s => s"""CREATE REL from=${nid(s, "n1")} to=${nid(s, "n2")} label=LR {lw:"7"}""",
+      Map.empty, mutates = true)
+    checkPerSide(s => s"CREATE REL from=${nid(s, "n1")} to=${nid(s, "n2")} label=LR",
+      Map.empty, mutates = true)
+    checkPerSide(s => s"CREATE REL from=${nid(s, "n1")} to=${nid(s, "gone")} label=LR",
+      Map.empty, mutates = true)
+    // draw randomness OUTSIDE the per-side lambdas (each side invokes
+    // the lambda, and the statements must be equivalent across sides)
+    val mnLbl = pick(rnd, Labels)
+    checkPerSide(s => s"MATCH NODE $mnLbl WHERE id=${nid(s, "n4")}",
+      Map.empty, mutates = false)
+    val mrT1 = pick(rnd, RelTypes)
+    val mrT2 = pick(rnd, RelTypes)
+    checkPerSide(s => s"MATCH REL $mrT1 WHERE from=${nid(s, "n0")}",
+      Map.empty, mutates = false)
+    checkPerSide(s => s"MATCH REL $mrT2 WHERE to=${nid(s, "n0")}",
+      Map.empty, mutates = false)
+    checkPerSide(s => s"DELETE REL ${eid(s, "e0")}", Map.empty, mutates = true)
+    checkPerSide(s => s"DELETE NODE ${nid(s, "n5")}", Map.empty, mutates = true)
+    checkPerSide(s => s"DELETE NODE ${nid(s, "gone")}", Map.empty, mutates = true)
     mismatches.toSeq
   }
 

@@ -51,7 +51,13 @@ class RefModel {
   val edges = mutable.LinkedHashMap.empty[String, (String, String, String, Map[String, String])]
 
   private var counter = 0L
-  private def nextId(): String = { counter += 1; f"m$counter%030d" }
+  /** Hyphenated-hex, zero-padded: string order == creation order AND
+    * the id is a parseable uuid, so the legacy id-addressed commands
+    * (which normalize through requireUuid) round-trip the model's own
+    * ids like the reference round-trips its parsed Uuids. */
+  private def nextId(): String = {
+    counter += 1; f"00000000-0000-0000-0000-$counter%012x"
+  }
 
   sealed trait V
   case class N(id: String) extends V
@@ -141,6 +147,24 @@ class RefModel {
             where.forall(legacyRelCond(id, f, t, lb, p, _))
         }.map { case (id, (f, t, lb, p)) => ResultRow.rel(id, f, t, lb, p) }
         (out, 0L, 0L, false)
+      case LegacyCmd.CreateRel(from, to, label, props) =>
+        // FK constraint then insert (query_interface.rs exec_create_rel)
+        if (!nodes.contains(from) || !nodes.contains(to))
+          throw ParseException("invalid endpoint(s) for relationship")
+        val id = nextId()
+        edges(id) = (from, to, label, props)
+        (Seq(ResultRow.rel(id, from, to, label, props)), 0L, 1L, true)
+      case LegacyCmd.DeleteNode(id) =>
+        val existed = nodes.contains(id)
+        if (existed) {
+          nodes.remove(id)
+          val incident = edges.collect { case (eid, e) if e._1 == id || e._2 == id => eid }
+          incident.foreach(edges.remove)
+        }
+        (Seq.empty, if (existed) 1L else 0L, 0L, true)
+      case LegacyCmd.DeleteRel(id) =>
+        val existed = edges.remove(id).isDefined
+        (Seq.empty, 0L, if (existed) 1L else 0L, true)
       case other =>
         throw ParseException(s"model does not interpret: $other")
     }
