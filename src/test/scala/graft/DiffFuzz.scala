@@ -510,6 +510,10 @@ object DiffFuzz {
       Map("pz" -> "resolved"), mutates = true)
     // rel-pattern props DO resolve params (endpoint props stay raw)
     checkStatement("MATCH (a)-[r:T {w:$wv}]->(b) RETURN b", Map("wv" -> "3"), mutates = false)
+    // the legacy dialect rides the SAME branch in both router variants
+    val pv = fresh()
+    checkStatement(s"""CREATE NODE La {k:"pl$pv", g:"g1"}""", Map("x" -> "y"), mutates = true)
+    checkStatement("MATCH NODE La", Map("x" -> "y"), mutates = false)
     // unpeelable SKIP/LIMIT counts garble the items to zero rows;
     // RETURN cannot lead a statement
     checkStatement("MATCH (n) RETURN n LIMIT -1", Map.empty, mutates = false)
