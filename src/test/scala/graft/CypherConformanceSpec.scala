@@ -896,6 +896,26 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("invalid node pattern"))
   }
+
+  // ENGINE-EXTENSION pin: chained hops in ONE path. The reference's
+  // parse_pattern mangles `(a)-[]->(b)-[]->(c)` into a garbage right
+  // variable that never binds (everything after the first right-paren
+  // becomes the node "name"), so no reference query can rely on the
+  // shape; our token grammar parses it as a real two-hop path. The
+  // reference-expressible equivalent — comma patterns with a shared
+  // variable — must agree with the chained form.
+  test("cypher_chained_hops_are_an_engine_extension") {
+    val s = newSession()
+    s.execute("CREATE (:Ch {k:'c1'}); CREATE (:Ch {k:'c2'}); CREATE (:Ch {k:'c3'})")
+    s.execute("MATCH (a {k:'c1'}), (b {k:'c2'}) CREATE (a)-[:CE]->(b)")
+    s.execute("MATCH (a {k:'c2'}), (b {k:'c3'}) CREATE (a)-[:CE]->(b)")
+    val chained = s.execute(
+      "MATCH (a)-[r1:CE]->(b)-[r2:CE]->(c) RETURN c").rows
+    assert(chained.map(_.properties("k")) == Seq("c3"))
+    val comma = s.execute(
+      "MATCH (a)-[r1:CE]->(b), (b)-[r2:CE]->(c) RETURN c").rows
+    assert(comma.map(_.properties("k")) == chained.map(_.properties("k")))
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */
