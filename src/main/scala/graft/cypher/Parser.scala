@@ -26,7 +26,10 @@ import Ast._
   *    SET items and loses the filter (cypher_spec.rs:402-407);
   *  - keyword FINDS are case-insensitive but the WHERE/SET/REMOVE
   *    keyword STRIP is case-sensitive, so a lowercase `where` folds the
-  *    word itself into the first condition;
+  *    word itself into the first condition — EXCEPT when the statement
+  *    has no tail clause, where the raw-find fallback re-strips five
+  *    chars unconditionally (and lands inside identifiers like
+  *    `(somewhere)`, which errors as "invalid node pattern: (some");
   *  - RETURN/WITH bodies swallow the rest of the statement; SKIP/LIMIT
   *    peel from the END (leftmost value wins on repeats, a count that
   *    fails the usize parse stays in the items); the LAST ` ORDER BY `
@@ -125,6 +128,28 @@ object Parser {
 
   // ------------------- string helpers (cypher_spec.rs mirrors) ----------
 
+  /** Length-preserving ASCII-only uppercase. Java's toUpperCase can
+    * CHANGE the string length (ß→SS, ligatures) and is locale-bound
+    * (Turkish dotless i), and every slicing site here computes indices
+    * on the uppercased copy and applies them to the original — so the
+    * uppercase must keep offsets stable for any input. Keywords are
+    * ASCII, so this also matches the reference's intent. */
+  private def upperAscii(s: String): String = {
+    val a = new Array[Char](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      a(i) = if (c >= 'a' && c <= 'z') (c - 32).toChar else c
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Rust's char::is_ascii_whitespace — the reference's keyword
+    * boundary and AND-split checks are ASCII-only. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
   /** find_keyword_boundary (cypher_spec.rs:63-82): first occurrence of
     * the uppercase keyword in the uppercased haystack with whitespace
     * (or string edge) on both sides. Quote-blind, like the reference. */
@@ -134,9 +159,9 @@ object Parser {
     if (m == 0 || m > n) return None
     var i = 0
     while (i + m <= n) {
-      val prevOk = i == 0 || hayUp(i - 1).isWhitespace
+      val prevOk = i == 0 || isAsciiWs(hayUp(i - 1))
       if (prevOk && hayUp.regionMatches(i, kwUp, 0, m)) {
-        val nextOk = i + m >= n || hayUp(i + m).isWhitespace
+        val nextOk = i + m >= n || isAsciiWs(hayUp(i + m))
         if (nextOk) return Some(i)
       }
       i += 1
@@ -145,9 +170,13 @@ object Parser {
   }
 
   /** trim_quotes (cypher_spec.rs:84-91): strip one matching pair of
-    * outer quotes after trimming; anything else stays raw. */
+    * outer quotes after trimming; anything else stays raw. A LONE
+    * quote character starts AND ends with the quote, so the reference
+    * slices t[1..0] and panics — our contract turns that into the
+    * typed error. */
   private def trimQuotesRef(s: String): String = {
     val t = s.trim
+    if (t == "\"" || t == "'") throw ParseException("unterminated string literal")
     if (t.length >= 2 &&
         ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
       t.substring(1, t.length - 1)
@@ -181,7 +210,8 @@ object Parser {
   private def usizeStr(s0: String): Option[Int] = {
     val s = s0.trim
     val digits = if (s.startsWith("+")) s.substring(1) else s
-    if (digits.nonEmpty && digits.forall(_.isDigit) &&
+    // ASCII digits only — Rust's usize parse rejects Unicode digits
+    if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9') &&
         BigInt(digits) <= BigInt("18446744073709551615"))
       Some(BigInt(digits).min(BigInt(Int.MaxValue)).toInt)
     else None
@@ -202,7 +232,7 @@ object Parser {
     if (s.startsWith("(")) {
       val pidx = s.indexOf(')')
       if (pidx >= 0) {
-        val after = s.substring(pidx + 1).toUpperCase
+        val after = upperAscii(s.substring(pidx + 1))
         if (truncateKws.exists(after.contains)) return s.substring(0, pidx + 1)
       }
     }
@@ -384,8 +414,8 @@ object Parser {
       else if (c == '"' && !inSq) { inDq = !inDq; i += 1 }
       else if (!inSq && !inDq && i + 3 <= n &&
           s.regionMatches(true, i, "AND", 0, 3) &&
-          (i == 0 || s(i - 1).isWhitespace) &&
-          (i + 3 >= n || s(i + 3).isWhitespace)) {
+          (i == 0 || isAsciiWs(s(i - 1))) &&
+          (i + 3 >= n || isAsciiWs(s(i + 3)))) {
         out += s.substring(start, i).trim
         start = i + 3
         i += 3
@@ -426,7 +456,7 @@ object Parser {
             rhs.substring(3, rhs.length - 1))
       }
     }
-    val up = c.toUpperCase
+    val up = upperAscii(c)
     def dotSplit(lhs: String): Option[(String, String)] = {
       val d = lhs.indexOf('.')
       if (d >= 0) Some((lhs.substring(0, d).trim, lhs.substring(d + 1).trim)) else None
@@ -477,7 +507,7 @@ object Parser {
     var limit: Option[Int] = None
     var go = true
     while (go) {
-      val up = working.toUpperCase
+      val up = upperAscii(working)
       val li = up.lastIndexOf(" LIMIT ")
       val peeledLimit = li >= 0 && (usizeStr(working.substring(li + 7)) match {
         case Some(n) => limit = Some(n); working = rtrim(working.substring(0, li)); true
@@ -507,7 +537,7 @@ object Parser {
     * quotes don't balance), else a variable (junk names never bind). */
   private def classifyItem(p0: String): Expr = {
     val p = p0.trim
-    if (p.toUpperCase.startsWith("ID(") && p.endsWith(")"))
+    if (upperAscii(p).startsWith("ID(") && p.endsWith(")"))
       Expr.Id(p.substring(3, p.length - 1).trim)
     else if (p.indexOf('.') >= 0) {
       val d = p.indexOf('.')
@@ -526,7 +556,7 @@ object Parser {
   private def parseOrderRegion(s: String): Seq[OrderKey] =
     s.split(",", -1).toSeq.map { part =>
       val p = part.trim
-      val pu = p.toUpperCase
+      val pu = upperAscii(p)
       var asc = true
       var exprStr = p
       val di = pu.lastIndexOf(" DESC")
@@ -541,7 +571,7 @@ object Parser {
       }
       val e = exprStr.trim
       val expr =
-        if (e.toUpperCase.startsWith("ID(") && e.endsWith(")"))
+        if (upperAscii(e).startsWith("ID(") && e.endsWith(")"))
           Expr.Id(e.substring(3, e.length - 1).trim)
         else if (e.indexOf('.') >= 0) {
           val d = e.indexOf('.')
@@ -555,34 +585,32 @@ object Parser {
     * folds into the items (zero-row junk), exactly like the reference. */
   private def parseTailBody(body0: String): (Seq[Expr], Seq[OrderKey], Option[Int], Option[Int]) = {
     val (working, skip, limit) = peelCounts(body0)
-    val oi = working.toUpperCase.lastIndexOf(" ORDER BY ")
+    val oi = upperAscii(working).lastIndexOf(" ORDER BY ")
     val (itemsPart, order) =
       if (oi >= 0) (working.substring(0, oi), parseOrderRegion(working.substring(oi + 10).trim))
       else (working, Seq.empty[OrderKey])
     (parseItemsRegion(itemsPart.trim), order, skip, limit)
   }
 
-  private def returnClause(body0: String, allowDistinct: Boolean): Clause = {
+  /** Shared RETURN/WITH clause builder: optional DISTINCT strip, then
+    * the peel/order/items body; `mk` picks the clause constructor. */
+  private def tailClause(body0: String, allowDistinct: Boolean,
+      mk: (Seq[Expr], Boolean, Seq[OrderKey], Option[Int], Option[Int]) => Clause): Clause = {
     var body = body0.trim
     var distinct = false
-    if (allowDistinct && body.toUpperCase.startsWith("DISTINCT ")) {
+    if (allowDistinct && upperAscii(body).startsWith("DISTINCT ")) {
       distinct = true
       body = body.substring(9).trim
     }
     val (items, order, skip, limit) = parseTailBody(body)
-    Clause.Return(items, distinct, order, skip, limit)
+    mk(items, distinct, order, skip, limit)
   }
 
-  private def withClause(body0: String, allowDistinct: Boolean): Clause = {
-    var body = body0.trim
-    var distinct = false
-    if (allowDistinct && body.toUpperCase.startsWith("DISTINCT ")) {
-      distinct = true
-      body = body.substring(9).trim
-    }
-    val (items, order, skip, limit) = parseTailBody(body)
-    Clause.With(items, distinct, order, skip, limit)
-  }
+  private def returnClause(body0: String, allowDistinct: Boolean): Clause =
+    tailClause(body0, allowDistinct, Clause.Return.apply)
+
+  private def withClause(body0: String, allowDistinct: Boolean): Clause =
+    tailClause(body0, allowDistinct, Clause.With.apply)
 
   // ----------------------- SET / REMOVE items ---------------------------
 
@@ -613,6 +641,10 @@ object Parser {
               else (lhs.trim, "")
             if (prop.isEmpty) None
             else {
+              // lone quote char: the reference's trim_quotes panics —
+              // our contract raises the typed error instead
+              if (rhs == "\"" || rhs == "'")
+                throw ParseException("unterminated string literal")
               val value =
                 if (rhs.length >= 2 &&
                     ((rhs.head == '"' && rhs.last == '"') || (rhs.head == '\'' && rhs.last == '\'')))
@@ -652,7 +684,7 @@ object Parser {
 
   def parse(statementText: String): Statement = {
     val q = statementText.trim
-    val up = q.toUpperCase
+    val up = upperAscii(q)
     if (up.startsWith("MATCH ") || up.startsWith("OPTIONAL MATCH "))
       parseMatchStatement(q, up.startsWith("OPTIONAL MATCH "))
     else if (up.startsWith("CREATE")) parseCreateStatement(q)
@@ -681,7 +713,7 @@ object Parser {
   private def parseMatchStatement(q: String, optional: Boolean): Statement = {
     val pstart = if (optional) 15 else 6
     val rest = q.substring(pstart).trim
-    val restUp = rest.toUpperCase
+    val restUp = upperAscii(rest)
 
     var wherePart: Option[String] = None
     var deferredSet: Option[Seq[String]] = None
@@ -691,7 +723,7 @@ object Parser {
       kwBoundary(restUp, "RETURN") match {
         case Some(i) =>
           val head = rest.substring(0, i)
-          val headUp = head.toUpperCase
+          val headUp = upperAscii(head)
           val wherePos = kwBoundary(headUp, "WHERE")
           val setPos = kwBoundary(headUp, "SET")
           val remPos = kwBoundary(headUp, "REMOVE")
@@ -700,7 +732,7 @@ object Parser {
           val patternsStr = head.substring(0, cut)
           wherePos.foreach { wi =>
             val wBody = stripKw(head.substring(wi), "WHERE")
-            val wUp = wBody.toUpperCase
+            val wUp = upperAscii(wBody)
             val wTrim = kwBoundary(wUp, "SET") match {
               case Some(si) => wBody.substring(0, si)
               case None => kwBoundary(wUp, "REMOVE") match {
@@ -712,7 +744,7 @@ object Parser {
           }
           setPos.foreach { si =>
             val sBody = stripKw(head.substring(si), "SET")
-            val sItems = kwBoundary(sBody.toUpperCase, "REMOVE") match {
+            val sItems = kwBoundary(upperAscii(sBody), "REMOVE") match {
               case Some(ri) => sBody.substring(0, ri)
               case None => sBody
             }
@@ -727,7 +759,7 @@ object Parser {
             case Some(i) =>
               val patternsStr = rest.substring(0, i)
               val wAndTail = stripKw(rest.substring(i), "WHERE")
-              val wUp = wAndTail.toUpperCase
+              val wUp = upperAscii(wAndTail)
               // tail search order INSIDE the where-body: RETURN, SET,
               // REMOVE, MERGE, CREATE, DETACH DELETE, DELETE — WITH is
               // absent, so a WITH after WHERE is eaten by the condition
@@ -783,7 +815,7 @@ object Parser {
                   // deferred AND tail-dispatched: the reference pushes
                   // the SET twice (idempotent when the items match)
                   val sBody = stripKw(rest.substring(i), "SET")
-                  val sItems = kwBoundary(sBody.toUpperCase, "REMOVE") match {
+                  val sItems = kwBoundary(upperAscii(sBody), "REMOVE") match {
                     case Some(ri) => sBody.substring(0, ri)
                     case None => sBody
                   }
@@ -802,19 +834,25 @@ object Parser {
           }
       }
 
-    // fallback: a WHERE with unusual placement still splits on its raw
-    // occurrence (cypher_spec.rs:445-451)
+    // fallback (cypher_spec.rs:445-451): when no tail keyword was
+    // found, the reference UNCONDITIONALLY re-splits at the first raw
+    // "WHERE" occurrence — overwriting the boundary-found where_part.
+    // Observable effects (probed): a lowercase `where` WITHOUT a
+    // RETURN gets its keyword stripped here (so the filter works,
+    // unlike the with-RETURN path), and `MATCH (somewhere)` errors as
+    // "invalid node pattern: (some" because the raw find lands inside
+    // the identifier.
     var patternsStr = patternsStr0
-    if (tail.isEmpty && wherePart.isEmpty) {
+    if (tail.isEmpty) {
       val i = restUp.indexOf("WHERE")
-      if (i >= 0 && deferredSet.isEmpty && deferredRemove.isEmpty) {
+      if (i >= 0) {
         wherePart = Some(rest.substring(i + 5).trim)
         patternsStr = rest.substring(0, i)
       }
     }
 
     // defensive region cut (cypher_spec.rs:455-461)
-    val patUp = patternsStr.toUpperCase
+    val patUp = upperAscii(patternsStr)
     var cut2 = patternsStr.length
     Seq(" DETACH DELETE ", " DELETE ", " RETURN ", " SET ", " REMOVE ").foreach { kw =>
       val i = patUp.indexOf(kw)
@@ -828,7 +866,7 @@ object Parser {
 
     tail.foreach { t0 =>
       val t = t0.trim
-      val tup = t.toUpperCase
+      val tup = upperAscii(t)
       if (tup.startsWith("RETURN "))
         clauses += returnClause(t.substring(7), allowDistinct = true)
       else if (tup.startsWith("WITH "))
@@ -845,7 +883,7 @@ object Parser {
         // SET .. RETURN ..: plain ` RETURN ` find; the trailing RETURN
         // takes NO modifiers in this path (cypher_spec.rs:610-626)
         val body = t.substring(4).trim
-        val ri = body.toUpperCase.indexOf(" RETURN ")
+        val ri = upperAscii(body).indexOf(" RETURN ")
         if (ri >= 0) {
           clauses ++= setClausesFromItems(splitTopLevelComma(body.substring(0, ri)))
           clauses += Clause.Return(parseItemsRegion(body.substring(ri + 8).trim),
@@ -853,7 +891,7 @@ object Parser {
         } else clauses ++= setClausesFromItems(splitTopLevelComma(body))
       } else if (tup.startsWith("REMOVE ")) {
         val body = t.substring(7).trim
-        val ri = body.toUpperCase.indexOf(" RETURN ")
+        val ri = upperAscii(body).indexOf(" RETURN ")
         if (ri >= 0) {
           clauses ++= removeClausesFromItems(splitTopLevelComma(body.substring(0, ri)))
           clauses += Clause.Return(parseItemsRegion(body.substring(ri + 8).trim),

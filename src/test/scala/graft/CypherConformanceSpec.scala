@@ -895,6 +895,20 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.execute("MATCH (n:Sl) WITH n RETURN n")
     }
     assert(e2.getMessage.contains("invalid node pattern"))
+
+    // the raw-WHERE fallback re-splits at the first raw "WHERE"
+    // occurrence when no tail clause was found: a lowercase `where`
+    // WITHOUT a RETURN gets its keyword stripped (the filter works,
+    // unlike the with-RETURN path above), and an identifier containing
+    // "where" poisons the whole statement (both probed)
+    val lw = s.execute("MATCH (n:Sl) where n.g = 'g2'").rows
+    assert(lw.map(_.properties("k")) == Seq("s2"))
+    val e3 = intercept[ParseException] { s.execute("MATCH (somewhere)") }
+    assert(e3.getMessage.contains("invalid node pattern: (some"))
+    val e4 = intercept[ParseException] {
+      s.execute("MATCH (nowhere) WHERE nowhere.g = 'g1'")
+    }
+    assert(e4.getMessage.contains("invalid node pattern: (no"))
   }
 
   // ENGINE-EXTENSION pin: chained hops in ONE path. The reference's

@@ -59,6 +59,12 @@ object FuzzProbe {
     "MATCH (a) ORDER BY RETURN a",        // order keys missing
     "MERGE (a:Person }name: 'Cyd'{)",     // reversed braces (slice order)
     "CREATE (}:Person {name: 'x'a)-[:K]->(b)", // stray '}' before '{'
+    "MATCH (n) RETURN ßß LIMIT 5", // ß: uppercase must not shift offsets
+    "MATCH (n) RETURN n ORDER BY ßß DESC", // ß in an order key
+    "MATCH (n) SET n.a = 'ß' RETURN n", // ß in a SET value
+    "MATCH (a) RETURN a LIMIT ٣",    // Arabic-Indic digit: usize rejects
+    "MATCH (n) RETURN \"",                // lone quote: reference panics, we type the error
+    "MATCH (n) WHERE n.x = '",            // lone quote in WHERE rhs
     "CREATE NODE label= props=",          // legacy empties
     "CREATE REL from=zz to=yy label=",    // invalid uuids
     "MATCH NODE where =",                 // empty legacy where
