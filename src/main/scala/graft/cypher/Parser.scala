@@ -399,29 +399,64 @@ object Parser {
 
   // ----------------------------- WHERE ----------------------------------
 
+  /** Rust's str::trim — Unicode White_Space, i.e. Zs/Zl/Zp plus the
+    * ASCII 0x09-0x0D range and U+0085. Java's String.trim (everything
+    * <= U+0020) would also strip control bytes the reference keeps. */
+  private def rustTrim(s: String): String = {
+    def ws(c: Char): Boolean =
+      Character.isSpaceChar(c) || (c >= 0x09 && c <= 0x0D) || c == 0x85
+    var a = 0
+    var b = s.length
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   /** split_where_and (cypher_spec.rs:965-998): quote-aware split on the
-    * bare word AND. */
+    * bare word AND. Mirrored at the BYTE level because the reference
+    * iterates `s.as_bytes()` but slices `&s[i..i+3]` at every unquoted
+    * position to look for AND — so any window endpoint landing inside a
+    * multi-byte UTF-8 char PANICS there (probed: `CONTAINS 'é'` dies —
+    * the é sits 2 bytes after the opening quote, still reachable by a
+    * window starting before it — while `= 'café'` is fine). Our
+    * contract maps that panic to the typed parse error; the alignment
+    * arithmetic below is exactly the reference's. */
   private def splitWhereAnd(s: String): Seq[String] = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    // a char boundary in UTF-8 = not a continuation byte (or string end)
+    def boundary(idx: Int): Boolean = idx >= n || (bytes(idx) & 0xC0) != 0x80
+    def asciiWs(b: Byte): Boolean =
+      b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0C || b == 0x0D
+    def sub(a: Int, b: Int): String =
+      new String(bytes, a, b - a, java.nio.charset.StandardCharsets.UTF_8)
     val out = Seq.newBuilder[String]
     var start = 0
     var i = 0
     var inSq = false
     var inDq = false
-    val n = s.length
     while (i < n) {
-      val c = s(i)
-      if (c == '\'' && !inDq) { inSq = !inSq; i += 1 }
-      else if (c == '"' && !inSq) { inDq = !inDq; i += 1 }
-      else if (!inSq && !inDq && i + 3 <= n &&
-          s.regionMatches(true, i, "AND", 0, 3) &&
-          (i == 0 || isAsciiWs(s(i - 1))) &&
-          (i + 3 >= n || isAsciiWs(s(i + 3)))) {
-        out += s.substring(start, i).trim
-        start = i + 3
-        i += 3
-      } else i += 1
+      val c = bytes(i)
+      if (c == '\''.toByte && !inDq) { inSq = !inSq; i += 1 }
+      else if (c == '"'.toByte && !inSq) { inDq = !inDq; i += 1 }
+      else {
+        if (!inSq && !inDq && i + 3 <= n) {
+          // the reference slices s[i..i+3] HERE, before any comparison
+          if (!boundary(i) || !boundary(i + 3))
+            throw ParseException(s"invalid WHERE expression: $s")
+          val isAnd = (bytes(i) | 0x20) == 'a'.toByte &&
+            (bytes(i + 1) | 0x20) == 'n'.toByte &&
+            (bytes(i + 2) | 0x20) == 'd'.toByte
+          if (isAnd && (i == 0 || asciiWs(bytes(i - 1))) &&
+              (i + 3 >= n || asciiWs(bytes(i + 3)))) {
+            out += rustTrim(sub(start, i))
+            start = i + 3
+            i += 3
+          } else i += 1
+        } else i += 1
+      }
     }
-    out += s.substring(start).trim
+    out += rustTrim(sub(start, n))
     out.result().filter(_.nonEmpty)
   }
 

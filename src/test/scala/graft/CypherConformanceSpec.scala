@@ -911,6 +911,33 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.getMessage.contains("invalid node pattern: (no"))
   }
 
+  // The reference's split_where_and iterates WHERE text byte-wise and
+  // slices `&s[i..i+3]` at every unquoted position to look for AND —
+  // so any 3-byte window whose endpoint lands inside a multi-byte
+  // UTF-8 char PANICS there (probed against the vendored executor:
+  // `CONTAINS 'é'` dies because the é sits only 2 bytes after the
+  // opening quote, still reachable by a window that starts before the
+  // quote; `= 'café'` survives because every window touching the é
+  // starts inside the quotes and is skipped). Our contract maps the
+  // panic to the typed parse error; the survivor must filter normally.
+  test("cypher_where_nonascii_byte_windows_match_reference_panics") {
+    val s = newSession()
+    s.execute("CREATE (:Wu {name:'café'}); CREATE (:Wu {name:'tea'})")
+    // survivor: é is 5 bytes past the opening quote
+    assert(s.execute("MATCH (a:Wu) WHERE a.name = 'café' RETURN a.name")
+      .rows.map(_.info) == Seq("café"))
+    // panic mirror: é within 2 bytes of its opening quote
+    val e1 = intercept[ParseException] {
+      s.execute("MATCH (a:Wu) WHERE a.name CONTAINS 'é' RETURN a.name")
+    }
+    assert(e1.getMessage.contains("invalid WHERE expression"))
+    // panic mirror: any multi-byte char outside quotes (U+00A0 here)
+    val e2 = intercept[ParseException] {
+      s.execute("MATCH (a:Wu), (b:Wu) WHERE id(a)\u00a0<\u00a0id(b) RETURN a.name")
+    }
+    assert(e2.getMessage.contains("invalid WHERE expression"))
+  }
+
   // ENGINE-EXTENSION pin: chained hops in ONE path. The reference's
   // parse_pattern mangles `(a)-[]->(b)-[]->(c)` into a garbage right
   // variable that never binds (everything after the first right-paren
