@@ -65,54 +65,117 @@ object LegacyParser {
     else throw ParseException(s"invalid uuid: $t")
   }
 
-  /** Legacy WHERE: AND-separated conditions (query_interface.rs:269-352).
+  /** The AND scan of parse_where_conds (query_interface.rs:269-296):
+    * byte-wise and quote-BLIND, boundaries are whitespace-or-')' before
+    * and whitespace-or-'(' after (so `,AND,` does NOT split — probed:
+    * `name="x,AND,y"` stays one condition). Like the Cypher
+    * split_where_and, the reference slices `&s[i..i+3]` at every
+    * position, so any multi-byte UTF-8 char panics it (probed:
+    * `name="café"` dies even though quoted — there is no quote
+    * exemption here); our contract maps that panic to the typed error.
+    * The prev/next chars are provably ASCII whenever AND matches (a
+    * multi-byte neighbor always hits an earlier panic window first), so
+    * byte checks suffice. */
+  private def splitAndConds(s: String): Seq[String] = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    def boundary(idx: Int): Boolean = idx >= n || (bytes(idx) & 0xC0) != 0x80
+    // char::is_whitespace on an ASCII char: 0x09-0x0D (incl. 0x0B) + space
+    def ws(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+    def sub(a: Int, b: Int): String =
+      new String(bytes, a, b - a, java.nio.charset.StandardCharsets.UTF_8)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < n) {
+      var split = false
+      if (i + 3 <= n) {
+        // the reference slices s[i..i+3] here, before any comparison
+        if (!boundary(i) || !boundary(i + 3))
+          throw ParseException(s"invalid WHERE conditions: $s")
+        val isAnd = (bytes(i) | 0x20) == 'a'.toByte &&
+          (bytes(i + 1) | 0x20) == 'n'.toByte &&
+          (bytes(i + 2) | 0x20) == 'd'.toByte
+        if (isAnd &&
+            (i == 0 || ws(bytes(i - 1)) || bytes(i - 1) == ')'.toByte) &&
+            (i + 3 >= n || ws(bytes(i + 3)) || bytes(i + 3) == '('.toByte)) {
+          out += Parser.rustTrim(sub(start, i))
+          i += 3
+          start = i
+          split = true
+        }
+      }
+      if (!split) i += 1
+    }
+    out += Parser.rustTrim(sub(start, n))
+    out.result()
+  }
+
+  /** Rust's str::trim_matches(c): strip ALL leading and ALL trailing
+    * occurrences of c, each end independently — `""v""` → v and the
+    * asymmetric `"v` → v both strip (probed: `WHERE name="Ada` matches
+    * the Ada node in the reference). */
+  private def trimMatches(s: String, c: Char): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == c) a += 1
+    while (b > a && s.charAt(b - 1) == c) b -= 1
+    s.substring(a, b)
+  }
+
+  private def unquote(s: String): String = trimMatches(trimMatches(s, '"'), '\'')
+
+  /** Legacy WHERE: AND-separated conditions (query_interface.rs:298-352).
     * The reference dispatches on the TRIMMED key after splitting at the
     * comparator, so spaced forms (`id = x`, `label = L`) still hit the
-    * id/label/from/to branches; HAS keys are quote-stripped; `!=` on
+    * id/label/from/to branches; HAS/label/meta values strip runs of `"`
+    * then `'` (trim_matches), uuid values strip only `"`; `!=` on
     * id/label/from/to is an explicit error. */
   def parseWhere(s: String): Seq[LegacyCond] =
-    s.split("(?i)\\bAND\\b").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
-      val u = c.toUpperCase
-      if (u.startsWith("HAS(") && c.endsWith(")"))
-        HasKey(unquote(c.substring(4, c.length - 1).trim))
-      else if (c.contains("!=")) {
+    splitAndConds(s).filter(_.nonEmpty).map { c =>
+      val u = Parser.upperAscii(c)
+      if (u.startsWith("HAS(") && c.endsWith(")")) {
+        val key = unquote(Parser.rustTrim(c.substring(4, c.length - 1)))
+        if (key.isEmpty) throw ParseException("WHERE has() requires a key")
+        HasKey(key)
+      } else if (c.contains("!=")) {
         val i = c.indexOf("!=")
-        val key = c.substring(0, i).trim
+        val key = Parser.rustTrim(c.substring(0, i))
         if (Seq("id", "label", "from", "to").exists(key.equalsIgnoreCase))
           throw ParseException("'!=' supported only for metadata keys")
         if (key.isEmpty) throw ParseException("missing key before !=")
-        KeyNe(key, unquote(c.substring(i + 2).trim))
+        KeyNe(key, unquote(Parser.rustTrim(c.substring(i + 2))))
       } else if (c.contains("=")) {
         val i = c.indexOf("=")
-        val key = c.substring(0, i).trim
-        val raw = c.substring(i + 1).trim
-        if (key.equalsIgnoreCase("id")) IdEq(requireUuid(stripDq(raw)))
-        else if (key.equalsIgnoreCase("from")) FromEq(requireUuid(stripDq(raw)))
-        else if (key.equalsIgnoreCase("to")) ToEq(requireUuid(stripDq(raw)))
+        val key = Parser.rustTrim(c.substring(0, i))
+        val raw = Parser.rustTrim(c.substring(i + 1))
+        if (key.equalsIgnoreCase("id")) IdEq(requireUuid(trimMatches(raw, '"')))
+        else if (key.equalsIgnoreCase("from")) FromEq(requireUuid(trimMatches(raw, '"')))
+        else if (key.equalsIgnoreCase("to")) ToEq(requireUuid(trimMatches(raw, '"')))
         else if (key.equalsIgnoreCase("label")) LabelEq(unquote(raw))
         else if (key.isEmpty) throw ParseException("missing key before =")
         else KeyEq(key, unquote(raw))
       } else throw ParseException(s"unrecognized WHERE condition: $c")
     }
 
-  /** The reference strips only double quotes around uuid values
-    * (query_interface.rs trim_matches('"') before Uuid::parse_str). */
-  private def stripDq(s: String): String = {
-    val t = s.trim
-    if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1) else t
-  }
-
-  private def unquote(s: String): String = {
-    val t = s.trim
-    if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
-      t.substring(1, t.length - 1)
-    else t
-  }
-
+  /** split_where (query_interface.rs:223-238): ` WHERE ` first, then
+    * the unspaced ` WHERE` fallback — so `Person WHEREid=x` parses and
+    * a trailing ` WHERE` yields no conditions. Quote-blind, like the
+    * reference; offsets computed on a length-preserving uppercase. */
   private def splitWhere(s: String): (String, Option[String]) = {
-    val i = s.toUpperCase.indexOf(" WHERE ")
-    if (i < 0) (s.trim, None)
-    else (s.substring(0, i).trim, Some(s.substring(i + 7).trim))
+    val up = Parser.upperAscii(s)
+    val i7 = up.indexOf(" WHERE ")
+    val (i, kwLen) =
+      if (i7 >= 0) (i7, 7)
+      else {
+        val i6 = up.indexOf(" WHERE")
+        if (i6 >= 0) (i6, 6) else (-1, 0)
+      }
+    if (i < 0) (Parser.rustTrim(s), None)
+    else {
+      val tail = Parser.rustTrim(s.substring(i + kwLen))
+      (Parser.rustTrim(s.substring(0, i)), if (tail.isEmpty) None else Some(tail))
+    }
   }
 
   /** `Label {props}` (CREATE NODE / MATCH NODE bodies). */

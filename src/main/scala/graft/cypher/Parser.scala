@@ -134,7 +134,7 @@ object Parser {
     * on the uppercased copy and applies them to the original — so the
     * uppercase must keep offsets stable for any input. Keywords are
     * ASCII, so this also matches the reference's intent. */
-  private def upperAscii(s: String): String = {
+  private[cypher] def upperAscii(s: String): String = {
     val a = new Array[Char](s.length)
     var i = 0
     while (i < s.length) {
@@ -402,7 +402,7 @@ object Parser {
   /** Rust's str::trim — Unicode White_Space, i.e. Zs/Zl/Zp plus the
     * ASCII 0x09-0x0D range and U+0085. Java's String.trim (everything
     * <= U+0020) would also strip control bytes the reference keeps. */
-  private def rustTrim(s: String): String = {
+  private[cypher] def rustTrim(s: String): String = {
     def ws(c: Char): Boolean =
       Character.isSpaceChar(c) || (c >= 0x09 && c <= 0x0D) || c == 0x85
     var a = 0

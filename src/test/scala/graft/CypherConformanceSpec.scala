@@ -911,6 +911,36 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.getMessage.contains("invalid node pattern: (no"))
   }
 
+  // Legacy WHERE mirrors parse_where_conds' byte scan and Rust's
+  // trim_matches (all probed on the vendored executor): quote strips
+  // are per-end runs (asymmetric `"Ada` and doubled `""Ada""` both
+  // strip), AND boundaries are whitespace-or-')' before and
+  // whitespace-or-'(' after (so `,AND,` does NOT split — the regex \b
+  // split used before this pin split there and then errored on the
+  // fragment), split_where falls back to an unspaced ` WHERE`, a bare
+  // trailing WHERE means no conditions, HAS() without a key errors,
+  // and the byte windows panic on ANY multi-byte char — the legacy
+  // scan has no quote exemption, unlike the Cypher one.
+  test("legacy_where_and_scan_and_trim_matches_mirror_reference") {
+    val s = newSession()
+    s.execute("CREATE NODE Person {name:\"Ada\"};")
+    assert(s.execute("MATCH NODE Person WHERE name=\"Ada;").rows.length == 1)
+    assert(s.execute("MATCH NODE Person WHERE name=\"\"Ada\"\";").rows.length == 1)
+    assert(s.execute("MATCH NODE Person WHERE name=\"x,AND,y\";").rows.isEmpty)
+    assert(s.execute(
+      "MATCH NODE Person WHERE label=Person AND(name=\"Ada\");").rows.isEmpty)
+    assert(s.execute("MATCH NODE Person WHEREname=\"Ada\";").rows.length == 1)
+    assert(s.execute("MATCH NODE Person WHERE;").rows.length == 1)
+    val e1 = intercept[ParseException] {
+      s.execute("MATCH NODE Person WHERE HAS();")
+    }
+    assert(e1.getMessage.contains("has() requires a key"))
+    val e2 = intercept[ParseException] {
+      s.execute("MATCH NODE Person WHERE name=\"café\";")
+    }
+    assert(e2.getMessage.contains("invalid WHERE conditions"))
+  }
+
   // The reference's split_where_and iterates WHERE text byte-wise and
   // slices `&s[i..i+3]` at every unquoted position to look for AND —
   // so any 3-byte window whose endpoint lands inside a multi-byte

@@ -50,9 +50,13 @@ object DiffFuzz {
   /** Line-protocol client for the external reference oracle. */
   final class RefOracle(binary: String) {
     private val proc = new ProcessBuilder(binary).start()
-    private val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
-    private val out = new java.io.PrintWriter(proc.getOutputStream, true)
+    // explicit UTF-8: the default charset can be POSIX-C on CI hosts,
+    // which silently mangles multi-byte chars to '?' — and the
+    // byte-window panic surface under test IS multi-byte input
+    private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
 
     def reset(): Unit = {
       out.println("RESET")
@@ -402,6 +406,13 @@ object DiffFuzz {
   private def normErr(e: String): String =
     if (e.startsWith("Cannot DELETE node")) "Cannot DELETE node #"
     else if (e.startsWith("invalid uuid")) "invalid uuid #" // id text is side-local
+    // the reference's byte-window slices (split_where_and /
+    // parse_where_conds) PANIC on multi-byte chars; the harness
+    // surfaces that as `panic: ... char boundary ...`, and the
+    // engine/model mirror it as a typed parse error — same contract
+    else if (e.startsWith("panic: ") && e.contains("char boundary")) "byte-window panic"
+    else if (e.startsWith("invalid WHERE expression:") ||
+             e.startsWith("invalid WHERE conditions:")) "byte-window panic"
     else e
 
   // ------------------------------------------------------------ driving
@@ -567,6 +578,27 @@ object DiffFuzz {
     checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = "${pick(rnd, Groups)}"""",
       Map.empty, mutates = false)
     checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE HAS("opt") AND g != "g2"""",
+      Map.empty, mutates = false)
+    // the byte-scan / trim_matches edge shapes mirrored from
+    // parse_where_conds + split_where: asymmetric and doubled quote
+    // runs, `,AND,` not splitting, `AND(`/`)AND` boundaries, unspaced
+    // ` WHERE` fallback, bare trailing WHERE, keyless HAS(), and the
+    // multi-byte panic window (no quote exemption in the legacy scan)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = "${pick(rnd, Groups)}""",
+      Map.empty, mutates = false)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = ""${pick(rnd, Groups)}""""",
+      Map.empty, mutates = false)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = "x,AND,y"""",
+      Map.empty, mutates = false)
+    checkStatement(
+      s"""MATCH NODE ${pick(rnd, Labels)} WHERE label = ${pick(rnd, Labels)} AND(g="g1")""",
+      Map.empty, mutates = false)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHEREg = "${pick(rnd, Groups)}"""",
+      Map.empty, mutates = false)
+    checkStatement(s"MATCH NODE ${pick(rnd, Labels)} WHERE", Map.empty, mutates = false)
+    checkStatement(s"MATCH NODE ${pick(rnd, Labels)} WHERE HAS()", Map.empty,
+      mutates = false)
+    checkStatement(s"""MATCH NODE ${pick(rnd, Labels)} WHERE g = "café"""",
       Map.empty, mutates = false)
     checkStatement(s"MATCH REL ${pick(rnd, RelTypes)}", Map.empty, mutates = false)
     checkStatement(
