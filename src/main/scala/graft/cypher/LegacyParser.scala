@@ -13,40 +13,47 @@ import Ast.LegacyCond._
 object LegacyParser {
   import Parser.ParseException
 
-  /** `{k:"v", k2:'w'}` → map; returns (map, restAfter). */
-  def parseProps(s: String): (Map[String, String], String) = {
-    val t = s.trim
-    if (!t.startsWith("{")) return (Map.empty, t)
-    var i = 1
-    val m = Map.newBuilder[String, String]
-    while (i < t.length && t(i) != '}') {
-      while (i < t.length && (t(i).isWhitespace || t(i) == ',')) i += 1
-      if (i < t.length && t(i) == '}') ()
-      else {
-        val keyStart = i
-        while (i < t.length && t(i) != ':') i += 1
-        if (i >= t.length) throw ParseException(s"bad props map: $s")
-        val key = t.substring(keyStart, i).trim
-        i += 1
-        while (i < t.length && t(i).isWhitespace) i += 1
-        val value =
-          if (i < t.length && (t(i) == '"' || t(i) == '\'')) {
-            val q = t(i); i += 1
-            val st = i
-            while (i < t.length && t(i) != q) i += 1
-            if (i >= t.length) throw ParseException(s"unterminated string in props: $s")
-            val v = t.substring(st, i); i += 1
-            v
-          } else {
-            val st = i
-            while (i < t.length && t(i) != ',' && t(i) != '}') i += 1
-            t.substring(st, i).trim
-          }
-        if (key.nonEmpty) m += key -> value
+  /** parse_keyvals (query_interface.rs:305-318): comma-split
+    * QUOTE-BLIND (a comma inside a quoted value splits — probed:
+    * `k:"a,b"` yields k=a plus a stray `b"`-keyed part), each part
+    * splitn(2, ':'); keys are only whitespace-trimmed (quotes and
+    * emptiness survive — `:"v"` inserts key ""), values strip runs of
+    * `"` then `'` per end (trim_matches, so the unpaired `k:Cv"` →
+    * Cv); a part with no ':' is the one error; empty parts skip;
+    * duplicate keys overwrite. */
+  def parseKeyvals(s: String): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    s.split(",", -1).foreach { part =>
+      val p = Parser.rustTrim(part)
+      if (p.nonEmpty) {
+        val i = p.indexOf(':')
+        if (i < 0) throw ParseException(s"missing value for $p")
+        val k = Parser.rustTrim(p.substring(0, i))
+        val v = unquote(Parser.rustTrim(p.substring(i + 1)))
+        m(k) = v
       }
     }
-    if (i >= t.length) throw ParseException(s"unterminated props map: $s")
-    (m.result(), t.substring(i + 1).trim)
+    m.toMap
+  }
+
+  /** parse_label_and_props (query_interface.rs:191-205): label is the
+    * rust-trimmed text before the FIRST '{' (or the whole rest when
+    * there is none — so a CREATE NODE label can swallow a whole WHERE
+    * clause, probed), props sit between that '{' and the LAST '}'.
+    * A missing '}' silently yields EMPTY props (no error, probed on
+    * `{k:"v` → zero props), and text after the '}' is ignored. */
+  def labelProps(rest: String): (String, Map[String, String]) = {
+    var label = Parser.rustTrim(rest)
+    var props = Map.empty[String, String]
+    val idx = rest.indexOf('{')
+    if (idx >= 0) {
+      label = Parser.rustTrim(rest.substring(0, idx))
+      val after = rest.substring(idx)
+      val end = after.lastIndexOf('}')
+      if (end >= 0) props = parseKeyvals(after.substring(1, end))
+    }
+    if (label.isEmpty) throw ParseException("missing label")
+    (label, props)
   }
 
   private val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
@@ -178,50 +185,76 @@ object LegacyParser {
     }
   }
 
-  /** `Label {props}` (CREATE NODE / MATCH NODE bodies). */
+  /** MATCH NODE / MATCH REL body: split_where FIRST (quote-blind),
+    * label+props from the head, conds from the tail — in that error
+    * order (exec_match_node, query_interface.rs:523-536). */
   private def labelAndProps(rest: String): (String, Map[String, String], Seq[LegacyCond]) = {
     val (head, whereOpt) = splitWhere(rest)
-    val t = head.trim
-    val brace = t.indexOf('{')
-    val (label, propsStr) =
-      if (brace >= 0) (t.substring(0, brace).trim, t.substring(brace))
-      else (t, "")
-    val props = if (propsStr.nonEmpty) parseProps(propsStr)._1 else Map.empty[String, String]
+    val (label, props) = labelProps(head)
     (label, props, whereOpt.map(parseWhere).getOrElse(Seq.empty))
   }
 
+  /** Rust's str::split_whitespace — Unicode-whitespace separated,
+    * empties skipped (Java's \\s regex is ASCII-only and would keep a
+    * U+00A0-joined token whole where the reference splits it). */
+  private def splitWhitespace(s: String): Seq[String] = {
+    def ws(c: Char): Boolean =
+      Character.isSpaceChar(c) || (c >= 0x09 && c <= 0x0D) || c == 0x85
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && ws(s.charAt(i))) i += 1
+      val st = i
+      while (i < s.length && !ws(s.charAt(i))) i += 1
+      if (i > st) out += s.substring(st, i)
+    }
+    out.result()
+  }
+
   def parse(stmt: String): LegacyCmd = {
-    val s = stmt.trim
+    val s = Parser.rustTrim(stmt)
     val u = s.toUpperCase
     if (u.startsWith("CREATE NODE ")) {
-      val (label, props, _) = labelAndProps(s.substring(12))
-      if (label.isEmpty) throw ParseException("CREATE NODE requires a label")
+      // exec_create_node (query_interface.rs:481-490): NO WHERE split —
+      // a trailing WHERE clause becomes part of the label (probed)
+      val (label, props) = labelProps(s.substring(12))
       CreateNode(label, props)
     } else if (u.startsWith("CREATE REL ")) {
-      // from=<uuid> to=<uuid> label=L {props}
-      val rest = s.substring(11).trim
-      val brace = rest.indexOf('{')
-      val head = if (brace >= 0) rest.substring(0, brace) else rest
-      val props = if (brace >= 0) parseProps(rest.substring(brace))._1 else Map.empty[String, String]
-      var from = ""; var to = ""; var label = ""
-      head.split("\\s+").foreach { tok =>
-        val tu = tok.toUpperCase
-        if (tu.startsWith("FROM=")) from = requireUuid(tok.substring(5))
-        else if (tu.startsWith("TO=")) to = requireUuid(tok.substring(3))
-        else if (tu.startsWith("LABEL=")) label = tok.substring(6)
+      // exec_create_rel (query_interface.rs:492-521): props need BOTH
+      // braces (else the brace text joins the token scan); text after
+      // the last '}' is dropped entirely; a '}' BEFORE the '{' panics
+      // the reference's slice (typed error here); an empty `label=`
+      // value is accepted; each missing part has its own error, checked
+      // from → to → label after uuid parse errors fire in token order.
+      var cursor = Parser.rustTrim(s.substring(11))
+      var props = Map.empty[String, String]
+      val bi = cursor.indexOf('{')
+      if (bi >= 0) {
+        val end = cursor.lastIndexOf('}')
+        if (end >= 0) {
+          if (end < bi + 1) throw ParseException(s"invalid properties block: $cursor")
+          props = parseKeyvals(cursor.substring(bi + 1, end))
+          cursor = cursor.substring(0, bi)
+        }
       }
-      if (from.isEmpty || to.isEmpty || label.isEmpty)
-        throw ParseException("CREATE REL requires from=, to=, label=")
-      CreateRel(from, to, label, props)
-    } else if (u.startsWith("MATCH NODE")) {
-      val (label, props, where) = labelAndProps(s.substring(10))
-      // parse_label_and_props errors on an empty label — there is no
-      // label-less legacy match (query_interface.rs:250-257)
-      if (label.isEmpty) throw ParseException("missing label")
+      var from: Option[String] = None
+      var to: Option[String] = None
+      var label: Option[String] = None
+      splitWhitespace(cursor).foreach { tok =>
+        val tu = tok.toUpperCase
+        if (tu.startsWith("FROM=")) from = Some(requireUuid(tok.substring(5)))
+        else if (tu.startsWith("TO=")) to = Some(requireUuid(tok.substring(3)))
+        else if (tu.startsWith("LABEL=")) label = Some(tok.substring(6))
+      }
+      val f = from.getOrElse(throw ParseException("missing from uuid"))
+      val t = to.getOrElse(throw ParseException("missing to uuid"))
+      val l = label.getOrElse(throw ParseException("missing label"))
+      CreateRel(f, t, l, props)
+    } else if (u.startsWith("MATCH NODE ")) {
+      val (label, props, where) = labelAndProps(s.substring(11))
       MatchNode(Some(label), props, where)
-    } else if (u.startsWith("MATCH REL")) {
-      val (label, props, where) = labelAndProps(s.substring(9))
-      if (label.isEmpty) throw ParseException("missing label")
+    } else if (u.startsWith("MATCH REL ")) {
+      val (label, props, where) = labelAndProps(s.substring(10))
       MatchRel(Some(label), props, where)
     } else if (u.startsWith("DELETE NODE ")) {
       DeleteNode(requireUuid(s.substring(12)))

@@ -403,7 +403,7 @@ object DiffFuzz {
     }
   }
 
-  private def normErr(e: String): String =
+  private[graft] def normErr(e: String): String =
     if (e.startsWith("Cannot DELETE node")) "Cannot DELETE node #"
     else if (e.startsWith("invalid uuid")) "invalid uuid #" // id text is side-local
     // the reference's byte-window slices (split_where_and /
