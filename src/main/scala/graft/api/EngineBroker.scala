@@ -58,8 +58,13 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
                 case Some(p) => session.executeWithParams(req.query, p)
                 case None => session.execute(req.query)
               }
-              queryLog.foreach(_.logQuery(req.query, ok = true,
-                out.affectedNodes, out.affectedRels, out.mutated))
+              // only the no-params route logs: main.rs:270-273 sends
+              // Some(params) to execute_query_with_params, which never
+              // calls log_query (_execute_and_log_with_params is dead
+              // code) — with-params queries stay out of the query log
+              if (req.params.isEmpty)
+                queryLog.foreach(_.logQuery(req.query, ok = true,
+                  out.affectedNodes, out.affectedRels, out.mutated))
               if (out.mutated) onMutation()
               Right(out)
             } catch {
@@ -74,8 +79,9 @@ class EngineBroker(session: GraphSession, logDir: Option[String] = None) {
               // draining. Only the interrupt (= stop()) exits the loop.
               case e: InterruptedException => throw e
               case e: Throwable =>
-                queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
-                  mutated = false, error = Some(e.getMessage)))
+                if (req.params.isEmpty)
+                  queryLog.foreach(_.logQuery(req.query, ok = false, 0, 0,
+                    mutated = false, error = Some(e.getMessage)))
                 Left(Option(e.getMessage).getOrElse(e.toString))
             }
           // a throwing transport callback (client gone, closed socket)

@@ -58,17 +58,26 @@ object LegacyParser {
 
   private val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
   private val simpleUuidRe = "^[0-9a-fA-F]{32}$".r
-  /** The reference parses ids with `Uuid::parse_str`, which accepts
-    * BOTH the hyphenated and the simple 32-hex form and normalizes
-    * them to one value — mirror by normalizing the simple form to
-    * hyphenated lowercase so id equality behaves like parsed-Uuid
-    * equality. */
+  /** The reference parses ids with `Uuid::parse_str` (uuid 1.19
+    * try_parse), which dispatches on exact length: simple 32-hex,
+    * hyphenated 8-4-4-4-12, braced `{hyphenated}` (38 — the inner form
+    * must be HYPHENATED, `{32hex}` is rejected), and
+    * `urn:uuid:hyphenated` (45, prefix case-insensitive per byte). All
+    * four normalize to one value — mirror by normalizing to hyphenated
+    * lowercase so id equality behaves like parsed-Uuid equality. */
   def requireUuid(s: String): String = {
-    val t = s.trim
+    val t = Parser.rustTrim(s)
+    def hyphen32(h: String): String =
+      (h.substring(0, 8) + "-" + h.substring(8, 12) + "-" + h.substring(12, 16) +
+        "-" + h.substring(16, 20) + "-" + h.substring(20)).toLowerCase
     if (uuidRe.findFirstIn(t).isDefined) t.toLowerCase
-    else if (simpleUuidRe.findFirstIn(t).isDefined)
-      (t.substring(0, 8) + "-" + t.substring(8, 12) + "-" + t.substring(12, 16) +
-        "-" + t.substring(16, 20) + "-" + t.substring(20)).toLowerCase
+    else if (simpleUuidRe.findFirstIn(t).isDefined) hyphen32(t)
+    else if (t.length == 38 && t.charAt(0) == '{' && t.charAt(37) == '}' &&
+        uuidRe.findFirstIn(t.substring(1, 37)).isDefined)
+      t.substring(1, 37).toLowerCase
+    else if (t.length == 45 && t.substring(0, 9).equalsIgnoreCase("urn:uuid:") &&
+        uuidRe.findFirstIn(t.substring(9)).isDefined)
+      t.substring(9).toLowerCase
     else throw ParseException(s"invalid uuid: $t")
   }
 
@@ -272,18 +281,24 @@ object LegacyParser {
     if (matchPos < 0) throw ParseException("invalid MATCH/MERGE statement")
     val mergePos = up.lastIndexOf(" MERGE ")
     if (mergePos < 0 || mergePos <= matchPos) throw ParseException("MATCH ... MERGE ... required")
-    val matchPart = stmt.substring(matchPos + 6, mergePos).trim
-    val mergePart = stmt.substring(mergePos + 7).trim
+    val matchPart = Parser.rustTrim(stmt.substring(matchPos + 6, mergePos))
+    val mergePart = Parser.rustTrim(stmt.substring(mergePos + 7))
 
     val (patternsPart, whereOpt) = splitWhere(matchPart)
-    val pats = patternsPart.split(",").map(_.trim).filter(_.nonEmpty)
-    if (pats.length != 2) throw ParseException("exactly two node patterns are supported")
+    // query_interface.rs:384-388: the reference walks the ','-split as an
+    // iterator (empty segments KEPT — Rust split never drops them, so the
+    // -1 limit here), failing "missing second pattern" on one segment and
+    // "only two node patterns are supported" on three or more, BEFORE any
+    // per-pattern validation runs
+    val pats = patternsPart.split(",", -1).map(Parser.rustTrim(_))
+    if (pats.length < 2) throw ParseException("missing second pattern")
+    if (pats.length > 2) throw ParseException("only two node patterns are supported")
     def parseVarLabel(p: String): (String, String) = {
       if (!p.startsWith("(") || !p.endsWith(")")) throw ParseException(s"invalid node pattern: $p")
       val inside = p.substring(1, p.length - 1)
       val col = inside.indexOf(':')
-      val (v, l) = if (col >= 0) (inside.substring(0, col).trim, inside.substring(col + 1).trim)
-        else (inside.trim, "")
+      val (v, l) = if (col >= 0) (Parser.rustTrim(inside.substring(0, col)), Parser.rustTrim(inside.substring(col + 1)))
+        else (Parser.rustTrim(inside), "")
       if (v.isEmpty) throw ParseException("variable name required in node pattern")
       (v, l)
     }
@@ -316,12 +331,12 @@ object LegacyParser {
         !mp.toUpperCase.contains("]->(") || !mp.endsWith(")"))
       throw ParseException("unsupported MERGE pattern; expected (a)-[:TYPE]->(b)")
     val leftEnd = mp.indexOf(')')
-    val leftVar = mp.substring(1, leftEnd).trim
+    val leftVar = Parser.rustTrim(mp.substring(1, leftEnd))
     val typeStart = mp.indexOf("[:", leftEnd) + 2
     val typeEnd = mp.indexOf(']', typeStart)
-    val relType = mp.substring(typeStart, typeEnd).trim
+    val relType = Parser.rustTrim(mp.substring(typeStart, typeEnd))
     val arrow = mp.indexOf("->(", typeEnd)
-    val rightVar = mp.substring(arrow + 3, mp.length - 1).trim
+    val rightVar = Parser.rustTrim(mp.substring(arrow + 3, mp.length - 1))
     def known(v: String): Unit =
       if (v != va && v != vb) throw ParseException(s"MERGE references unknown variable: $v")
     known(leftVar); known(rightVar)

@@ -175,7 +175,7 @@ object Parser {
     * slices t[1..0] and panics — our contract turns that into the
     * typed error. */
   private def trimQuotesRef(s: String): String = {
-    val t = s.trim
+    val t = rustTrim(s)
     if (t == "\"" || t == "'") throw ParseException("unterminated string literal")
     if (t.length >= 2 &&
         ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
@@ -194,12 +194,12 @@ object Parser {
       s(i) match {
         case '{' => level += 1
         case '}' => level -= 1
-        case ',' if level == 0 => out += s.substring(start, i).trim; start = i + 1
+        case ',' if level == 0 => out += rustTrim(s.substring(start, i)); start = i + 1
         case _ =>
       }
       i += 1
     }
-    out += s.substring(start).trim
+    out += rustTrim(s.substring(start))
     out.result()
   }
 
@@ -208,7 +208,7 @@ object Parser {
     * Int.MaxValue for storage (the reference's u64 LIMIT is effectively
     * unbounded there too). */
   private def usizeStr(s0: String): Option[Int] = {
-    val s = s0.trim
+    val s = rustTrim(s0)
     val digits = if (s.startsWith("+")) s.substring(1) else s
     // ASCII digits only — Rust's usize parse rejects Unicode digits
     if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9') &&
@@ -228,7 +228,7 @@ object Parser {
     Seq("WHERE", "RETURN", "DELETE", "DETACH DELETE", "CREATE", "MERGE", "SET ", "REMOVE ")
 
   private def defensiveTruncate(seg: String): String = {
-    val s = seg.trim
+    val s = rustTrim(seg)
     if (s.startsWith("(")) {
       val pidx = s.indexOf(')')
       if (pidx >= 0) {
@@ -283,7 +283,7 @@ object Parser {
   /** parse_node_pattern (cypher_spec.rs:106-139) string mirror: inner
     * junk becomes a garbage VARIABLE that never binds, not an error. */
   private def stringNodePattern(s0: String): NodePattern = {
-    val s = s0.trim
+    val s = rustTrim(s0)
     if (!s.startsWith("(") || !s.endsWith(")"))
       throw ParseException(s"invalid node pattern: $s")
     val inner = s.substring(1, s.length - 1)
@@ -297,7 +297,7 @@ object Parser {
         (inner.substring(0, b), Some(inner.substring(b + 1, e)))
       } else (inner, None)
     }
-    val trimmed = body.trim
+    val trimmed = rustTrim(body)
     var variable: Option[String] = None
     var label: Option[String] = None
     if (trimmed.isEmpty) ()
@@ -305,13 +305,13 @@ object Parser {
       val col = trimmed.indexOf(':')
       val dot = trimmed.indexOf('.')
       if (col >= 0) {
-        val v = trimmed.substring(0, col).trim
+        val v = rustTrim(trimmed.substring(0, col))
         if (v.nonEmpty) variable = Some(v)
-        val lab = trimmed.substring(col + 1).trim
+        val lab = rustTrim(trimmed.substring(col + 1))
         if (lab.nonEmpty) label = Some(lab)
       } else if (dot >= 0) {
-        val v = trimmed.substring(0, dot).trim
-        val lab = trimmed.substring(dot + 1).trim
+        val v = rustTrim(trimmed.substring(0, dot))
+        val lab = rustTrim(trimmed.substring(dot + 1))
         if (v.nonEmpty) variable = Some(v)
         if (lab.nonEmpty) label = Some(lab)
       } else variable = Some(trimmed)
@@ -326,7 +326,7 @@ object Parser {
       throw ParseException(s"invalid rel pattern: $s")
     val right = s.endsWith("]->")
     val mid = s.substring(2, s.length - (if (right) 3 else 2))
-    val rest = mid.trim
+    val rest = rustTrim(mid)
     val (beforeProps, propsBlock) = {
       val b = rest.indexOf('{')
       if (b >= 0) {
@@ -338,17 +338,23 @@ object Parser {
     }
     val star = beforeProps.lastIndexOf('*')
     val (head, rangePart) =
-      if (star >= 0) (beforeProps.substring(0, star).trim, Some(beforeProps.substring(star + 1).trim))
+      if (star >= 0) (rustTrim(beforeProps.substring(0, star)), Some(rustTrim(beforeProps.substring(star + 1))))
       else (beforeProps, None)
     var variable: Option[String] = None
     var typ: Option[String] = None
     val col = head.indexOf(':')
     if (col >= 0) {
-      val v = head.substring(0, col).trim
+      val v = rustTrim(head.substring(0, col))
       if (v.nonEmpty) variable = Some(v)
-      val t = head.substring(col + 1).trim
+      val t = rustTrim(head.substring(col + 1))
       if (t.nonEmpty) typ = Some(t)
-    } else if (head.trim.nonEmpty) variable = Some(head.trim)
+    } else if (head.nonEmpty) {
+      // UNTRIMMED, like the reference's `rp.var = Some(head.to_string())`
+      // (cypher_spec.rs:172): with props and no ':' the head keeps its
+      // trailing space — `-[r {w:'1'}]->` binds var "r " which a
+      // `RETURN r` never resolves (probed against the executor)
+      variable = Some(head)
+    }
     var varLen: Option[(Int, Int)] = None
     rangePart.foreach { rng =>
       if (rng.nonEmpty) {
@@ -359,10 +365,10 @@ object Parser {
           if (after.contains(".."))
             throw ParseException(s"invalid variable-length range: *$rng")
           val mn =
-            if (before.trim.isEmpty) 1
+            if (rustTrim(before).isEmpty) 1
             else usizeStr(before).getOrElse(throw ParseException(s"invalid min in *$rng"))
           val mx =
-            if (after.trim.isEmpty) 8
+            if (rustTrim(after).isEmpty) 8
             else usizeStr(after).getOrElse(throw ParseException(s"invalid max in *$rng"))
           varLen = Some((mn, mx))
         } else {
@@ -381,14 +387,14 @@ object Parser {
     * values quote-trimmed once; `$`-leading values act as parameters at
     * resolution time regardless of quoting. */
   private def stringProps(block: String): Map[String, PropValue] = {
-    val inner = block.trim
+    val inner = rustTrim(block)
     if (inner.isEmpty) return Map.empty
     val m = Map.newBuilder[String, PropValue]
     inner.split(",", -1).foreach { part =>
       val i = part.indexOf(':')
       if (i < 0) throw ParseException(s"invalid property: $part")
-      val k = part.substring(0, i).trim
-      val v = trimQuotesRef(part.substring(i + 1).trim)
+      val k = rustTrim(part.substring(0, i))
+      val v = trimQuotesRef(rustTrim(part.substring(i + 1)))
       m += k -> (if (v.startsWith("$")) PropValue.Param(v.substring(1)) else PropValue.Lit(v))
     }
     m.result()
@@ -402,14 +408,27 @@ object Parser {
   /** Rust's str::trim — Unicode White_Space, i.e. Zs/Zl/Zp plus the
     * ASCII 0x09-0x0D range and U+0085. Java's String.trim (everything
     * <= U+0020) would also strip control bytes the reference keeps. */
-  private[cypher] def rustTrim(s: String): String = {
-    def ws(c: Char): Boolean =
-      Character.isSpaceChar(c) || (c >= 0x09 && c <= 0x0D) || c == 0x85
+  /** Rust char::is_whitespace (Unicode White_Space): Zs/Zl/Zp plus the
+    * ASCII 0x09-0x0D range and U+0085. Differs from BOTH Java trims:
+    * String.trim also strips control bytes <= U+0020 (Rust keeps
+    * 0x00-0x08, 0x0E-0x1F) while keeping U+00A0/U+202F (Rust strips);
+    * Character.isWhitespace keeps U+00A0/U+2007/U+202F and strips
+    * 0x1C-0x1F. */
+  private[graft] def rustWs(c: Char): Boolean =
+    Character.isSpaceChar(c) || (c >= 0x09 && c <= 0x0D) || c == 0x85
+
+  private[graft] def rustTrim(s: String): String = {
     var a = 0
     var b = s.length
-    while (a < b && ws(s.charAt(a))) a += 1
-    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    while (a < b && rustWs(s.charAt(a))) a += 1
+    while (b > a && rustWs(s.charAt(b - 1))) b -= 1
     s.substring(a, b)
+  }
+
+  private[graft] def rustTrimEnd(s: String): String = {
+    var b = s.length
+    while (b > 0 && rustWs(s.charAt(b - 1))) b -= 1
+    s.substring(0, b)
   }
 
   /** split_where_and (cypher_spec.rs:965-998): quote-aware split on the
@@ -465,7 +484,7 @@ object Parser {
     * spaces included); else literal via resolve_param's trim +
     * quote-trim. */
   private def whereRhs(rhs0: String): PropValue = {
-    val rhs = rhs0.trim
+    val rhs = rustTrim(rhs0)
     if (rhs.startsWith("\"") || rhs.startsWith("'")) PropValue.Lit(trimQuotesRef(rhs))
     else if (rhs.startsWith("$")) PropValue.Param(rhs.substring(1))
     else PropValue.Lit(trimQuotesRef(rhs))
@@ -477,7 +496,7 @@ object Parser {
     * sub-parser tries every operator in ITS order and keeps going when
     * a found operator doesn't fit the form, like the reference loops. */
   private def classifyCond(c0: String): Cond = {
-    val c = c0.trim
+    val c = rustTrim(c0)
     // id(a) <op> id(b): compare on the whitespace-stripped text
     val s = c.replace('\n', ' ').split("\\s+").mkString("")
     Seq("<=", ">=", "<>", "<", ">", "=").foreach { op =>
@@ -494,20 +513,20 @@ object Parser {
     val up = upperAscii(c)
     def dotSplit(lhs: String): Option[(String, String)] = {
       val d = lhs.indexOf('.')
-      if (d >= 0) Some((lhs.substring(0, d).trim, lhs.substring(d + 1).trim)) else None
+      if (d >= 0) Some((rustTrim(lhs.substring(0, d)), rustTrim(lhs.substring(d + 1)))) else None
     }
     val ci = up.indexOf(" CONTAINS ")
-    if (ci >= 0) dotSplit(c.substring(0, ci).trim) match {
+    if (ci >= 0) dotSplit(rustTrim(c.substring(0, ci))) match {
       case Some((v, k)) => return Cond.Contains(v, k, whereRhs(c.substring(ci + 10)))
       case None =>
     }
     val si = up.indexOf(" STARTS WITH ")
-    if (si >= 0) dotSplit(c.substring(0, si).trim) match {
+    if (si >= 0) dotSplit(rustTrim(c.substring(0, si))) match {
       case Some((v, k)) => return Cond.StartsWith(v, k, whereRhs(c.substring(si + 13)))
       case None =>
     }
     val ei = up.indexOf(" ENDS WITH ")
-    if (ei >= 0) dotSplit(c.substring(0, ei).trim) match {
+    if (ei >= 0) dotSplit(rustTrim(c.substring(0, ei))) match {
       case Some((v, k)) => return Cond.EndsWith(v, k, whereRhs(c.substring(ei + 11)))
       case None =>
     }
@@ -516,7 +535,7 @@ object Parser {
     Seq("<=", ">=", "<>", "=", "<", ">").foreach { op =>
       val i = c.indexOf(op)
       if (i >= 0) {
-        dotSplit(c.substring(0, i).trim) match {
+        dotSplit(rustTrim(c.substring(0, i))) match {
           case Some((v, k)) => return Cond.PropCmp(v, k, op, whereRhs(c.substring(i + op.length)))
           case None =>
         }
@@ -560,23 +579,20 @@ object Parser {
     (working, skip, limit)
   }
 
-  private def rtrim(s: String): String = {
-    var e = s.length
-    while (e > 0 && s(e - 1).isWhitespace) e -= 1
-    s.substring(0, e)
-  }
+  // Rust str::trim_end — the peel's `working[..idx].trim_end()`
+  private def rtrim(s: String): String = rustTrimEnd(s)
 
   /** parse_return_items (cypher_spec.rs:279-297) mirror: split on ALL
     * commas; per segment: `id(..)` → id, first '.' → prop (junk keys
     * never resolve), leading quote → string literal (raw text when the
     * quotes don't balance), else a variable (junk names never bind). */
   private def classifyItem(p0: String): Expr = {
-    val p = p0.trim
+    val p = rustTrim(p0)
     if (upperAscii(p).startsWith("ID(") && p.endsWith(")"))
-      Expr.Id(p.substring(3, p.length - 1).trim)
+      Expr.Id(rustTrim(p.substring(3, p.length - 1)))
     else if (p.indexOf('.') >= 0) {
       val d = p.indexOf('.')
-      Expr.Prop(p.substring(0, d).trim, p.substring(d + 1).trim)
+      Expr.Prop(rustTrim(p.substring(0, d)), rustTrim(p.substring(d + 1)))
     } else if (p.startsWith("\"") || p.startsWith("'"))
       Expr.StrLit(trimQuotesRef(p))
     else Expr.Var(p)
@@ -590,28 +606,33 @@ object Parser {
     * (a quoted key becomes an unbound variable → constant ""). */
   private def parseOrderRegion(s: String): Seq[OrderKey] =
     s.split(",", -1).toSeq.map { part =>
-      val p = part.trim
+      val p = rustTrim(part)
       val pu = upperAscii(p)
       var asc = true
       var exprStr = p
       val di = pu.lastIndexOf(" DESC")
       if (di >= 0) {
-        if (di + 5 == p.length || p.substring(di + 5).trim.isEmpty) {
+        if (di + 5 == p.length || rustTrim(p.substring(di + 5)).isEmpty) {
           asc = false; exprStr = p.substring(0, di)
         }
       } else {
         val ai = pu.lastIndexOf(" ASC")
-        if (ai >= 0 && (ai + 4 == p.length || p.substring(ai + 4).trim.isEmpty))
+        if (ai >= 0 && (ai + 4 == p.length || rustTrim(p.substring(ai + 4)).isEmpty))
           exprStr = p.substring(0, ai)
       }
-      val e = exprStr.trim
+      // classify the UNTRIMMED slice: the reference checks
+      // `expr_str.ends_with(')')` on the raw cut (cypher_spec.rs:317),
+      // so "id(n)  DESC" (trailing space before DESC) is a
+      // never-binding Var — constant sort key — not Expr::FuncId;
+      // only the Var branch trims (cypher_spec.rs:325)
+      val e = exprStr
       val expr =
         if (upperAscii(e).startsWith("ID(") && e.endsWith(")"))
-          Expr.Id(e.substring(3, e.length - 1).trim)
+          Expr.Id(rustTrim(e.substring(3, e.length - 1)))
         else if (e.indexOf('.') >= 0) {
           val d = e.indexOf('.')
-          Expr.Prop(e.substring(0, d).trim, e.substring(d + 1).trim)
-        } else Expr.Var(e)
+          Expr.Prop(rustTrim(e.substring(0, d)), rustTrim(e.substring(d + 1)))
+        } else Expr.Var(rustTrim(e))
       OrderKey(expr, asc)
     }
 
@@ -622,20 +643,20 @@ object Parser {
     val (working, skip, limit) = peelCounts(body0)
     val oi = upperAscii(working).lastIndexOf(" ORDER BY ")
     val (itemsPart, order) =
-      if (oi >= 0) (working.substring(0, oi), parseOrderRegion(working.substring(oi + 10).trim))
+      if (oi >= 0) (working.substring(0, oi), parseOrderRegion(rustTrim(working.substring(oi + 10))))
       else (working, Seq.empty[OrderKey])
-    (parseItemsRegion(itemsPart.trim), order, skip, limit)
+    (parseItemsRegion(rustTrim(itemsPart)), order, skip, limit)
   }
 
   /** Shared RETURN/WITH clause builder: optional DISTINCT strip, then
     * the peel/order/items body; `mk` picks the clause constructor. */
   private def tailClause(body0: String, allowDistinct: Boolean,
       mk: (Seq[Expr], Boolean, Seq[OrderKey], Option[Int], Option[Int]) => Clause): Clause = {
-    var body = body0.trim
+    var body = rustTrim(body0)
     var distinct = false
     if (allowDistinct && upperAscii(body).startsWith("DISTINCT ")) {
       distinct = true
-      body = body.substring(9).trim
+      body = rustTrim(body.substring(9))
     }
     val (items, order, skip, limit) = parseTailBody(body)
     mk(items, distinct, order, skip, limit)
@@ -656,24 +677,24 @@ object Parser {
     * trimmed); malformed items are silently skipped. */
   private def setClausesFromItems(items: Seq[String]): Seq[Clause] =
     items.flatMap { raw =>
-      val s = raw.trim
+      val s = rustTrim(raw)
       if (s.isEmpty) None
       else {
         val col = s.indexOf(':')
         if (col >= 0) {
-          val label = s.substring(col + 1).trim
+          val label = rustTrim(s.substring(col + 1))
           if (label.isEmpty) None
-          else Some(Clause.SetLabel(s.substring(0, col).trim, label))
+          else Some(Clause.SetLabel(rustTrim(s.substring(0, col)), label))
         } else {
           val eq = s.indexOf('=')
           if (eq < 0) None
           else {
             val lhs = s.substring(0, eq)
-            val rhs = s.substring(eq + 1).trim
+            val rhs = rustTrim(s.substring(eq + 1))
             val d = lhs.indexOf('.')
             val (v, prop) =
-              if (d >= 0) (lhs.substring(0, d).trim, lhs.substring(d + 1).trim)
-              else (lhs.trim, "")
+              if (d >= 0) (rustTrim(lhs.substring(0, d)), rustTrim(lhs.substring(d + 1)))
+              else (rustTrim(lhs), "")
             if (prop.isEmpty) None
             else {
               // lone quote char: the reference's trim_quotes panics —
@@ -696,14 +717,14 @@ object Parser {
     * var from key; anything else is silently skipped. */
   private def removeClausesFromItems(items: Seq[String]): Seq[Clause] =
     items.flatMap { raw =>
-      val s = raw.trim
+      val s = rustTrim(raw)
       val d = s.indexOf('.')
       if (s.isEmpty || d < 0) None
-      else Some(Clause.RemoveProp(s.substring(0, d).trim, s.substring(d + 1).trim))
+      else Some(Clause.RemoveProp(rustTrim(s.substring(0, d)), rustTrim(s.substring(d + 1))))
     }
 
   private def deleteClause(varsStr: String, detach: Boolean): Clause =
-    Clause.Delete(splitTopLevelComma(varsStr).map(_.trim).filter(_.nonEmpty), detach)
+    Clause.Delete(splitTopLevelComma(varsStr).map(rustTrim(_)).filter(_.nonEmpty), detach)
 
   // --------------------------- statement --------------------------------
 
@@ -712,23 +733,24 @@ object Parser {
     * keywords stay in the body (cypher_spec.rs:362, 376, 386). */
   private def stripKw(s: String, kw: String): String =
     if (s.startsWith(kw)) {
+      // strip_prefix(..).trim_start() — Rust whitespace, not Java's
       var i = kw.length
-      while (i < s.length && s(i).isWhitespace) i += 1
+      while (i < s.length && rustWs(s(i))) i += 1
       s.substring(i)
     } else s
 
   def parse(statementText: String): Statement = {
-    val q = statementText.trim
+    val q = rustTrim(statementText)
     val up = upperAscii(q)
     if (up.startsWith("MATCH ") || up.startsWith("OPTIONAL MATCH "))
       parseMatchStatement(q, up.startsWith("OPTIONAL MATCH "))
     else if (up.startsWith("CREATE")) parseCreateStatement(q)
     else if (up.startsWith("MERGE "))
-      Statement(Seq(Clause.Merge(parsePatternSegment(q.substring(6).trim))))
+      Statement(Seq(Clause.Merge(parsePatternSegment(rustTrim(q.substring(6))))))
     else if (up.startsWith("WITH "))
       // standalone WITH: no DISTINCT handling in this branch
       // (cypher_spec.rs:686-712); the router rejects it anyway
-      Statement(Seq(withClause(q.substring(5).trim, allowDistinct = false)))
+      Statement(Seq(withClause(rustTrim(q.substring(5)), allowDistinct = false)))
     else if (up.startsWith("SET "))
       Statement(setClausesFromItems(splitTopLevelComma(q.substring(4))))
     else if (up.startsWith("REMOVE "))
@@ -747,7 +769,7 @@ object Parser {
     * this ordering. */
   private def parseMatchStatement(q: String, optional: Boolean): Statement = {
     val pstart = if (optional) 15 else 6
-    val rest = q.substring(pstart).trim
+    val rest = rustTrim(q.substring(pstart))
     val restUp = upperAscii(rest)
 
     var wherePart: Option[String] = None
@@ -775,7 +797,7 @@ object Parser {
                 case None => wBody
               }
             }
-            wherePart = Some(wTrim.trim)
+            wherePart = Some(rustTrim(wTrim))
           }
           setPos.foreach { si =>
             val sBody = stripKw(head.substring(si), "SET")
@@ -881,7 +903,7 @@ object Parser {
     if (tail.isEmpty) {
       val i = restUp.indexOf("WHERE")
       if (i >= 0) {
-        wherePart = Some(rest.substring(i + 5).trim)
+        wherePart = Some(rustTrim(rest.substring(i + 5)))
         patternsStr = rest.substring(0, i)
       }
     }
@@ -895,21 +917,21 @@ object Parser {
     }
     val clauses = Seq.newBuilder[Clause]
     clauses += Clause.Match(parsePatternsRegion(patternsStr.substring(0, cut2)), optional)
-    wherePart.foreach(w => clauses += parseWhereRegion(w.trim))
+    wherePart.foreach(w => clauses += parseWhereRegion(rustTrim(w)))
     deferredSet.foreach(items => clauses ++= setClausesFromItems(items))
     deferredRemove.foreach(items => clauses ++= removeClausesFromItems(items))
 
     tail.foreach { t0 =>
-      val t = t0.trim
+      val t = rustTrim(t0)
       val tup = upperAscii(t)
       if (tup.startsWith("RETURN "))
         clauses += returnClause(t.substring(7), allowDistinct = true)
       else if (tup.startsWith("WITH "))
         clauses += withClause(t.substring(5), allowDistinct = true)
       else if (tup.startsWith("CREATE "))
-        clauses += Clause.Create(parsePatternsRegion(t.substring(6).trim))
+        clauses += Clause.Create(parsePatternsRegion(rustTrim(t.substring(6))))
       else if (tup.startsWith("MERGE "))
-        clauses += Clause.Merge(parsePatternSegment(t.substring(6).trim))
+        clauses += Clause.Merge(parsePatternSegment(rustTrim(t.substring(6))))
       else if (tup.startsWith("DELETE "))
         clauses += deleteClause(t.substring(7), detach = false)
       else if (tup.startsWith("DETACH DELETE "))
@@ -917,19 +939,19 @@ object Parser {
       else if (tup.startsWith("SET ")) {
         // SET .. RETURN ..: plain ` RETURN ` find; the trailing RETURN
         // takes NO modifiers in this path (cypher_spec.rs:610-626)
-        val body = t.substring(4).trim
+        val body = rustTrim(t.substring(4))
         val ri = upperAscii(body).indexOf(" RETURN ")
         if (ri >= 0) {
           clauses ++= setClausesFromItems(splitTopLevelComma(body.substring(0, ri)))
-          clauses += Clause.Return(parseItemsRegion(body.substring(ri + 8).trim),
+          clauses += Clause.Return(parseItemsRegion(rustTrim(body.substring(ri + 8))),
             distinct = false, Seq.empty, None, None)
         } else clauses ++= setClausesFromItems(splitTopLevelComma(body))
       } else if (tup.startsWith("REMOVE ")) {
-        val body = t.substring(7).trim
+        val body = rustTrim(t.substring(7))
         val ri = upperAscii(body).indexOf(" RETURN ")
         if (ri >= 0) {
           clauses ++= removeClausesFromItems(splitTopLevelComma(body.substring(0, ri)))
-          clauses += Clause.Return(parseItemsRegion(body.substring(ri + 8).trim),
+          clauses += Clause.Return(parseItemsRegion(rustTrim(body.substring(ri + 8))),
             distinct = false, Seq.empty, None, None)
         } else clauses ++= removeClausesFromItems(splitTopLevelComma(body))
       }
@@ -946,7 +968,7 @@ object Parser {
     * DISTINCT. A lowercase ` return ` stays inside the pattern region,
     * where the defensive truncation silently drops it. */
   private def parseCreateStatement(q: String): Statement = {
-    val body = q.substring(6).trim
+    val body = rustTrim(q.substring(6))
     val ri = body.indexOf(" RETURN ")
     val (pats, retPart) =
       if (ri >= 0) (body.substring(0, ri), Some(body.substring(ri + 8)))
@@ -1044,6 +1066,13 @@ object Parser {
           case Some(Tok.Ident(_)) => variable = Some(ident())
           case _ =>
         }
+        // `-[r {..}]` (var + props, NO ':' type): the reference binds
+        // the var UNTRIMMED including the whitespace before '{'
+        // (cypher_spec.rs:172), a name later clauses can never
+        // resolve — whitespace is gone at token level, so defer to the
+        // string mirror for the exact behavior
+        if (variable.isDefined && peekSym("{"))
+          throw ParseException("rel var with props but no type: string mirror handles")
         if (tryTakeSym(":")) typ = Some(ident())
         if (tryTakeSym("*")) {
           // *n | *min..max | *..max | *min.. | *; bounds are usize

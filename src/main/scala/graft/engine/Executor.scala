@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.core.Materialize.GraftMaterializeOps
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -592,8 +592,13 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         // bound node vars, else rows are skipped (M2, cypher_spec.rs:1331-1348)
         p.rels.indices.foreach { i =>
           val (l, rel, r) = (p.nodes(i), p.rels(i), p.nodes(i + 1))
-          val lOk = l.variable.exists(kinds.contains)
-          val rOk = r.variable.exists(kinds.contains)
+          // endpoints must be NODE-bound vars: the reference's per-row
+          // loop matches Some(Val::NodeId(id)) and `continue`s on
+          // anything else (cypher_spec.rs:1335-1336) — a rel-bound var
+          // skips the row BEFORE prop/param resolution, so no edge is
+          // created and a missing $param never errors
+          val lOk = l.variable.exists(v => kinds.get(v).contains(NodeKind))
+          val rOk = r.variable.exists(v => kinds.get(v).contains(NodeKind))
           // rel-prop params resolve per ROW in the reference
           // (cypher_spec.rs:1339): with zero binding rows a missing
           // param is never reached, nothing is created, and the
@@ -631,12 +636,23 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     if (path.rels.size != 1)
       throw ParseException("MERGE currently supports only single relationship patterns")
     val (l, rel, r) = (path.nodes.head, path.rels.head, path.nodes(1))
-    val lOk = l.variable.exists(kinds.contains)
-    val rOk = r.variable.exists(kinds.contains)
+    // NODE-bound endpoints only: the reference matches
+    // Some(Val::NodeId(id)) per row and `continue`s otherwise
+    // (cypher_spec.rs:1356-1357), dropping the row BEFORE any prop
+    // resolution — so rel-bound vars never create and never raise
+    val lOk = l.variable.exists(v => kinds.get(v).contains(NodeKind))
+    val rOk = r.variable.exists(v => kinds.get(v).contains(NodeKind))
     if (!lOk || !rOk) {
       // reference: rows without both endpoints bound are dropped and
       // rows := new_rows unconditionally (cypher_spec.rs:1384)
       return (binding.limit(0), g0)
+    }
+    // props resolve per ROW in the reference (cypher_spec.rs:1366,1372):
+    // a missing $param only errors if at least one row survives the
+    // endpoint filter; with zero rows MERGE succeeds with empty rows
+    rel.props.collectFirst { case (_, v) if isMissingParam(v) => v }.foreach { bad =>
+      if (binding.limit(1).count() > 0) missingParamError(bad)
+      else return (binding.limit(0), g0)
     }
     val lv = l.variable.get
     val rv = r.variable.get
@@ -781,8 +797,10 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     orderBy.zipWithIndex.foreach { case (OrderKey(e, _), i) =>
       val kc = s"__ok$i"
       e match {
-        case Expr.Var(v) if kinds.contains(v) => b = b.withColumn(kc, col(v))
-        case Expr.Id(v) if kinds.contains(v) => b = b.withColumn(kc, col(v))
+        case Expr.Var(v) if kinds.contains(v) =>
+          b = b.withColumn(kc, coalesce(col(v), lit("")))
+        case Expr.Id(v) if kinds.contains(v) =>
+          b = b.withColumn(kc, coalesce(col(v), lit("")))
         case Expr.Prop(v, key) if kinds.get(v).contains(NodeKind) =>
           b = withProps(g, b, v)
           b = b.withColumn(kc, coalesce(col(s"${v}__props")(key), lit("")))
@@ -791,14 +809,76 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       }
       keyCols += kc
     }
-    // numeric-when-both-parse else string (O1, cypher_spec.rs:1478-1497):
-    // approximated with a (numeric, string) two-level key per ORDER key
-    val sortExprs = orderBy.zipWithIndex.flatMap { case (OrderKey(_, asc), i) =>
-      val num = col(s"__ok$i").try_cast("double")
-      val str = col(s"__ok$i")
-      if (asc) Seq(num.asc_nulls_last, str.asc) else Seq(num.desc_nulls_last, str.desc)
+    // numeric-when-both-parse else string, per PAIR (O1, cypher_spec.rs
+    // :1191-1209 / :1478-1497). A pairwise comparator is not a Spark sort
+    // key in general: a digit-initial non-numeric key ("1001?") string-
+    // interleaves BETWEEN numerics, and a sign/dot-initial numeric
+    // ("-5") string-compares below digit strings. But when neither shape
+    // is present — the overwhelmingly common case: keys are plain digit
+    // strings, "" (the missing-prop default), or non-digit-initial
+    // strings — the reference's order is exactly the three-bucket total
+    // order below: strings below "0" (incl. "" — string compare puts
+    // them FIRST ascending), then numerics by value, then strings above.
+    // One cheap probe job (pushed filter + limit 1) decides; keys with
+    // either shape fall back to a driver-side sort with the literal
+    // pairwise comparator, bounded by the same result cap that guards
+    // every ORDER BY surface (the reference materializes all rows too).
+    // Numeric detection mirrors Rust f64::from_str (no whitespace trim,
+    // which Spark's cast would otherwise do; inf/nan handled only on the
+    // exact path — the probe routes them there).
+    val numRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    val keyExact = keyCols.map { kc =>
+      val str = col(kc)
+      val isNum = str.rlike(numRe)
+      val digitLead = substring(str, 1, 1).between("0", "9")
+      (isNum && !digitLead) || (!isNum && str =!= lit("") && digitLead) ||
+        str.rlike("(?i)^[+-]?(inf(inity)?|nan)$")
+    }.reduce(_ || _)
+    val bucketedIsExact = b.filter(keyExact).limit(1).count() == 0
+
+    if (bucketedIsExact) {
+      val sortExprs = orderBy.zipWithIndex.flatMap { case (OrderKey(_, asc), i) =>
+        val str = col(s"__ok$i")
+        val isNum = str.rlike(numRe)
+        val num = when(isNum, str.try_cast("double"))
+        val bucket = when(isNum, lit(1))
+          .when(str === lit("") || substring(str, 1, 1) < lit("0"), lit(0))
+          .otherwise(lit(2))
+        if (asc) Seq(bucket.asc, num.asc_nulls_first, str.asc)
+        else Seq(bucket.desc, num.desc_nulls_last, str.desc)
+      }
+      (b.orderBy(sortExprs: _*), keyCols.toSeq)
+    } else {
+      // exact pairwise mirror, driver-side under the result cap. When
+      // the comparator is a strict total order on the key set, any
+      // correct sort yields the reference's unique order; when it has
+      // ties or cycles the reference's own output tracks its per-process
+      // HashMap iteration order and is irreproducible in principle.
+      val collected = collectCapped(b)
+      val keyIdx = keyCols.map(b.schema.fieldIndex(_)).toArray
+      val ascs = orderBy.map(_.ascending).toArray
+      val cmp: (Row, Row) => Int = { (x, y) =>
+        var ord = 0
+        var i = 0
+        while (ord == 0 && i < keyIdx.length) {
+          val a = Option(x.getString(keyIdx(i))).getOrElse("")
+          val c = Option(y.getString(keyIdx(i))).getOrElse("")
+          val o0 = (CypherExecutor.rustF64(a), CypherExecutor.rustF64(c)) match {
+            case (Some(na), Some(nc)) =>
+              // partial_cmp(...).unwrap_or(Equal): NaN compares Equal
+              if (na.isNaN || nc.isNaN) 0 else java.lang.Double.compare(na, nc)
+            case _ => CypherExecutor.rustStrCmp(a, c)
+          }
+          ord = if (ascs(i)) o0 else -o0
+          i += 1
+        }
+        ord
+      }
+      val sorted = CypherExecutor.stableMergeSort(collected, cmp)
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(sorted: _*), b.schema)
+      (df, keyCols.toSeq)
     }
-    (b.orderBy(sortExprs: _*), keyCols.toSeq)
   }
 
   private def execReturn(g: PropertyGraph, binding0: DataFrame, items: Seq[Expr],
@@ -906,5 +986,66 @@ object CypherExecutor {
       throw ParseException(
         s"Result exceeds spark.graft.maxResultRows=$cap rows; add LIMIT or raise the cap")
     rows
+  }
+
+  /** Rust `f64::from_str` mirror for the ORDER BY dual compare: no
+    * whitespace trimming (unlike Spark's cast), accepts `inf`/
+    * `infinity`/`nan` case-insensitively and `3.` / `.5` forms. */
+  private val RustF64Re =
+    "(?i)^[+-]?(inf(inity)?|nan|([0-9]+\\.?[0-9]*|\\.[0-9]+)(e[+-]?[0-9]+)?)$".r
+  private[graft] def rustF64(s: String): Option[Double] = s match {
+    case RustF64Re(_*) =>
+      val neg = s.startsWith("-")
+      val body = s.stripPrefix("+").stripPrefix("-").toLowerCase
+      val v =
+        if (body.startsWith("inf")) Double.PositiveInfinity
+        else if (body == "nan") Double.NaN
+        else body.toDouble
+      Some(if (neg) -v else v)
+    case _ => None
+  }
+
+  /** Rust `String` cmp is UTF-8 byte order == code point order; Java's
+    * compareTo is UTF-16 unit order, which disagrees above U+FFFF. */
+  private[graft] def rustStrCmp(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  /** Bottom-up stable merge sort that — unlike java.util TimSort —
+    * never throws on a comparator that violates transitivity: the
+    * reference's pairwise dual compare can cycle on adversarial keys,
+    * where its own Rust sort output is merge-order-dependent anyway. */
+  private[graft] def stableMergeSort(
+      arr: Array[Row], cmp: (Row, Row) => Int): Array[Row] = {
+    var src = arr.clone()
+    var dst = new Array[Row](arr.length)
+    var width = 1
+    while (width < src.length) {
+      var i = 0
+      while (i < src.length) {
+        val mid = math.min(i + width, src.length)
+        val hi = math.min(i + 2 * width, src.length)
+        var l = i; var r = mid; var k = i
+        while (l < mid && r < hi) {
+          if (cmp(src(r), src(l)) < 0) { dst(k) = src(r); r += 1 }
+          else { dst(k) = src(l); l += 1 }
+          k += 1
+        }
+        while (l < mid) { dst(k) = src(l); l += 1; k += 1 }
+        while (r < hi) { dst(k) = src(r); r += 1; k += 1 }
+        i += 2 * width
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    src
   }
 }

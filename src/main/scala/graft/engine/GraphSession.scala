@@ -46,7 +46,7 @@ class GraphSession(val spark: SparkSession) {
 
   private def executeRouted(query: String, params: Map[String, String],
       hasParams: Boolean): QueryOutcome = {
-    val trimmed = query.trim
+    val trimmed = Parser.rustTrim(query)
     if (trimmed.isEmpty) throw ParseException("empty query")
     var rows = Seq.empty[ResultRow]
     var nCnt = 0L
@@ -57,7 +57,7 @@ class GraphSession(val spark: SparkSession) {
     // a quoted property value breaks the statement there too. A
     // quote-aware splitter would silently diverge on inputs the
     // reference rejects.
-    trimmed.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+    trimmed.split(";").map(Parser.rustTrim).filter(_.nonEmpty).foreach { stmt =>
       val (r, n, rc, m) = executeStatement(stmt, params, hasParams)
       rows ++= r; nCnt += n; rCnt += rc; anyMut ||= m
     }
@@ -69,8 +69,13 @@ class GraphSession(val spark: SparkSession) {
   private def executeStatement(stmt: String, params: Map[String, String],
       hasParams: Boolean): (Seq[ResultRow], Long, Long, Boolean) = {
     val upper = stmt.toUpperCase
+    // the reference's `stmt[6..].trim_start()` is RUST whitespace:
+    // U+00A0/U+202F strip (Java isWhitespace keeps them), control
+    // 0x1C-0x1F stay (Java strips) — `MATCH  (n) ...` routes to
+    // the Cypher engine there, and must here (found by MutFuzz r9)
     def restStartsWithParen(prefixLen: Int): Boolean =
-      stmt.length > prefixLen && stmt.substring(prefixLen).dropWhile(_.isWhitespace).startsWith("(")
+      stmt.length > prefixLen &&
+        stmt.substring(prefixLen).dropWhile(Parser.rustWs).startsWith("(")
 
     if (upper.startsWith("MATCH (") && upper.contains(" MERGE ")) {
       execPairwiseMerge(LegacyParser.parsePairwiseMerge(stmt))
