@@ -415,10 +415,92 @@ object DiffFuzz {
              e.startsWith("invalid WHERE conditions:")) "byte-window panic"
     else e
 
+  // ------------------------------------------------------------ goldens
+
+  /** Record/replay store for adjudicated canonical outcomes. Recorded
+    * during a THREE-WAY run (engine == model == reference binary, zero
+    * mismatches required — see [[GoldenGen]]) and replayed by
+    * GoldenReplaySpec with no oracle present, so the reference-executor
+    * agreement stays pinned offline. Statements are stored with
+    * implementation-local ids masked (ids differ per run); outcomes are
+    * stored post-canonicalization (marker-translated), which is
+    * run-stable for the same reason. */
+  final class GoldenStore(val recording: Boolean) {
+    private val entries = mutable.LinkedHashMap.empty[String, (String, String)]
+    private val seen = mutable.Set.empty[String]
+
+    def check(key: String, stmt: String, value: String): Option[String] = {
+      seen += key
+      if (recording) { entries(key) = (stmt, value); None }
+      else entries.get(key) match {
+        case None => Some(s"no golden recorded for $key (generator drift? " +
+          "re-run graft.GoldenGen with GRAFT_REF_ORACLE)")
+        case Some((s0, v0)) =>
+          if (s0 != stmt) Some(s"golden stmt drift at $key: recorded [$s0] vs generated [$stmt]")
+          else if (v0 != value) Some(s"golden outcome at $key: recorded [$v0] vs current [$value]")
+          else None
+      }
+    }
+
+    /** Recorded keys the replay never produced (coverage hole). */
+    def unvisited: Seq[String] = entries.keys.filterNot(seen).toSeq
+
+    def save(path: java.nio.file.Path): Unit = {
+      val sb = new StringBuilder
+      entries.foreach { case (k, (s, v)) =>
+        sb.append(k).append('\u0001').append(s).append('\u0001').append(v).append('\n') }
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path, sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    def load(path: java.nio.file.Path): Unit = {
+      val text = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      text.split("\n").filter(_.nonEmpty).foreach { line =>
+        val p = line.split('')
+        entries(p(0)) = (p(1), if (p.length > 2) p(2) else "")
+      }
+    }
+  }
+
+  object GoldenStore {
+    /** Seeds pinned by the golden corpus — distinct from
+      * DifferentialFuzzSpec's live seeds so the corpus ADDS coverage. */
+    val Seeds: Seq[Long] = Seq(101L, 102L)
+
+    def defaultPath: java.nio.file.Path = {
+      val rel = java.nio.file.Paths.get("src/test/resources/golden/diff_goldens.txt")
+      if (java.nio.file.Files.exists(rel.getParent) || java.nio.file.Files.exists(rel))
+        rel
+      else java.nio.file.Paths.get("/root/repo").resolve(rel)
+    }
+  }
+
+  // node/rel ids are implementation- AND run-local (the engine's embed
+  // wall-clock millis): mask them so golden statement text is stable
+  private val idToken =
+    ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}" +
+      "|[0-9a-fA-F]{32}").r
+  private def stableStmt(s: String): String = idToken.replaceAllIn(s, "#id")
+
+  private def encodeOutcome(
+      res: Either[String, (Seq[String], Option[(Long, Long, Boolean)])]): String =
+    res match {
+      case Left(e) => "ERR " + e
+      case Right((rows, meta)) =>
+        "OK " + meta.map { case (n, r, m) => s"$n,$r,$m" }.getOrElse("-") +
+          " " + rows.mkString("")
+    }
+
+  private def encodeState(st: (Seq[String], Seq[String])): String =
+    st._1.mkString("") + "" + st._2.mkString("")
+
   // ------------------------------------------------------------ driving
 
   /** Run one seed; returns mismatches (empty = agreement). */
-  def runSeed(seed: Long, spark: SparkSession, oracle: Option[RefOracle]): Seq[Mismatch] = {
+  def runSeed(seed: Long, spark: SparkSession, oracle: Option[RefOracle],
+      golden: Option[GoldenStore] = None): Seq[Mismatch] = {
     val rnd = new Random(seed)
     val session = new GraphSession(spark)
     val model = new RefModel
@@ -466,6 +548,16 @@ object DiffFuzz {
         (s, res.left.map(normErr).map(r => (r.rows.map(s.canonRow).sorted, r.meta)))
       }
       val (base, baseRes) = canon.head
+      // golden record/replay: pin the ENGINE side's canonical outcome
+      // (recording requires a mismatch-free three-way run, so it equals
+      // the reference executor's outcome at record time)
+      golden.foreach { g =>
+        g.check(s"$seed/$step", stableStmt(stmt), encodeOutcome(baseRes))
+          .foreach(d => mismatches += Mismatch(seed, step, stmt, d))
+        if (mutates)
+          g.check(s"$seed/$step/state", "-", encodeState(base.stateCanon))
+            .foreach(d => mismatches += Mismatch(seed, step, stmt, d))
+      }
       canon.tail.foreach { case (s, res) =>
         (baseRes, res) match {
           case (Left(a), Left(b)) if a != b =>
