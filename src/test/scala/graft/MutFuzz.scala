@@ -103,6 +103,59 @@ object MutFuzz {
       var engineSide: DiffFuzz.SideState = null
       var oracleSide: DiffFuzz.SideState = null
       var baseStmts: Seq[String] = Seq.empty
+      // every statement the oracle ran since the last reseed — the replay
+      // script for the window-stability check below
+      val history = mutable.Buffer.empty[(String, Map[String, String])]
+
+      /** The reference stores nodes in a std HashMap whose iteration
+        * order is RandomState-seeded — random PER PROCESS (graph.rs:29).
+        * A paginated result whose ORDER key isn't a unique total order
+        * (mutations routinely garble `ORDER BY n.u`) therefore selects a
+        * window even the reference itself cannot reproduce across runs.
+        * Adjudicator: replay the seed's full history in a SECOND fresh
+        * oracle process and re-run the statement — if the oracle
+        * disagrees with its own first answer, the window is
+        * nondeterministic and the trial is unjudgeable (suppressed);
+        * if it agrees, the mismatch stands.
+        *
+        * The replica vote is PROBABILISTIC, and there is one window
+        * class where it deterministically must not be trusted: an
+        * ORDER BY whose key set makes the reference's pairwise dual
+        * compare NON-TRANSITIVE (a digit-leading non-numeric like
+        * "1001?" string-interleaves between numerics; a sign/dot-
+        * leading numeric like "-5" numeric-inverts against "-1x"
+        * strings). A stable sort under a cyclic comparator has no
+        * unique output — the reference's is a function of its
+        * HashMap iteration order, so two of its own processes can
+        * coincide by chance on small graphs while a third differs
+        * (seen live: seed 5 step 59, `rETURN n ORDER BY n.u SKIP 1
+        * LIMIT 2` over a mutation-garbled u="1001?"). If any prop
+        * value in the current engine state is cycle-capable, the
+        * windowed sort is unjudgeable outright. */
+      def cycleCapable(v: String): Boolean = {
+        val digitLead = v.nonEmpty && v.charAt(0) >= '0' && v.charAt(0) <= '9'
+        val isNum = graft.engine.CypherExecutor.rustF64(v).isDefined
+        (isNum && !digitLead) || (!isNum && digitLead)
+      }
+      def windowUnstable(stmt: String, params: Map[String, String],
+          firstRows: Seq[String]): Boolean = {
+        val up = stmt.toUpperCase
+        if (!up.contains("SKIP") && !up.contains("LIMIT")) return false
+        if (up.contains("ORDER BY") &&
+            engineSide.run("MATCH (n) RETURN n", Map.empty).toSeq
+              .flatMap(_.rows).exists(_.properties.values.exists(cycleCapable)))
+          return true
+        val replica = new DiffFuzz.RefOracle(binary)
+        try {
+          val side = new DiffFuzz.SideState("replica", (q, p) => replica.run(q, p))
+          history.foreach { case (s, p) => side.run(s, p) }
+          side.refresh()
+          side.run(stmt, params) match {
+            case Right(r) => r.rows.map(side.canonRow).sorted != firstRows
+            case Left(_) => true // replica didn't even reproduce the outcome class
+          }
+        } finally replica.close()
+      }
 
       def reseed(): Unit = {
         val session = new GraphSession(spark)
@@ -117,25 +170,59 @@ object MutFuzz {
         oracleSide = new DiffFuzz.SideState("reference", (q, p) => oracle.run(q, p))
         baseStmts.foreach { s => engineSide.run(s, Map.empty); oracleSide.run(s, Map.empty) }
         engineSide.refresh(); oracleSide.refresh()
+        history.clear()
+        baseStmts.foreach(s => history += ((s, Map.empty)))
       }
 
       baseStmts = DiffFuzz.genGraph(rnd).stmts
       reseed()
 
+      // one ';'-joined script interleaving BOTH dialects (T1/T2 routing
+      // under mutation): legacy commands, Cypher reads/mutations, and
+      // $param statements; separators and a trailing ';' vary
+      def genScript(): String = {
+        val parts = (0 until 2 + rnd.nextInt(3)).map { _ =>
+          rnd.nextInt(6) match {
+            case 0 => DiffFuzz.genQuery(rnd)
+            case 1 => DiffFuzz.genMutation(rnd, () => fresh())
+            case 2 =>
+              // fresh nodes carry a unique numeric u: window queries ride
+              // ORDER BY n.u, and a u-less node ties at "" — the reference
+              // then pages in HashMap iteration order, random per process
+              val n = fresh()
+              s"""CREATE NODE Lb {k:"sc$n", g:"g2", u:"$n"}"""
+            case 3 => "MATCH NODE La"
+            case 4 => "MATCH (n {g:$gg}) RETURN n.k"
+            case _ => "MATCH (n) WHERE n.g = $gg RETURN n.k"
+          }
+        }
+        val sep = if (rnd.nextBoolean()) "; " else ";"
+        parts.mkString(sep) + (if (rnd.nextInt(4) == 0) ";" else "")
+      }
+
       var step = 0
       while (step < trials) {
         step += 1
-        val base = rnd.nextInt(10) match {
-          case n if n < 6 => DiffFuzz.genQuery(rnd)
-          case n if n < 8 => DiffFuzz.genMutation(rnd, () => fresh())
-          case 8 => s"""MATCH NODE La WHERE g = "g1" AND HAS("opt")"""
-          case _ => s"""CREATE NODE Lb {k:"mf${fresh()}", g:"g2"}"""
+        val (base, params) = rnd.nextInt(13) match {
+          case n if n < 6 => (DiffFuzz.genQuery(rnd), Map.empty[String, String])
+          case n if n < 8 => (DiffFuzz.genMutation(rnd, () => fresh()), Map.empty[String, String])
+          case 8 => (s"""MATCH NODE La WHERE g = "g1" AND HAS("opt")""", Map.empty[String, String])
+          case 9 =>
+            val n = fresh()
+            (s"""CREATE NODE Lb {k:"mf$n", g:"g2", u:"$n"}""", Map.empty[String, String])
+          case n =>
+            // scripts: half through the with-params router (oracle P /
+            // executeWithParams — its own routing table), half no-params
+            // (so $gg statements exercise the missing-param surface too)
+            (genScript(),
+              if (n == 12) Map("gg" -> ("g" + (1 + rnd.nextInt(3))), "wv" -> "3")
+              else Map.empty[String, String])
         }
         var stmt = base
         (0 to rnd.nextInt(2)).foreach(_ => stmt = mutate(rnd, stmt))
 
-        val er = engineSide.run(stmt, Map.empty)
-        val or = oracleSide.run(stmt, Map.empty)
+        val er = engineSide.run(stmt, params)
+        val or = oracleSide.run(stmt, params)
         val oraclePanicked = or.left.exists(_.startsWith("panic: "))
 
         (er.left.map(DiffFuzz.normErr), or.left.map(DiffFuzz.normErr)) match {
@@ -151,8 +238,9 @@ object MutFuzz {
           case (Right(a), Right(b)) =>
             val ra = a.rows.map(engineSide.canonRow).sorted
             val rb = b.rows.map(oracleSide.canonRow).sorted
-            if (ra != rb) mismatches += DiffFuzz.Mismatch(seed, step, stmt,
-              s"engine rows [${ra.mkString("; ")}] vs reference rows [${rb.mkString("; ")}]")
+            if (ra != rb && !windowUnstable(stmt, params, rb))
+              mismatches += DiffFuzz.Mismatch(seed, step, stmt,
+                s"engine rows [${ra.mkString("; ")}] vs reference rows [${rb.mkString("; ")}]")
             (a.meta, b.meta) match {
               case (Some(x), Some(y)) if x != y =>
                 mismatches += DiffFuzz.Mismatch(seed, step, stmt,
@@ -161,6 +249,7 @@ object MutFuzz {
             }
         }
 
+        history += ((stmt, params))
         if (oraclePanicked) {
           // post-panic oracle state is unobservable in the real binary
           // (the process dies) — realign instead of comparing
@@ -182,8 +271,13 @@ object MutFuzz {
       if (mismatches.isEmpty) println(s"seed $seed: OK ($trials trials)")
       else {
         bad += 1
-        mismatches.foreach(m =>
-          println(s"seed $seed step ${m.step}: ${m.stmt}\n  -> ${m.detail}"))
+        mismatches.foreach { m =>
+          // escape non-ASCII so invisible mutation chars (NBSP, U+0085)
+          // are visible in the report
+          val shown = m.stmt.map(c =>
+            if (c >= 0x20 && c < 0x7f) c.toString else f"\\u${c.toInt}%04x").mkString
+          println(s"seed $seed step ${m.step}: $shown\n  -> ${m.detail}")
+        }
       }
     }
     oracle.close()
