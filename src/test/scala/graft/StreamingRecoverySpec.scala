@@ -51,16 +51,26 @@ class StreamingRecoverySpec extends AnyFunSuite {
     half2.count()
   }
 
-  test("windowed aggregation resumes from checkpoint without reprocessing") {
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** The hourly-rollup recovery flow, shared by the provider matrix.
+    * Spark records the state-store provider class in the checkpoint's
+    * offset metadata and restores it on resume, so setting the conf
+    * before the FIRST run makes the whole stop/restart cycle run under
+    * that provider — exactly the cluster deployment shape (RocksDB =
+    * state on executor local disk, bounded block-cache memory). */
+  private def hourlyRecoveryFlow(tag: String): Unit = {
     val (root, median) = stageHalves()
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_recovery_hourly")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_recovery_hourly_$tag")
     def run(name: String) = StreamingOps.runToMemoryResumable(spark,
       StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, root)),
       name, ckpt, OutputMode.Complete)
 
-    val (_, n1) = run("recovery_hourly_1")
+    val (_, n1) = run(s"recovery_hourly_${tag}_1")
     val half2Count = addSecondHalf(root, median)
-    val (t2, n2) = run("recovery_hourly_2")
+    val (t2, n2) = run(s"recovery_hourly_${tag}_2")
 
     // no reprocessing: the resumed run read exactly the appended file
     assert(n2 == half2Count,
@@ -76,6 +86,23 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .orderBy("hour", "event_type").collect().toSeq
     assert(streamed == batch,
       "resumed Complete-mode rollup must equal the full-data batch rollup")
+  }
+
+  test("windowed aggregation resumes from checkpoint without reprocessing") {
+    hourlyRecoveryFlow("hdfs")
+  }
+
+  test("recovery survives a restart under the RocksDB state provider") {
+    // RocksDbStateSpec pins result parity; this pins the OTHER half of
+    // the cluster deployment contract — restart-from-checkpoint with
+    // RocksDB state recovered from disk, end-to-end
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDbProvider)
+    try hourlyRecoveryFlow("rocksdb")
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
   }
 
   test("sessionize stitches sessions across a stop/restart boundary") {
