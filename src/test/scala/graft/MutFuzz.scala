@@ -112,13 +112,19 @@ object MutFuzz {
         * A paginated result whose ORDER key isn't a unique total order
         * (mutations routinely garble `ORDER BY n.u`) therefore selects a
         * window even the reference itself cannot reproduce across runs.
-        * Adjudicator: replay the seed's full history in a SECOND fresh
-        * oracle process and re-run the statement — if the oracle
-        * disagrees with its own first answer, the window is
+        * Adjudicator: replay the seed's full history in THREE fresh
+        * oracle processes and re-run the statement — if ANY replica
+        * disagrees with the first oracle's answer, the window is
         * nondeterministic and the trial is unjudgeable (suppressed);
-        * if it agrees, the mismatch stands.
+        * only a unanimous 4-sample agreement lets the mismatch stand.
         *
-        * The replica vote is PROBABILISTIC, and there is one window
+        * The replica vote is PROBABILISTIC — a window over k candidate
+        * first-drops has a (1/k)^3 chance of three fresh RandomState
+        * layouts all coinciding with the first (seen live at one
+        * replica: seed 5 step 44, `MATCH (n:Lb) RETURN n.u SKIP 1`
+        * paged past a different row in the replica than in two later
+        * manual replicas — both windows were valid sub-multisets of the
+        * same full result). And there is one window
         * class where it deterministically must not be trusted: an
         * ORDER BY whose key set makes the reference's pairwise dual
         * compare NON-TRANSITIVE (a digit-leading non-numeric like
@@ -145,16 +151,18 @@ object MutFuzz {
             engineSide.run("MATCH (n) RETURN n", Map.empty).toSeq
               .flatMap(_.rows).exists(_.properties.values.exists(cycleCapable)))
           return true
-        val replica = new DiffFuzz.RefOracle(binary)
-        try {
-          val side = new DiffFuzz.SideState("replica", (q, p) => replica.run(q, p))
-          history.foreach { case (s, p) => side.run(s, p) }
-          side.refresh()
-          side.run(stmt, params) match {
-            case Right(r) => r.rows.map(side.canonRow).sorted != firstRows
-            case Left(_) => true // replica didn't even reproduce the outcome class
-          }
-        } finally replica.close()
+        (1 to 3).exists { _ =>
+          val replica = new DiffFuzz.RefOracle(binary)
+          try {
+            val side = new DiffFuzz.SideState("replica", (q, p) => replica.run(q, p))
+            history.foreach { case (s, p) => side.run(s, p) }
+            side.refresh()
+            side.run(stmt, params) match {
+              case Right(r) => r.rows.map(side.canonRow).sorted != firstRows
+              case Left(_) => true // replica didn't even reproduce the outcome class
+            }
+          } finally replica.close()
+        }
       }
 
       def reseed(): Unit = {
