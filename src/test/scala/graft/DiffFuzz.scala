@@ -467,7 +467,7 @@ object DiffFuzz {
   object GoldenStore {
     /** Seeds pinned by the golden corpus — distinct from
       * DifferentialFuzzSpec's live seeds so the corpus ADDS coverage. */
-    val Seeds: Seq[Long] = Seq(101L, 102L)
+    val Seeds: Seq[Long] = Seq(101L, 102L, 103L, 104L, 105L, 106L)
 
     def defaultPath: java.nio.file.Path = {
       val rel = java.nio.file.Paths.get("src/test/resources/golden/diff_goldens.txt")
