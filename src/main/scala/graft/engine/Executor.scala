@@ -175,7 +175,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         // variable-binding consistency (J3): re-filter existing binding
         val cand = filterNodes(g.nodes, np.label, np.props)
           .select(col("id").as("__cand"))
-        binding.join(cand, col(v) === col("__cand")).drop("__cand")
+        binding.join(cand, vcol(v) === col("__cand")).drop("__cand")
       case other =>
         val v = other.getOrElse { val a = freshAnon(); hidden += a; a }
         kinds(v) = NodeKind
@@ -227,9 +227,9 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       if (relv == lv && !kinds.contains(relv)) eo = eo.filter(col("__rid") === col("__l"))
       if (relv == rv && !kinds.contains(relv)) eo = eo.filter(col("__rid") === col("__r"))
       val conds = mutable.Buffer.empty[Column]
-      if (kinds.contains(lv)) conds += col(lv) === col("__l")
-      if (kinds.contains(rv)) conds += col(rv) === col("__r")
-      if (kinds.contains(relv)) conds += col(relv) === col("__rid")
+      if (kinds.contains(lv)) conds += vcol(lv) === col("__l")
+      if (kinds.contains(rv)) conds += vcol(rv) === col("__r")
+      if (kinds.contains(relv)) conds += vcol(relv) === col("__rid")
       val joined =
         if (conds.isEmpty) b.crossJoin(eo)
         else b.join(eo, conds.reduce(_ && _))
@@ -288,7 +288,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     // pattern are dropped by the final inner join on the pairs
     val sources: DataFrame =
       (if (kinds.contains(lv)) {
-        val b0 = binding.select(col(lv).as("__s")).distinct()
+        val b0 = binding.select(vcol(lv).as("__s")).distinct()
         if (npL.label.nonEmpty || npL.props.nonEmpty)
           b0.join(filterNodesRaw(npL.label, npL.props).select(col("id").as("__s")),
             Seq("__s"), "left_semi")
@@ -331,7 +331,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     val conds = mutable.Buffer.empty[Column]
     // (for a shared bound var this checks the OLD value; the overwrite
     // below then rebinds it to the target)
-    if (kinds.contains(lv)) conds += col(lv) === col("__l")
+    if (kinds.contains(lv)) conds += vcol(lv) === col("__l")
     val joined =
       if (conds.isEmpty) binding.crossJoin(pairs)
       else binding.join(pairs, conds.reduce(_ && _))
@@ -347,11 +347,22 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
   // ---------------------------------------------------------------- WHERE
 
   /** Attach `<v>__props` helper column via left join (node vars only). */
+  /** Column reference for a USER-supplied variable name (or a name
+    * derived from one). The reference accepts any character run as a
+    * pattern variable — `.a`, `a.`, `.` all bind fine (probed against
+    * the vendored executor) — while Spark's attribute grammar treats
+    * unquoted dots as struct-field access, so a raw `col(v)` throws
+    * INVALID_ATTRIBUTE_NAME_SYNTAX. Backtick-quote every such
+    * reference; `withColumn`/`as` targets take names literally and
+    * need no quoting. */
+  private def vcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def withProps(g: PropertyGraph, b: DataFrame, v: String): DataFrame = {
     if (b.columns.contains(s"${v}__props")) b
     else b.join(
       g.nodes.select(col("id").as(s"${v}__pid"), col("properties").as(s"${v}__props")),
-      col(v) === col(s"${v}__pid"), "left").drop(s"${v}__pid")
+      vcol(v) === vcol(s"${v}__pid"), "left").drop(vcol(s"${v}__pid"))
   }
 
   private def collectCapped(b: DataFrame): Array[org.apache.spark.sql.Row] =
@@ -404,7 +415,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         val keep = items.collect { case Expr.Var(v) if kinds.contains(v) => v }
         val (sorted, _) = applyOrder(g, binding, orderBy)
         var b = applyPage(
-          sorted.select(keep.map(col) :+ lit(0).as("__seed"): _*), skip, limit)
+          sorted.select(keep.map(vcol) :+ lit(0).as("__seed"): _*), skip, limit)
         val keepSet = keep.toSet
         kinds.keys.toSeq.foreach { v => if (!keepSet.contains(v)) kinds.remove(v) }
         binding = b
@@ -449,12 +460,12 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       var b = binding
       nodeVars.foreach { v =>
         b = b.join(g.nodes.select(col("id").as(s"${v}__id"), col("label").as(s"${v}__label"),
-          col("properties").as(s"${v}__props")), col(v) === col(s"${v}__id"), "left")
+          col("properties").as(s"${v}__props")), vcol(v) === vcol(s"${v}__id"), "left")
       }
       relVars.foreach { v =>
         b = b.join(g.edges.select(col("id").as(s"${v}__id"), col("src").as(s"${v}__src"),
           col("dst").as(s"${v}__dst"), col("label").as(s"${v}__label"),
-          col("properties").as(s"${v}__props")), col(v) === col(s"${v}__id"), "left")
+          col("properties").as(s"${v}__props")), vcol(v) === vcol(s"${v}__id"), "left")
       }
       val collected = collectCapped(b)
       collected.foreach { row =>
@@ -489,7 +500,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       if (kinds.get(v).contains(RelKind) || !kinds.contains(v)) None
       else {
         b = withProps(g, b, v)
-        Some(coalesce(col(s"${v}__props")(key), lit("")))
+        Some(coalesce(vcol(s"${v}__props")(key), lit("")))
       }
     }
 
@@ -515,7 +526,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         // so a rel var or unknown var in id() filters everything, it
         // never errors
         if (kinds.get(l).contains(NodeKind) && kinds.get(r).contains(NodeKind))
-          filter = filter && strCmp(col(l), col(r), op)
+          filter = filter && strCmp(vcol(l), vcol(r), op)
         else filter = filter && lit(false)
       case Cond.PropCmp(v, key, op, value) =>
         // the reference resolves the RHS BEFORE the var check, so the
@@ -613,8 +624,8 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
             val typ = rel.relType.getOrElse("_")
             val b2 = binding.withColumn("__newrel", IdGen.distributedExpr(statementMs))
               .graftCheckpoint()
-            val newEdges = b2.select(col("__newrel").as("id"), col(lv).as("src"),
-              col(rv).as("dst"), lit(typ).as("label"),
+            val newEdges = b2.select(col("__newrel").as("id"), vcol(lv).as("src"),
+              vcol(rv).as("dst"), lit(typ).as("label"),
               propsLit(rel.props).as("properties"))
             g = PropertyGraph(g.nodes, g.edges.unionByName(newEdges)).materialized
             binding = rel.variable match {
@@ -666,13 +677,13 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       .agg(min(col("id")).as("__mrid"))
 
     val joined = binding.join(candDedup,
-      col(lv) === col("__msrc") && col(rv) === col("__mdst"), "left")
+      vcol(lv) === col("__msrc") && vcol(rv) === col("__mdst"), "left")
       .drop("__msrc", "__mdst")
       .withColumn("__newrid", IdGen.distributedExpr(statementMs))
       .graftCheckpoint()
 
     val toCreate = joined.filter(col("__mrid").isNull)
-      .select(col(lv).as("src"), col(rv).as("dst"), col("__newrid"))
+      .select(vcol(lv).as("src"), vcol(rv).as("dst"), col("__newrid"))
       // duplicate (src,dst) rows merge to ONE created edge (the
       // reference's per-row loop sees its own earlier insertions)
       .groupBy("src", "dst").agg(min(col("__newrid")).as("id"))
@@ -685,7 +696,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     val created = toCreate.select(col("src").as("__csrc"), col("dst").as("__cdst"),
       col("id").as("__crid"))
     var b2 = joined.join(created,
-      col(lv) === col("__csrc") && col(rv) === col("__cdst"), "left")
+      vcol(lv) === col("__csrc") && vcol(rv) === col("__cdst"), "left")
       .withColumn("__rid", coalesce(col("__mrid"), col("__crid")))
       .drop("__mrid", "__crid", "__csrc", "__cdst", "__newrid")
     b2 = rel.variable match {
@@ -696,7 +707,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
   }
 
   private def boundIds(binding: DataFrame, v: String): DataFrame =
-    binding.select(col(v).as("__tid")).distinct()
+    binding.select(vcol(v).as("__tid")).distinct()
 
   private def execSetProp(g: PropertyGraph, binding: DataFrame, v: String,
       key: String, value: String): PropertyGraph = {
@@ -798,12 +809,12 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
       val kc = s"__ok$i"
       e match {
         case Expr.Var(v) if kinds.contains(v) =>
-          b = b.withColumn(kc, coalesce(col(v), lit("")))
+          b = b.withColumn(kc, coalesce(vcol(v), lit("")))
         case Expr.Id(v) if kinds.contains(v) =>
-          b = b.withColumn(kc, coalesce(col(v), lit("")))
+          b = b.withColumn(kc, coalesce(vcol(v), lit("")))
         case Expr.Prop(v, key) if kinds.get(v).contains(NodeKind) =>
           b = withProps(g, b, v)
-          b = b.withColumn(kc, coalesce(col(s"${v}__props")(key), lit("")))
+          b = b.withColumn(kc, coalesce(vcol(s"${v}__props")(key), lit("")))
         case Expr.StrLit(s) => b = b.withColumn(kc, lit(s))
         case _ => b = b.withColumn(kc, lit(""))
       }
@@ -896,23 +907,23 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
               b = b.join(g.nodes.select(col("id").as(s"__it${i}_id"),
                 col("label").as(s"__it${i}_label"),
                 col("properties").as(s"__it${i}_props")),
-                col(v) === col(s"__it${i}_id"), "left")
+                vcol(v) === col(s"__it${i}_id"), "left")
             case RelKind =>
               b = b.join(g.edges.select(col("id").as(s"__it${i}_id"),
                 col("src").as(s"__it${i}_src"), col("dst").as(s"__it${i}_dst"),
                 col("label").as(s"__it${i}_label"),
                 col("properties").as(s"__it${i}_props")),
-                col(v) === col(s"__it${i}_id"), "left")
+                vcol(v) === col(s"__it${i}_id"), "left")
           }
         case Expr.Prop(v, key) if kinds.get(v).contains(NodeKind) =>
           // node vars only; missing property → row dropped for this item
           // (P2, cypher_spec.rs:1409-1419)
           b = withProps(g, b, v)
-          b = b.withColumn(s"__it${i}_info", col(s"${v}__props")(key))
+          b = b.withColumn(s"__it${i}_info", vcol(s"${v}__props")(key))
         case Expr.Prop(_, _) =>
           b = b.withColumn(s"__it${i}_info", lit(null).cast("string"))
         case Expr.Id(v) if kinds.contains(v) =>
-          b = b.withColumn(s"__it${i}_info", col(v))
+          b = b.withColumn(s"__it${i}_info", vcol(v))
         case Expr.Id(_) =>
           b = b.withColumn(s"__it${i}_info", lit(null).cast("string"))
         case Expr.StrLit(s) =>

@@ -987,6 +987,38 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "MATCH (a)-[r1:CE]->(b), (b)-[r2:CE]->(c) RETURN c").rows
     assert(comma.map(_.properties("k")) == chained.map(_.properties("k")))
   }
+
+  // the reference accepts ANY character run as a pattern variable —
+  // `.a`, `a.`, `.`, `x.y` all parse and bind (probed statement-by-
+  // statement against the vendored executor, round 9); Spark's
+  // attribute grammar treats unquoted dots as struct access, so every
+  // var-name column reference is backtick-quoted (Executor.vcol).
+  // Found by FuzzProbe as an AnalysisException escape.
+  test("cypher_dotted_variable_names_bind_like_reference") {
+    val s = newSession()
+    // CREATE with a dot-leading var succeeds and implicit-returns it
+    val c = s.execute("CREATE (.a:Pd {k:\"1\"})")
+    assert(c.mutated && c.rows.map(_.label) == Seq("Pd"))
+    for (q <- Seq("CREATE (a.:Pd2 {k:\"2\"})", "CREATE (.:Pd3 {k:\"3\"})"))
+      assert(s.execute(q).mutated)
+    // `.a` in a RETURN item is prop-access shaped, never a bound var →
+    // rows drop (reference: empty result, not an error)
+    assert(s.execute("MATCH (.a) RETURN .a").rows.isEmpty)
+    assert(s.execute(
+      "MATCH (.a:Pd) WHERE .a.k = \"1\" RETURN .a.k").rows.isEmpty)
+    assert(s.execute("MATCH (x.y:Pd) RETURN x.y").rows.isEmpty)
+    // dotted vars still join/filter correctly as binding columns:
+    // `.a.k` splits at the FIRST dot (var "" → item yields nothing)
+    // while `id(.a)` binds the dotted var and emits its id (probed)
+    val m = s.execute("MATCH (.a:Pd) RETURN .a.k, id(.a)")
+    assert(m.rows.map(_.kind) == Seq("info") && m.rows.head.info.nonEmpty)
+    // path CREATE with unbound endpoints: nothing created, mutated
+    // still true (reference per-row loop skips, flag already set)
+    val pc = s.execute("CREATE (q1:Pd4 {k:\"4\"})-[:R]->(.b:Pd5 {k:\"5\"})")
+    assert(pc.mutated)
+    val all = s.execute("MATCH (n) RETURN n").rows.map(_.label).sorted
+    assert(all == Seq("Pd", "Pd2", "Pd3"))
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */
