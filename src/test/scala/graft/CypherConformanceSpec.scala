@@ -1018,6 +1018,23 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pc.mutated)
     val all = s.execute("MATCH (n) RETURN n").rows.map(_.label).sorted
     assert(all == Seq("Pd", "Pd2", "Pd3"))
+    // SET .a.k first-dot splits to var "" → silent no-op, k unchanged,
+    // and the bound dotted var still implicit-returns (probed)
+    val set = s.execute("MATCH (.a:Pd) SET .a.k = \"9\"")
+    assert(!set.mutated && set.rows.map(_.properties("k")) == Seq("1"))
+    // id() binds dotted vars: self-compare fail-closed, cross-pair works
+    assert(s.execute(
+      "MATCH (.a:Pd) WHERE id(.a) < id(.a) RETURN .a").rows.isEmpty)
+    // legacy pairwise MATCH..MERGE validates its endpoint vars against
+    // the MATCH vars and errors on a dotted mismatch with the
+    // reference's exact text (query_interface.rs:475)
+    val me = intercept[ParseException] { s.execute(
+      "MATCH (.a {k:\"1\"}), (.b {k:\"2\"}) MERGE (.a)-[:RR]->(.b)") }
+    assert(me.getMessage == "MERGE references unknown variable: .a")
+    // DETACH DELETE on a dotted var deletes its bindings; both engine
+    // and reference report mutated=false here (flag heuristic, probed)
+    assert(!s.execute("MATCH (.a:Pd) DETACH DELETE .a").mutated)
+    assert(s.execute("MATCH (m:Pd) RETURN m").rows.isEmpty)
   }
 }
 
