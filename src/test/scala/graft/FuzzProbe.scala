@@ -90,7 +90,7 @@ object FuzzProbe {
     * spec failure reproduces exactly. */
   def mutated(rounds: Int, seed: Long): Seq[String] = {
     val rnd = new Random(seed)
-    val chars = "()[]{}<>-=:,.'\"$*; \tABmatchwherereturn0129_"
+    val chars = "()[]{}<>-=:,.'\"$*; \tABmatchwherereturn0129_`"
     (0 until rounds).map { _ =>
       val base = seeds(rnd.nextInt(seeds.length))
       rnd.nextInt(6) match {

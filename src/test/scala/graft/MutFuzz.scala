@@ -27,9 +27,10 @@ object MutFuzz {
 
   // chars chosen to stress the mirrored surfaces: quote runs, brace
   // slices, AND/WHERE byte windows, rustTrim's Unicode whitespace
-  // (U+00A0 Zs, U+0085), and multi-byte panic windows (é, λ, →)
+  // (U+00A0 Zs, U+0085), multi-byte panic windows (é, λ, →),
+  // and the Spark attribute-quoting escape (backtick, Executor.vcol)
   private val Alphabet: IndexedSeq[Char] =
-    "\"'(){}[]:,=<>!$.;*- \tABCxyz019" + "éλ→ "
+    "\"'(){}[]:,=<>!$.;*-` \tABCxyz019" + "éλ→ "
 
   private val Keywords = Seq(
     " AND ", " WHERE ", " RETURN ", " SET ", " REMOVE ", " DELETE ",
