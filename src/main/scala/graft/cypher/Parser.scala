@@ -116,7 +116,14 @@ object Parser {
         out += Tok.Num(s); i = j
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (two == "<=" || two == ">=" || two == "<>" || two == "!=" || two == "..") {
+        if (two == "<=" || two == ">=" || two == "<>" || two == "!=" || two == ".." ||
+            // '->' fuses ONLY when adjacent in the source: the reference's
+            // parse_rel_pattern demands the rel slice END with the exact
+            // bytes "]->"/"]-", so '-' <whitespace> '>' must NOT read as an
+            // arrow (it errors "invalid rel pattern" there — adjudicated,
+            // MutFuzz seed 18); fusing at tokenize time is the only place
+            // adjacency is still visible
+            two == "->") {
           out += Tok.Sym(two); i += 2
         } else if ("()[]{}:,.->< =*".indexOf(c) >= 0) {
           out += Tok.Sym(c.toString); i += 1
@@ -1061,7 +1068,13 @@ object Parser {
       var typ: Option[String] = None
       var props = Map.empty[String, PropValue]
       var varLen: Option[(Int, Int)] = None
-      if (tryTakeSym("[")) {
+      // brackets are REQUIRED: the reference's rel slice must start
+      // with the bytes "-[" (parse_rel_pattern, cypher_spec.rs:143), so
+      // bracketless dashes like (a)--(b) / (a)-->(b) are NOT rel
+      // patterns there — they fold into a garbage single-node pattern
+      // via the string mirror (probed; MutFuzz seed 18 family)
+      locally {
+        expectSym("[")
         peek match {
           case Some(Tok.Ident(_)) => variable = Some(ident())
           case _ =>
@@ -1104,8 +1117,11 @@ object Parser {
         if (peekSym("{")) props = propMap()
         expectSym("]")
       }
-      expectSym("-")
-      val outgoing = tryTakeSym(">")
+      // closing arrow: '->' is a single FUSED token (adjacent bytes
+      // only), so `]- >` fails here and degrades through the string
+      // mirror to the reference's "invalid rel pattern" error
+      val outgoing = tryTakeSym("->")
+      if (!outgoing) expectSym("-")
       // the reference's parse_pattern drops a leading '<' silently and
       // derives direction ONLY from a trailing "]->"
       // (cypher_spec.rs:253-256): `<-[...]-` is UNDIRECTED and even

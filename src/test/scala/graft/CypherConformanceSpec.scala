@@ -1036,6 +1036,38 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.execute("MATCH (.a:Pd) DETACH DELETE .a").mutated)
     assert(s.execute("MATCH (m:Pd) RETURN m").rows.isEmpty)
   }
+
+  // the reference's rel slice must START with the bytes "-[" and END
+  // with "]-" / "]->" / "-]" (parse_rel_pattern, cypher_spec.rs:143):
+  // bracketless dashes fold into a garbage single-node pattern (var
+  // "a)--(b" that binds every node but is never referenced) and a
+  // whitespace-broken closing arrow is the "invalid rel pattern"
+  // error. Probed against the vendored executor; found by the
+  // cross-dialect MutFuzz sweep (seed 18).
+  test("cypher_rel_arrow_must_be_byte_exact") {
+    val s = newSession()
+    s.execute("CREATE (:Ae1 {k:\"1\"}); CREATE (:Ae2 {k:\"2\"})")
+    s.execute("MATCH (a {k:\"1\"}), (b {k:\"2\"}) CREATE (a)-[:AE]->(b)")
+    // bracketless: garbage node pattern, RETURN var unknown → empty
+    for (q <- Seq("MATCH (a)--(b) RETURN a", "MATCH (a)-->(b) RETURN a",
+                  "MATCH (a)- ->(b) RETURN a"))
+      assert(s.execute(q).rows.isEmpty, q)
+    // ...but the garbage var IS bound (to every node): implicit return
+    val imp = s.execute("MATCH (a)--(b)")
+    assert(imp.rows.length == 2)
+    // whitespace inside the closing arrow: reference error text
+    for (bad <- Seq("MATCH (a)-[r:AE]- >(b) RETURN a",
+                    "MATCH (a)-[r:AE]>(b) RETURN a")) {
+      val e = intercept[ParseException] { s.execute(bad) }
+      assert(e.getMessage.startsWith("invalid rel pattern:"), bad)
+    }
+    // adjacent arrows and spaced leading '<' still parse (probed: the
+    // '<' sits outside the reference's slices and is ignored)
+    assert(s.execute("MATCH (a)<-[r:AE]-(b) RETURN b.k").rows.map(_.info).sorted
+      == Seq("1", "2"))
+    assert(s.execute("MATCH (a)< -[r:AE]-(b) RETURN b.k").rows.length == 2)
+    assert(s.execute("MATCH (a)-[r:AE]->(b) RETURN b.k").rows.map(_.info) == Seq("2"))
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

@@ -413,6 +413,14 @@ object DiffFuzz {
     else if (e.startsWith("panic: ") && e.contains("char boundary")) "byte-window panic"
     else if (e.startsWith("invalid WHERE expression:") ||
              e.startsWith("invalid WHERE conditions:")) "byte-window panic"
+    // a statement ENDING in a lone quote makes the reference's quote
+    // scan slice an inverted range and panic ("begin > end (i > j) when
+    // slicing ..."); the engine/model type it as an unterminated-string
+    // parse error — same contract as the byte-window class (the real
+    // binary dies, we error). Seen live: MutFuzz seeds 16/20,
+    // `... RETURN '` / `... WHERE b.g = '`.
+    else if (e.startsWith("panic: begin > end") && e.contains("when slicing"))
+      "unterminated string literal"
     else e
 
   // ------------------------------------------------------------ goldens
