@@ -836,27 +836,17 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     // every ORDER BY surface (the reference materializes all rows too).
     // Numeric detection mirrors Rust f64::from_str (no whitespace trim,
     // which Spark's cast would otherwise do; inf/nan handled only on the
-    // exact path — the probe routes them there).
-    val numRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-    val keyExact = keyCols.map { kc =>
-      val str = col(kc)
-      val isNum = str.rlike(numRe)
-      val digitLead = substring(str, 1, 1).between("0", "9")
-      (isNum && !digitLead) || (!isNum && str =!= lit("") && digitLead) ||
-        str.rlike("(?i)^[+-]?(inf(inity)?|nan)$")
-    }.reduce(_ || _)
+    // exact path — the probe routes them there). The predicate, the
+    // bucketed sort keys, and the scalar pairwise compare live on
+    // [[CypherExecutor]] so OrderPathEquivalenceSpec can property-pin
+    // the two paths against each other.
+    val keyExact =
+      keyCols.map(kc => CypherExecutor.cycleCapable(col(kc))).reduce(_ || _)
     val bucketedIsExact = b.filter(keyExact).limit(1).count() == 0
 
     if (bucketedIsExact) {
       val sortExprs = orderBy.zipWithIndex.flatMap { case (OrderKey(_, asc), i) =>
-        val str = col(s"__ok$i")
-        val isNum = str.rlike(numRe)
-        val num = when(isNum, str.try_cast("double"))
-        val bucket = when(isNum, lit(1))
-          .when(str === lit("") || substring(str, 1, 1) < lit("0"), lit(0))
-          .otherwise(lit(2))
-        if (asc) Seq(bucket.asc, num.asc_nulls_first, str.asc)
-        else Seq(bucket.desc, num.desc_nulls_last, str.desc)
+        CypherExecutor.bucketSortExprs(col(s"__ok$i"), asc)
       }
       (b.orderBy(sortExprs: _*), keyCols.toSeq)
     } else {
@@ -874,12 +864,7 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
         while (ord == 0 && i < keyIdx.length) {
           val a = Option(x.getString(keyIdx(i))).getOrElse("")
           val c = Option(y.getString(keyIdx(i))).getOrElse("")
-          val o0 = (CypherExecutor.rustF64(a), CypherExecutor.rustF64(c)) match {
-            case (Some(na), Some(nc)) =>
-              // partial_cmp(...).unwrap_or(Equal): NaN compares Equal
-              if (na.isNaN || nc.isNaN) 0 else java.lang.Double.compare(na, nc)
-            case _ => CypherExecutor.rustStrCmp(a, c)
-          }
+          val o0 = CypherExecutor.dualCompare(a, c)
           ord = if (ascs(i)) o0 else -o0
           i += 1
         }
@@ -998,6 +983,66 @@ object CypherExecutor {
         s"Result exceeds spark.graft.maxResultRows=$cap rows; add LIMIT or raise the cap")
     rows
   }
+
+  // ------------------------------------------------ ORDER BY dual paths
+  //
+  // The reference's ORDER BY comparator (cypher_spec.rs:1478-1497) is a
+  // PAIRWISE dual compare: numeric when both sides Rust-f64-parse, else
+  // byte-order string compare. applyOrder runs it two ways — a
+  // distributed three-bucket sort when a probe proves the key set free
+  // of cycle-capable shapes, or a capped driver-side exact sort — and
+  // OrderPathEquivalenceSpec property-pins the two against each other
+  // through the three helpers below.
+
+  /** SQL-side Rust `f64::from_str` shape (finite forms; inf/nan have
+    * their own clause in [[cycleCapable]]). `\A`/`\z` anchors, NOT
+    * `^`/`$`: Spark's rlike is a regex *find* and `$` also matches
+    * before a trailing newline, so `"5\n"` would pass `^...$` while
+    * Rust's `from_str` (and [[rustF64]]) reject it — the routing
+    * predicate and the scalar comparator must agree on every string. */
+  private[graft] val rustNumRe =
+    "\\A[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?\\z"
+
+  /** True iff this key value can make the pairwise dual compare
+    * non-transitive against some other value: a numeric that does not
+    * lead with a digit ("-5", ".5", "+3", inf/nan forms) numeric-sorts
+    * where the bucketed sort string-sorts, and a digit-leading
+    * non-numeric ("1001?", "5\n") string-interleaves between numerics.
+    * Scala model (shared with MutFuzz's window adjudicator):
+    * `(isNum && !digitLead) || (!isNum && digitLead)` with isNum =
+    * [[rustF64]]`.isDefined`. */
+  private[graft] def cycleCapable(str: Column): Column = {
+    val isNum = str.rlike(rustNumRe)
+    val digitLead = substring(str, 1, 1).between("0", "9")
+    (isNum && !digitLead) || (!isNum && str =!= lit("") && digitLead) ||
+      str.rlike("(?i)\\A[+-]?(inf(inity)?|nan)\\z")
+  }
+
+  /** The distributed mirror of the pairwise compare, valid exactly when
+    * no key value is [[cycleCapable]]: strings below "0" (incl. "",
+    * the missing-prop default), then numerics by value, then strings
+    * above "9"-leading... i.e. above digit-lead. Three sort keys per
+    * ORDER BY item, all codegen'd — no UDF in the sort. */
+  private[graft] def bucketSortExprs(str: Column, asc: Boolean): Seq[Column] = {
+    val isNum = str.rlike(rustNumRe)
+    val num = when(isNum, str.try_cast("double"))
+    val bucket = when(isNum, lit(1))
+      .when(str === lit("") || substring(str, 1, 1) < lit("0"), lit(0))
+      .otherwise(lit(2))
+    if (asc) Seq(bucket.asc, num.asc_nulls_first, str.asc)
+    else Seq(bucket.desc, num.desc_nulls_last, str.desc)
+  }
+
+  /** The literal scalar pairwise compare (exact-path comparator):
+    * numeric when BOTH sides parse (NaN compares Equal, mirroring
+    * `partial_cmp(..).unwrap_or(Equal)`), else UTF-8-byte string
+    * order. */
+  private[graft] def dualCompare(a: String, c: String): Int =
+    (rustF64(a), rustF64(c)) match {
+      case (Some(na), Some(nc)) =>
+        if (na.isNaN || nc.isNaN) 0 else java.lang.Double.compare(na, nc)
+      case _ => rustStrCmp(a, c)
+    }
 
   /** Rust `f64::from_str` mirror for the ORDER BY dual compare: no
     * whitespace trimming (unlike Spark's cast), accepts `inf`/

@@ -403,7 +403,7 @@ object DiffFuzz {
     }
   }
 
-  private[graft] def normErr(e: String): String =
+  private[graft] def normErr(e: String, stmt: String): String =
     if (e.startsWith("Cannot DELETE node")) "Cannot DELETE node #"
     else if (e.startsWith("invalid uuid")) "invalid uuid #" // id text is side-local
     // the reference's byte-window slices (split_where_and /
@@ -418,10 +418,29 @@ object DiffFuzz {
     // slicing ..."); the engine/model type it as an unterminated-string
     // parse error — same contract as the byte-window class (the real
     // binary dies, we error). Seen live: MutFuzz seeds 16/20,
-    // `... RETURN '` / `... WHERE b.g = '`.
-    else if (e.startsWith("panic: begin > end") && e.contains("when slicing"))
+    // `... RETURN '` / `... WHERE b.g = '`. ADVICE r9: gated on the
+    // statement actually ending inside an unclosed quote, so an
+    // inverted-slice panic from an unrelated reference code path is NOT
+    // silently equated with the engine's unterminated-string error.
+    else if (e.startsWith("panic: begin > end") && e.contains("when slicing") &&
+             endsInsideQuote(stmt))
       "unterminated string literal"
     else e
+
+  /** Plain '\''/'"' toggle scan (the reference does not unescape —
+    * string escapes are an engine EXTENSION): true iff the statement
+    * ends inside an unterminated quoted region. */
+  private[graft] def endsInsideQuote(stmt: String): Boolean = {
+    var q: Char = 0
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (q == 0 && (c == '\'' || c == '"')) q = c
+      else if (c == q) q = 0
+      i += 1
+    }
+    q != 0
+  }
 
   // ------------------------------------------------------------ goldens
 
@@ -550,10 +569,14 @@ object DiffFuzz {
         mutates: Boolean): Unit = {
       step += 1
       val stmt = mkStmt(sides.head)
-      val results = sides.map(s => s -> s.run(mkStmt(s), params))
+      val results = sides.map { s =>
+        val sideStmt = mkStmt(s)
+        (s, sideStmt, s.run(sideStmt, params))
+      }
       if (mutates) sides.foreach(_.refresh())
-      val canon = results.map { case (s, res) =>
-        (s, res.left.map(normErr).map(r => (r.rows.map(s.canonRow).sorted, r.meta)))
+      val canon = results.map { case (s, sideStmt, res) =>
+        (s, res.left.map(normErr(_, sideStmt))
+          .map(r => (r.rows.map(s.canonRow).sorted, r.meta)))
       }
       val (base, baseRes) = canon.head
       // golden record/replay: pin the ENGINE side's canonical outcome

@@ -35,6 +35,69 @@ class IoAndOpsSpec extends AnyFunSuite {
     assert(old.nodeCount == 2 && old.relationshipCount == 1)
   }
 
+  test("graphstore_crash_mid_save_leaves_previous_version_loadable") {
+    // VERDICT r9 #4: the atomic-commit claim (S6, persist.rs:100-131
+    // parity) pinned for every crash point of save(), not just the
+    // happy path. Each torn state below is exactly what a kill at that
+    // point in save() leaves on disk; reopen must serve the previous
+    // version intact.
+    import java.nio.file.{Files => NF, Path, Paths, StandardCopyOption}
+    def copyTree(from: Path, to: Path): Unit = {
+      NF.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (NF.isDirectory(p)) NF.createDirectories(t)
+        else NF.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val s = new GraphSession(spark)
+    s.execute("CREATE (:Person {name: 'Ada'});")
+    val root = tmpDir("graft_crash")
+    val v1 = GraphStore.save(s.graph, root)
+
+    // crash BETWEEN the parquet writes and the version-dir rename:
+    // an orphaned .tmp_* dir must be invisible to listVersions and load
+    val orphan = Paths.get(root, ".tmp_v_99999999_000000_000")
+    NF.createDirectories(orphan.resolve("nodes"))
+    NF.writeString(orphan.resolve("nodes").resolve("part-00000"), "torn")
+    assert(GraphStore.listVersions(root) == Seq(v1))
+    assert(GraphStore.load(spark, root).nodeCount == 1)
+
+    // crash BETWEEN the version-dir rename and the pointer rename: v2's
+    // data dir is committed but `active` still names v1 — the pointer
+    // IS the commit, so load serves v1; v2 stays explicitly loadable
+    s.execute("CREATE (:Person {name: 'Bob'});")
+    val v2 = GraphStore.save(s.graph, root)
+    NF.writeString(Paths.get(root, "active"), v1)
+    // the real crash leaves v1's pointer (and its checksum sidecar)
+    // untouched; this simulation rewrote the pointer bytes, so drop the
+    // now-stale LocalFileSystem .crc rather than fake one
+    NF.deleteIfExists(Paths.get(root, ".active.crc"))
+    assert(GraphStore.load(spark, root).nodeCount == 1)
+    assert(GraphStore.load(spark, root, Some(v2)).nodeCount == 2)
+    assert(GraphStore.listVersions(root) == Seq(v1, v2).sorted)
+
+    // crash BETWEEN the .active_tmp write and its OVERWRITE rename:
+    // a torn pointer tmp must not shadow the committed pointer
+    NF.writeString(Paths.get(root, ".active_tmp"), v2)
+    assert(GraphStore.load(spark, root).nodeCount == 1)
+
+    // daemon died before the FIRST pointer ever landed (autosave killed
+    // mid-save), plus an S3A-style partial version dir (nodes complete,
+    // edges missing its _SUCCESS): fallback must take the newest
+    // COMPLETE version and skip the partial one
+    NF.delete(Paths.get(root, "active"))
+    NF.delete(Paths.get(root, ".active_tmp"))
+    val partial = Paths.get(root, "v_99999999_000002_000")
+    copyTree(Paths.get(root, v2).resolve("nodes"), partial.resolve("nodes"))
+    NF.createDirectories(partial.resolve("edges")) // no _SUCCESS
+    assert(GraphStore.load(spark, root).nodeCount == 2)
+
+    // and the next save repairs the store: fresh version + fresh pointer
+    val v3 = GraphStore.save(s.graph, root)
+    assert(GraphStore.load(spark, root).nodeCount == 2)
+    assert(GraphStore.load(spark, root, Some(v3)).nodeCount == 2)
+  }
+
   test("graphstore_diff_reports_added_removed_changed") {
     import graft.core.PropertyGraph
     val root = tmpDir("graft_diff")

@@ -152,18 +152,40 @@ object MutFuzz {
             engineSide.run("MATCH (n) RETURN n", Map.empty).toSeq
               .flatMap(_.rows).exists(_.properties.values.exists(cycleCapable)))
           return true
-        (1 to 3).exists { _ =>
+        def replicaOnce(): Either[String, Boolean] = {
           val replica = new DiffFuzz.RefOracle(binary)
           try {
             val side = new DiffFuzz.SideState("replica", (q, p) => replica.run(q, p))
             history.foreach { case (s, p) => side.run(s, p) }
             side.refresh()
             side.run(stmt, params) match {
-              case Right(r) => r.rows.map(side.canonRow).sorted != firstRows
-              case Left(_) => true // replica didn't even reproduce the outcome class
+              case Right(r) => Right(r.rows.map(side.canonRow).sorted != firstRows)
+              case Left(e) => Left(e)
             }
           } finally replica.close()
         }
+        // ADVICE r9: a Left from a replica can be a transient harness
+        // failure (process/pipe), not the reference's answer — one
+        // transient crash among three replays must not silently
+        // suppress a genuine mismatch. Retry once in a fresh process;
+        // only a REPRODUCIBLE Left (two fresh processes erroring where
+        // the first run succeeded) counts as outcome-class
+        // nondeterminism, and both cases are logged.
+        def replicaVote(): Boolean = replicaOnce() match {
+          case Right(v) => v
+          case Left(e1) => replicaOnce() match {
+            case Right(v) =>
+              System.err.println(
+                s"  [windowUnstable] transient replica failure retried OK: $e1")
+              v
+            case Left(e2) =>
+              System.err.println(
+                "  [windowUnstable] replica reproducibly errored where the " +
+                  s"first run succeeded [$e2] — outcome-class nondeterminism")
+              true
+          }
+        }
+        (1 to 3).exists(_ => replicaVote())
       }
 
       def reseed(): Unit = {
@@ -234,7 +256,8 @@ object MutFuzz {
         val or = oracleSide.run(stmt, params)
         val oraclePanicked = or.left.exists(_.startsWith("panic: "))
 
-        (er.left.map(DiffFuzz.normErr), or.left.map(DiffFuzz.normErr)) match {
+        (er.left.map(DiffFuzz.normErr(_, stmt)),
+            or.left.map(DiffFuzz.normErr(_, stmt))) match {
           case (Left(a), Left(b)) =>
             if (a != b) mismatches += DiffFuzz.Mismatch(seed, step, stmt,
               s"engine error [$a] vs reference error [$b]")

@@ -1,0 +1,74 @@
+package graft
+
+import graft.engine.GraphSession
+
+/** Adjudication probe driver (test scope) — replaces the per-quirk
+  * probe mains that accumulated through round 9 (ArrowProbe, BtProbe,
+  * DotProbe, DotProbe2, MergeProbe, OrderProbe; VERDICT r9 #3). Reads
+  * the SAME line protocol the refharness REPL speaks and prints the
+  * SAME response format, so one statement script drives both sides of
+  * an adjudication and the outputs diff directly (modulo side-local ids
+  * and HashMap row order on the reference side):
+  *
+  *   tools/run.sh graft.RefProbe tools/refharness/probes/dotted.ql
+  *   tools/refharness/target/release/refharness \
+  *       < tools/refharness/probes/dotted.ql
+  *
+  * Protocol (tools/refharness/README.md): one request per line —
+  * `Q <query>` (no-params router), `P <query>\x1f<k>=<v>\x1f...`
+  * (with-params Cypher path), `RESET` (fresh database); `\x1d` in a
+  * query encodes an embedded newline. Responses: `meta|n|r|m` then
+  * `node|id|label|k=v\x1e...` / `rel|id|from|to|label|k=v\x1e...` /
+  * `info|s` rows, terminated by `OK` — or `ERR <msg>`. No argument (or
+  * `-`) reads the script from stdin.
+  */
+object RefProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    var session = new GraphSession(spark)
+    val lines: Iterator[String] =
+      if (args.isEmpty || args(0) == "-") scala.io.Source.stdin.getLines()
+      else scala.io.Source.fromFile(args(0), "UTF-8").getLines()
+
+    for (line <- lines) {
+      if (line == "RESET") { session = new GraphSession(spark); println("OK") }
+      else {
+        val (query0, params) =
+          if (line.startsWith("P ")) {
+            val parts = line.drop(2).split('\u001f')
+            (parts.head, parts.tail.flatMap { p =>
+              val eq = p.indexOf('=')
+              if (eq < 0) None else Some(p.take(eq) -> p.drop(eq + 1))
+            }.toMap)
+          } else if (line.startsWith("Q ")) (line.drop(2), Map.empty[String, String])
+          else { println("ERR bad request"); ("", null) }
+        if (params != null) {
+          val query = query0.replace('\u001d', '\n')
+          try {
+            val o = if (params.isEmpty) session.execute(query)
+                    else session.executeWithParams(query, params)
+            println(s"meta|${o.affectedNodes}|${o.affectedRels}|${o.mutated}")
+            o.rows.foreach { r =>
+              val props = Option(r.properties).getOrElse(Map.empty)
+                .toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\u001e")
+              r.kind match {
+                case "node" => println(s"node|${r.id}|${r.label}|$props")
+                case "relationship" =>
+                  println(s"rel|${r.id}|${r.src}|${r.dst}|${r.label}|$props")
+                case _ => println(s"info|${r.info}")
+              }
+            }
+            println("OK")
+          } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              println(s"ERR ${msg.replace('\n', ' ')}")
+          }
+        }
+      }
+      Console.out.flush()
+    }
+    spark.stop()
+  }
+}
