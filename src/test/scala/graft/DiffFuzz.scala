@@ -493,8 +493,12 @@ object DiffFuzz {
 
   object GoldenStore {
     /** Seeds pinned by the golden corpus — distinct from
-      * DifferentialFuzzSpec's live seeds so the corpus ADDS coverage. */
-    val Seeds: Seq[Long] = Seq(101L, 102L, 103L, 104L, 105L, 106L)
+      * DifferentialFuzzSpec's live seeds so the corpus ADDS coverage.
+      * Widened 6 → 14 in round 10 (VERDICT r9 #2) together with the
+      * targeted fixed-statement block covering the round-9 fixes. */
+    val Seeds: Seq[Long] =
+      Seq(101L, 102L, 103L, 104L, 105L, 106L, 107L, 108L,
+        109L, 110L, 111L, 112L, 113L, 114L)
 
     def defaultPath: java.nio.file.Path = {
       val rel = java.nio.file.Paths.get("src/test/resources/golden/diff_goldens.txt")
@@ -644,6 +648,39 @@ object DiffFuzz {
       Map("pz" -> "resolved"), mutates = true)
     // rel-pattern props DO resolve params (endpoint props stay raw)
     checkStatement("MATCH (a)-[r:T {w:$wv}]->(b) RETURN b", Map("wv" -> "3"), mutates = false)
+    // ------- round-9 fidelity fixes, golden-pinned (VERDICT r9 #2) -------
+    // backticked variable names (Executor.vcol quoting)
+    val bt = fresh()
+    checkStatement(s"CREATE (a`b:Bq {k:'bt$bt', u:'42'})", Map.empty, mutates = true)
+    checkStatement("MATCH (a`b:Bq) RETURN id(a`b)", Map.empty, mutates = false)
+    // dotted variable names across MATCH/SET/ORDER/id-compare/DELETE
+    val dq = fresh()
+    checkStatement(s"CREATE (.a:Dq {k:'dq$dq', u:'7'})", Map.empty, mutates = true)
+    checkStatement("MATCH (.a:Dq) SET .a.m = 'x'", Map.empty, mutates = true)
+    checkStatement("MATCH (.a:Dq) RETURN .a ORDER BY .a.u", Map.empty, mutates = false)
+    checkStatement("MATCH (.a:Dq), (.b:La) WHERE id(.a) < id(.b) RETURN id(.a)",
+      Map.empty, mutates = false)
+    checkStatement("MATCH (.a:Dq) DETACH DELETE .a", Map.empty, mutates = true)
+    // Rust-vs-Java whitespace classes in routing/trim: U+00A0 and
+    // U+202F are Rust char::is_whitespace (stripped), 0x1C-0x1F are not
+    checkStatement("\u00a0MATCH (n {k:'n1'}) RETURN n.k", Map.empty, mutates = false)
+    checkStatement("MATCH\u202f(n {k:'n1'}) RETURN n.k", Map.empty, mutates = false)
+    checkStatement("\u001cMATCH (n {k:'n1'}) RETURN n.k", Map.empty, mutates = false)
+    // adjacency-sensitive arrows: `- >` and `]>` are NOT `]->`
+    checkStatement("MATCH (a)- ->(b) RETURN a", Map.empty, mutates = false)
+    checkStatement("MATCH (a)-[r:T]- >(b) RETURN a", Map.empty, mutates = false)
+    checkStatement("MATCH (a)-[r:T]>(b) RETURN a", Map.empty, mutates = false)
+    // untrimmed rel-var head: `-[r {..}]->` binds "r " (with the
+    // space), so id(r) is unbound and fail-closed
+    checkStatement("MATCH (a)-[r {ek:'e0'}]->(b) RETURN b", Map.empty, mutates = false)
+    checkStatement("MATCH (a)-[r {ek:'e0'}]->(b) RETURN id(r)", Map.empty, mutates = false)
+    // lazy MERGE params through the with-params router: the missing
+    // param only errors when a candidate row actually needs it
+    checkStatement("OPTIONAL MATCH (a {k:'n0'}) MERGE (a)-[:S9 {p:$missing}]->(a)",
+      Map("other" -> "1"), mutates = true)
+    checkStatement("OPTIONAL MATCH (z:Zz9) MERGE (z)-[:S9 {p:$missing}]->(z)",
+      Map("other" -> "1"), mutates = true)
+    // ---------------------------------------------------------------------
     // the legacy dialect rides the SAME branch in both router variants
     val pv = fresh()
     checkStatement(s"""CREATE NODE La {k:"pl$pv", g:"g1"}""", Map("x" -> "y"), mutates = true)
@@ -775,6 +812,29 @@ object DiffFuzz {
     checkPerSide(s => s"DELETE REL ${eid(s, "e0")}", Map.empty, mutates = true)
     checkPerSide(s => s"DELETE NODE ${nid(s, "n5")}", Map.empty, mutates = true)
     checkPerSide(s => s"DELETE NODE ${nid(s, "gone")}", Map.empty, mutates = true)
+    // urn:/braced UUID forms (round 9: LegacyParser.scala requireUuid
+    // mirrors uuid 1.19 try_parse; the shim gained the same dispatch in
+    // round 10 so these adjudicate three-way). Each side's own id,
+    // re-rendered in the alternate accepted forms.
+    def hyph(id: String): String =
+      if (id.length == 32)
+        (id.substring(0, 8) + "-" + id.substring(8, 12) + "-" +
+          id.substring(12, 16) + "-" + id.substring(16, 20) + "-" +
+          id.substring(20)).toLowerCase
+      else id.toLowerCase
+    val urnLbl = pick(rnd, Labels)
+    checkPerSide(s => s"MATCH NODE $urnLbl WHERE id=urn:uuid:${hyph(nid(s, "n2"))}",
+      Map.empty, mutates = false)
+    checkPerSide(s => s"MATCH NODE $urnLbl WHERE id={${hyph(nid(s, "n2"))}}",
+      Map.empty, mutates = false)
+    checkPerSide(s => s"DELETE NODE {${hyph(nid(s, "n3"))}}", Map.empty, mutates = true)
+    checkPerSide(s => s"DELETE NODE urn:uuid:${hyph(nid(s, "gone"))}",
+      Map.empty, mutates = true)
+    // malformed forms error identically everywhere: {32hex} is rejected
+    // (the braced inner form must be hyphenated), as is any other width
+    checkPerSide(s => s"DELETE NODE {${hyph(nid(s, "n4")).replace("-", "")}}",
+      Map.empty, mutates = true)
+    checkStatement("DELETE NODE ff", Map.empty, mutates = true)
     mismatches.toSeq
   }
 

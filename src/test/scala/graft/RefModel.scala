@@ -81,14 +81,17 @@ class RefModel {
     * model's own, from the reference source. */
   def executeSession(query: String, params: Map[String, String],
       hasParams: Boolean): (Seq[ResultRow], Long, Long, Boolean) = {
-    val trimmed = query.trim
+    // RUST whitespace classes, like the reference's trim/trim_start
+    // (U+00A0/U+202F strip, 0x1C-0x1F keep — found by MutFuzz r9,
+    // golden-pinned r10)
+    val trimmed = Parser.rustTrim(query)
     if (trimmed.isEmpty) throw ParseException("empty query")
     var rows = Seq.empty[ResultRow]
     var nCnt = 0L; var rCnt = 0L; var anyMut = false
-    trimmed.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+    trimmed.split(";").map(Parser.rustTrim).filter(_.nonEmpty).foreach { stmt =>
       val upper = stmt.toUpperCase
       def restParen(p: Int): Boolean =
-        stmt.length > p && stmt.substring(p).dropWhile(_.isWhitespace).startsWith("(")
+        stmt.length > p && stmt.substring(p).dropWhile(Parser.rustWs).startsWith("(")
       val (r, n, rc, m) =
         if (upper.startsWith("MATCH (") && upper.contains(" MERGE "))
           legacyPairwiseMerge(stmt)

@@ -13,9 +13,38 @@ pub mod uuid {
             Uuid(COUNTER.fetch_add(1, Ordering::SeqCst) as u128)
         }
         pub fn as_u128(&self) -> u128 { self.0 }
-        // parse the zero-padded hex form Display emits
+        // Mirror of uuid 1.19 try_parse's length dispatch (round 10; the
+        // real crate the reference links): simple 32-hex, hyphenated
+        // 8-4-4-4-12, braced {hyphenated} (the inner form must be
+        // hyphenated), urn:uuid:hyphenated with a byte-wise
+        // case-insensitive prefix. The earlier shim accepted any-width
+        // hex, which blocked golden-recording the urn:/braced forms.
         pub fn parse_str(s: &str) -> Result<Uuid, String> {
-            u128::from_str_radix(s.trim(), 16).map(Uuid).map_err(|e| e.to_string())
+            fn hex32(h: &str) -> Option<u128> {
+                if h.len() == 32 && h.bytes().all(|b| b.is_ascii_hexdigit()) {
+                    u128::from_str_radix(h, 16).ok()
+                } else { None }
+            }
+            fn hyphenated(h: &str) -> Option<u128> {
+                let b = h.as_bytes();
+                if h.len() != 36 || b[8] != b'-' || b[13] != b'-'
+                    || b[18] != b'-' || b[23] != b'-' { return None; }
+                let compact: String =
+                    h.chars().filter(|&c| c != '-').collect();
+                hex32(&compact)
+            }
+            let s = s.trim();
+            let v = if s.len() == 32 { hex32(s) }
+                else if s.len() == 36 { hyphenated(s) }
+                else if s.len() == 38 && s.starts_with('{') && s.ends_with('}') {
+                    s.get(1..37).and_then(hyphenated)
+                }
+                else if s.len() == 45
+                    && s.get(0..9).map_or(false, |p| p.eq_ignore_ascii_case("urn:uuid:")) {
+                    s.get(9..).and_then(hyphenated)
+                }
+                else { None };
+            v.map(Uuid).ok_or_else(|| format!("invalid uuid: {}", s))
         }
     }
     impl fmt::Display for Uuid {
