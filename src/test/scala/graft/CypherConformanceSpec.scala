@@ -879,6 +879,27 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is 99 after the filter-loss SET above, so ascending starts at 11)
     assert(s.execute("MATCH (n:Sl) RETURN n.u ORDER BY n.u LIMIT 1 LIMIT 2")
       .rows.map(_.info) == Seq("11"))
+    // ...and the same leftmost-repeat rule for SKIP (probed r10, 3×
+    // deterministic: the peel rfinds right-to-left so the LAST parse —
+    // the textually FIRST repeat — wins), including interleaved repeats
+    assert(s.execute("MATCH (n:Sl) RETURN n.u ORDER BY n.u SKIP 1 SKIP 0")
+      .rows.map(_.info) == Seq("99"))
+    assert(s.execute("MATCH (n:Sl) RETURN n.u ORDER BY n.u SKIP 0 SKIP 1")
+      .rows.map(_.info) == Seq("11", "99"))
+    assert(s.execute(
+        "MATCH (n:Sl) RETURN n.u ORDER BY n.u SKIP 1 LIMIT 1 SKIP 0 LIMIT 2")
+      .rows.map(_.info) == Seq("99"))
+    // a paginated ORDER BY over an UNBOUND variable ties every key at ""
+    // (cypher_spec.rs:1437-1446 pushes "" for unbound vars): the
+    // reference then pages in per-process-random HashMap order (probed
+    // r10: 8 fresh processes returned all 4 possible windows —
+    // MutFuzz.allTiesSkipWindow suppresses the class); the ENGINE's
+    // window is deterministic and must stay a proper sub-multiset with
+    // the exact count = total − skip
+    val full = s.execute("MATCH (n:Sl) RETURN n.u").rows.map(_.info)
+    val win = s.execute("MATCH (n:Sl) RETURN n.u ORDER BY nu. SKIP 1")
+      .rows.map(_.info)
+    assert(win.length == full.length - 1 && win.diff(full).isEmpty)
     // an ORDER BY after an unpeeled count garbles the items to zero rows
     assert(s.execute("MATCH (n:Sl) RETURN n.u SKIP 1 ORDER BY n.u").rows.isEmpty)
     // junk kills only ITS comma-segment in multi-item mode
