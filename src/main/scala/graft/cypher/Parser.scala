@@ -58,7 +58,15 @@ object Parser {
     val n = q.length
     while (i < n) {
       val c = q(i)
-      if (c.isWhitespace) i += 1
+      // Rust's whitespace class, NOT Java's: the reference keeps
+      // 0x1C-0x1F (file/group/record/unit separators are not Unicode
+      // White_Space, so `(x)` is an invalid node pattern there —
+      // probed r10, MutFuzz seed 27), while it strips U+00A0/U+202F.
+      // Skipping the Java class here silently swallowed 0x1C inside
+      // pattern segments; non-Rust-whitespace now falls through to the
+      // "unexpected character" arm and degrades to the string mirror,
+      // which reproduces the reference's slicing and error text.
+      if (rustWs(c)) i += 1
       else if (c == '\'' || c == '"') {
         val quote = c
         val sb = new StringBuilder
@@ -252,12 +260,48 @@ object Parser {
     * string-level mirror of the reference's parse_pattern takes over so
     * junk degrades exactly like the reference (garbage variable names
     * that never bind, or the reference's own error messages). */
+  /** The reference's raw slice preconditions (parse_pattern,
+    * cypher_spec.rs:239-268): each rel slice runs from its `-[` to the
+    * FIRST '(' after its first ']' and must END with the exact bytes
+    * "]-", "]->" or "-]" — so whitespace (or anything else) between the
+    * rel tail and the right node's '(' is an "invalid rel pattern"
+    * there even though the token grammar skips it (probed r10, MutFuzz
+    * seed 28: `-[r:U]- (b)` errors), and a `-[` with no ')' anywhere
+    * before it is "bad path left". Audited on the RAW segment after a
+    * token-grammar accept; a failure degrades to the string mirror,
+    * which reproduces the reference's slicing and error text
+    * byte-exactly. Every `-[` is scanned so the chained-hop extension
+    * keeps the same per-hop contract; a bracket inside a quoted prop
+    * value derails this scan exactly like it derails the reference's,
+    * and the mirror then mirrors that too. */
+  private def refSliceAudit(s: String): Boolean = {
+    var from = 0
+    var first = true
+    while (true) {
+      val midStart = s.indexOf("-[", from)
+      if (midStart < 0) return true
+      if (first && s.lastIndexOf(')', midStart - 1) < 0) return false
+      first = false
+      val closeBr = s.indexOf(']', midStart)
+      if (closeBr < 0) return true // token-accepted quoted junk; keep extension
+      val rightParen = s.indexOf('(', closeBr + 1)
+      if (rightParen < 0) return true
+      val slice = s.substring(midStart, rightParen)
+      if (!slice.endsWith("]-") && !slice.endsWith("]->") && !slice.endsWith("-]"))
+        return false
+      from = rightParen
+    }
+    true
+  }
+
   private def parsePatternSegment(seg0: String): PathPattern = {
     val seg = defensiveTruncate(seg0)
     try {
       val p = new P(tokenize(seg))
       val path = p.pathPattern()
       if (!p.eof) throw ParseException(s"invalid node pattern: $seg")
+      if (!refSliceAudit(seg))
+        throw ParseException("rel slice audit: string mirror handles")
       path
     } catch {
       case _: ParseException => stringPathPattern(seg)

@@ -1089,6 +1089,44 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.execute("MATCH (a)< -[r:AE]-(b) RETURN b.k").rows.length == 2)
     assert(s.execute("MATCH (a)-[r:AE]->(b) RETURN b.k").rows.map(_.info) == Seq("2"))
   }
+
+  test("cypher_rel_slice_tail_must_abut_right_node") {
+    // the reference's rel slice runs from `-[` to the first '(' after
+    // its first ']' and must END with the bytes "]-"/"]->"/"-]"
+    // (parse_pattern + parse_rel_pattern, cypher_spec.rs:239-268+143):
+    // whitespace or junk between the tail and the right '(' errors even
+    // though a tokenizer would skip it (probed r10, MutFuzz seed 28)
+    val s = newSession()
+    s.execute("CREATE (:At1 {k:\"1\"}); CREATE (:At2 {k:\"2\"})")
+    s.execute("MATCH (a {k:\"1\"}), (b {k:\"2\"}) CREATE (a)-[:AT]->(b)")
+    for (bad <- Seq("MATCH (a)-[r:AT]- (b) RETURN a",
+                    "MATCH (a)-[r:AT]-> (b) RETURN a",
+                    "MATCH (a)-[r:AT]->x(b) RETURN a",
+                    "MATCH (a)-[r:AT] ->(b) RETURN a")) {
+      val e = intercept[ParseException] { s.execute(bad) }
+      assert(e.getMessage.startsWith("invalid rel pattern:"), bad)
+    }
+    // leading whitespace before `-[` is OUTSIDE the slice and fine
+    assert(s.execute("MATCH (a) -[r:AT]->(b) RETURN b.k").rows.map(_.info)
+      == Seq("2"))
+    // `-]` is a valid slice tail there (undirected), probed vs the
+    // reference: `-[r:AT-]` parses with type AT
+    assert(s.execute("MATCH (a)-[r:AT-](b) RETURN b.k").rows.map(_.info).sorted
+      == Seq("1", "2"))
+    // a `-[` inside a left prop value derails the reference's slicing
+    // before any ')' exists: "bad path left" (probed r10)
+    val e2 = intercept[ParseException] {
+      s.execute("MATCH (a {k:'-['}) RETURN a")
+    }
+    assert(e2.getMessage == "bad path left")
+    // 0x1C-0x1F are NOT Rust whitespace: a trailing file separator
+    // makes the node pattern invalid (probed r10, MutFuzz seed 27 —
+    // Java's whitespace class silently swallowed it)
+    val e3 = intercept[ParseException] {
+      s.execute("MATCH (a:At1 {k:'1'})\u001c RETURN a")
+    }
+    assert(e3.getMessage == "invalid node pattern: (a:At1 {k:'1'})\u001c")
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */
