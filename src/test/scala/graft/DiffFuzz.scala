@@ -835,6 +835,30 @@ object DiffFuzz {
     checkPerSide(s => s"DELETE NODE {${hyph(nid(s, "n4")).replace("-", "")}}",
       Map.empty, mutates = true)
     checkStatement("DELETE NODE ff", Map.empty, mutates = true)
+    // round-10 fixes, pinned offline: the rel slice must END flush
+    // against the right node's '(' (parse_rel_pattern tail bytes
+    // "]-"/"]->"/"-]"), 0x1C is NOT Rust whitespace inside pattern
+    // segments, a quoted `-[` with no ')' before it is "bad path
+    // left", and repeated SKIP peels right-to-left so the textually
+    // FIRST repeat wins (all probed against the reference this round)
+    val rsT = pick(rnd, RelTypes)
+    checkStatement(s"MATCH (a)-[r:$rsT]- (b) RETURN a", Map.empty, mutates = false)
+    checkStatement(s"MATCH (a)-[r:$rsT]-> (b) RETURN a", Map.empty, mutates = false)
+    checkStatement(s"MATCH (a)-[r:$rsT] ->(b) RETURN a", Map.empty, mutates = false)
+    checkStatement(s"MATCH (a)-[r:$rsT]->x(b) RETURN a", Map.empty, mutates = false)
+    checkStatement(s"MATCH (a)-[r:$rsT-](b) RETURN b.k", Map.empty, mutates = false)
+    checkStatement("MATCH (a {k:'-['}) RETURN a", Map.empty, mutates = false)
+    checkStatement("MATCH (n:La {g:'g1'})\u001c, (n) RETURN n.k",
+      Map.empty, mutates = false)
+    val zs = fresh()
+    checkStatement(s"CREATE (:Zs {k:'z$zs', u:'${900 + zs}', g:'g3'})",
+      Map.empty, mutates = true)
+    checkStatement(s"CREATE (:Zs {k:'z${zs + 1}', u:'${901 + zs}', g:'g3'})",
+      Map.empty, mutates = true)
+    checkStatement("MATCH (n:Zs) RETURN n.u ORDER BY n.u SKIP 1 SKIP 0",
+      Map.empty, mutates = false)
+    checkStatement("MATCH (n:Zs) RETURN n.u ORDER BY n.u SKIP 0 SKIP 1",
+      Map.empty, mutates = false)
     mismatches.toSeq
   }
 
