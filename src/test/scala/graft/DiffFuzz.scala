@@ -422,8 +422,14 @@ object DiffFuzz {
     // statement actually ending inside an unclosed quote, so an
     // inverted-slice panic from an unrelated reference code path is NOT
     // silently equated with the engine's unterminated-string error.
+    // ...checked per ';'-FRAGMENT, not per script: both implementations
+    // split statements on ';' quote-blind (rustTrim statement split), so
+    // a ';' inside a quoted value makes the reference panic on a
+    // FRAGMENT that ends in an unclosed quote while the whole script's
+    // quote count is even (seen live r10, MutFuzz seed 40 step 5:
+    // `SET n.m1 = ';a10002', ...` → fragment `...SET n.m1 = '` panics)
     else if (e.startsWith("panic: begin > end") && e.contains("when slicing") &&
-             endsInsideQuote(stmt))
+             stmt.split(";", -1).exists(endsInsideQuote))
       "unterminated string literal"
     else e
 
