@@ -56,17 +56,26 @@ object LegacyParser {
     (label, props)
   }
 
-  private val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
-  private val simpleUuidRe = "^[0-9a-fA-F]{32}$".r
-  /** The reference parses ids with `Uuid::parse_str` (uuid 1.19
-    * try_parse), which dispatches on exact length: simple 32-hex,
-    * hyphenated 8-4-4-4-12, braced `{hyphenated}` (38 — the inner form
-    * must be HYPHENATED, `{32hex}` is rejected), and
-    * `urn:uuid:hyphenated` (45, prefix case-insensitive per byte). All
-    * four normalize to one value — mirror by normalizing to hyphenated
+  // \A/\z anchors, NOT ^/$: findFirstIn's $ matches before a trailing
+  // newline (the r10 rustNumRe bug class), and with requireUuid no
+  // longer trimming (r11) a "<32hex>\n" input must reject like the
+  // crate's exact-length dispatch does
+  private val uuidRe = "\\A[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\z".r
+  private val simpleUuidRe = "\\A[0-9a-fA-F]{32}\\z".r
+  /** The reference parses ids with `Uuid::parse_str` (the uuid 1.x
+    * crate's try_parse), which dispatches on exact length: simple
+    * 32-hex, hyphenated 8-4-4-4-12, braced `{hyphenated}` (38 — the
+    * inner form must be HYPHENATED, `{32hex}` is rejected), and
+    * `urn:uuid:hyphenated` (45 — the crate's parser.rs matches the
+    * prefix as LITERAL LOWERCASE bytes, so `URN:UUID:` is rejected;
+    * r11 fix, the prefix is NOT case-insensitive). Hex digits are
+    * case-insensitive via the crate's HEX_TABLE. try_parse does NOT
+    * trim — whitespace handling belongs to each call site (only
+    * parse_uuid_from, query_interface.rs:662, trims), so quoted padded
+    * ids like `id = " <uuid> "` error in the reference. All four forms
+    * normalize to one value — mirror by normalizing to hyphenated
     * lowercase so id equality behaves like parsed-Uuid equality. */
-  def requireUuid(s: String): String = {
-    val t = Parser.rustTrim(s)
+  def requireUuid(t: String): String = {
     def hyphen32(h: String): String =
       (h.substring(0, 8) + "-" + h.substring(8, 12) + "-" + h.substring(12, 16) +
         "-" + h.substring(16, 20) + "-" + h.substring(20)).toLowerCase
@@ -75,7 +84,7 @@ object LegacyParser {
     else if (t.length == 38 && t.charAt(0) == '{' && t.charAt(37) == '}' &&
         uuidRe.findFirstIn(t.substring(1, 37)).isDefined)
       t.substring(1, 37).toLowerCase
-    else if (t.length == 45 && t.substring(0, 9).equalsIgnoreCase("urn:uuid:") &&
+    else if (t.length == 45 && t.startsWith("urn:uuid:") &&
         uuidRe.findFirstIn(t.substring(9)).isDefined)
       t.substring(9).toLowerCase
     else throw ParseException(s"invalid uuid: $t")
@@ -266,9 +275,11 @@ object LegacyParser {
       val (label, props, where) = labelAndProps(s.substring(10))
       MatchRel(Some(label), props, where)
     } else if (u.startsWith("DELETE NODE ")) {
-      DeleteNode(requireUuid(s.substring(12)))
+      // parse_uuid_from (query_interface.rs:662) is the ONE uuid call
+      // site that trims before Uuid::parse_str
+      DeleteNode(requireUuid(Parser.rustTrim(s.substring(12))))
     } else if (u.startsWith("DELETE REL ")) {
-      DeleteRel(requireUuid(s.substring(11)))
+      DeleteRel(requireUuid(Parser.rustTrim(s.substring(11))))
     } else throw ParseException(s"unrecognized statement: $stmt")
   }
 

@@ -271,21 +271,57 @@ object Parser {
     * token-grammar accept; a failure degrades to the string mirror,
     * which reproduces the reference's slicing and error text
     * byte-exactly. Every `-[` is scanned so the chained-hop extension
-    * keeps the same per-hop contract; a bracket inside a quoted prop
-    * value derails this scan exactly like it derails the reference's,
-    * and the mirror then mirrors that too. */
+    * keeps the same per-hop contract; a structural byte inside a quoted
+    * prop value routes the whole segment to the mirror up front (see
+    * quotedStructural), because the reference's quote-blind scan can
+    * misalign against the token structure in either direction. */
+  /** A token-grammar accept can still disagree with the reference's
+    * quote-BLIND slicing whenever structural bytes hide inside a quoted
+    * literal (probed r11 against the refharness oracle):
+    * `(b {j:')', k:'-['})` errors "bad relationship pattern (no closing
+    * ])" there, `(b {j:')', k:'-[]'})` errors "bad path right (no right
+    * node)", and `(a {p:')-['})-[r:T]->(b)` errors "unclosed
+    * properties" because the raw slice cuts the left node at the QUOTED
+    * ')'. Quote tracking mirrors the tokenizer (escapes included) —
+    * the question is which bytes the token grammar consumed as string
+    * CONTENT while the reference's raw scan reads them as structure. A
+    * raw bracket after a backslash still counts: the reference sees it. */
+  private def quotedStructural(s: String): Boolean = {
+    def structural(c: Char): Boolean =
+      c == '(' || c == ')' || c == '[' || c == ']'
+    var i = 0
+    val n = s.length
+    var quote: Char = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < n) {
+          if (structural(s.charAt(i + 1))) return true
+          i += 1
+        } else if (c == quote) quote = 0
+        else if (structural(c)) return true
+      } else if (c == '\'' || c == '"') quote = c
+      i += 1
+    }
+    false
+  }
+
   private def refSliceAudit(s: String): Boolean = {
     var from = 0
     var first = true
+    if (s.indexOf("-[") >= 0 && quotedStructural(s)) return false
     while (true) {
       val midStart = s.indexOf("-[", from)
       if (midStart < 0) return true
       if (first && s.lastIndexOf(')', midStart - 1) < 0) return false
       first = false
       val closeBr = s.indexOf(']', midStart)
-      if (closeBr < 0) return true // token-accepted quoted junk; keep extension
+      // with quoted structural bytes excluded above, a missing ']' or
+      // '(' here is a genuine raw-scan failure — the reference errors
+      // ("no closing ]" / "no right node"); the mirror reproduces it
+      if (closeBr < 0) return false
       val rightParen = s.indexOf('(', closeBr + 1)
-      if (rightParen < 0) return true
+      if (rightParen < 0) return false
       val slice = s.substring(midStart, rightParen)
       if (!slice.endsWith("]-") && !slice.endsWith("]->") && !slice.endsWith("-]"))
         return false

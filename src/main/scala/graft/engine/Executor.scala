@@ -535,10 +535,19 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
           case None => filter = filter && lit(false)
           case Some(lhs) =>
             val rhs = resolve(value)
-            scala.util.Try(rhs.toDouble).toOption match {
+            // numeric iff BOTH sides parse per Rust f64::from_str
+            // (cypher_spec.rs:1129 `parse::<f64>` — untrimmed, "inf"
+            // spelling, no Java d/f suffixes or hex floats; the old
+            // `rhs.toDouble` + bare try_cast accepted Java's grammar).
+            // Rust NaN comparisons are all false except `!=` — Spark
+            // would instead sort NaN greatest and equate NaN = NaN,
+            // so the NaN case is forced scalar-side/isnan. r11.
+            CypherExecutor.rustF64(rhs) match {
               case Some(n) =>
-                val ln = lhs.try_cast("double")
-                val numC = strCmp(ln, lit(n), op)
+                val ln = CypherExecutor.rustF64Col(lhs)
+                val numC =
+                  if (n.isNaN) lit(op == "<>")
+                  else when(isnan(ln), lit(op == "<>")).otherwise(strCmp(ln, lit(n), op))
                 filter = filter && when(ln.isNotNull, numC).otherwise(strCmp(lhs, lit(rhs), op))
               case None => filter = filter && strCmp(lhs, lit(rhs), op)
             }
@@ -1002,6 +1011,22 @@ object CypherExecutor {
     * predicate and the scalar comparator must agree on every string. */
   private[graft] val rustNumRe =
     "\\A[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?\\z"
+
+  /** Column mirror of [[rustF64]]: the value's f64 when it
+    * Rust-parses, else NULL. Spark's bare string→double cast would
+    * TRIM whitespace and spell infinity Java-style ("Infinity" yes,
+    * "inf" no) — both wrong here — so finite forms are regex-guarded
+    * before try_cast and the inf/nan words are mapped explicitly.
+    * All codegen'd built-ins; no UDF. r11. */
+  private[graft] def rustF64Col(str: Column): Column = {
+    val w = lower(str)
+    val sign = when(w.startsWith("-"), lit(-1.0d)).otherwise(lit(1.0d))
+    val core = regexp_replace(w, "\\A[+-]", "")
+    when(str.rlike(rustNumRe), str.try_cast("double"))
+      .when(w.rlike("\\A[+-]?(inf(inity)?|nan)\\z"),
+        when(core.startsWith("inf"), lit(Double.PositiveInfinity) * sign)
+          .otherwise(lit(Double.NaN)))
+  }
 
   /** True iff this key value can make the pairwise dual compare
     * non-transitive against some other value: a numeric that does not

@@ -1127,6 +1127,77 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage == "invalid node pattern: (a:At1 {k:'1'})\u001c")
   }
+
+  test("cypher_quoted_structural_bytes_follow_reference_slicing") {
+    // ADVICE r10 -> probed r11 (probes/slice.ql): the reference's
+    // pattern slicing is quote-BLIND, so structural bytes inside quoted
+    // prop values misalign its scan even where a tokenizer succeeds.
+    // refSliceAudit now routes any `-[`-bearing segment with a quoted
+    // ()[] byte to the string mirror, which reproduces each reference
+    // error byte-exactly.
+    val s = newSession()
+    s.execute("CREATE (:Qs1 {k:\"1\"}); CREATE (:Qs2 {k:\"2\"})")
+    s.execute("MATCH (a {k:\"1\"}), (b {k:\"2\"}) CREATE (a)-[:QS]->(b)")
+    // quoted ')' before a quoted '-[' with no ']' after: the raw scan
+    // finds a left node but no closing bracket
+    val e1 = intercept[ParseException] {
+      s.execute("MATCH (b {j:')', k:'-['}) RETURN b")
+    }
+    assert(e1.getMessage == "bad relationship pattern (no closing ]): (b {j:')', k:'-['})")
+    // ...with a quoted ']' present but no '(' after it
+    val e2 = intercept[ParseException] {
+      s.execute("MATCH (b {j:')', k:'-[]'}) RETURN b")
+    }
+    assert(e2.getMessage == "bad path right (no right node)")
+    // quoted ')' inside the LEFT node cuts the raw left slice mid-map
+    // even though a real rel follows (probed: "unclosed properties")
+    val e3 = intercept[ParseException] {
+      s.execute("MATCH (a {p:')-['})-[r:QS]->(b) RETURN a")
+    }
+    assert(e3.getMessage == "unclosed properties")
+    // a quoted '-[' in the RIGHT node after a real hop: the reference
+    // accepts (its single scan already consumed the rel) -- the mirror
+    // must too, binding zero rows for the absent prop
+    assert(s.execute("MATCH (a)-[r:QS]->(b {p:'-['}) RETURN a").rows.isEmpty)
+    // a quoted ']' before a real rel leaves the raw scan aligned
+    assert(s.execute("MATCH (a {k:'1'})-[r:QS]->(b) RETURN b.k").rows.map(_.info)
+      == Seq("2"))
+  }
+
+  test("legacy_uuid_forms_follow_uuid_crate_try_parse") {
+    // ADVICE r10 #3: the uuid crate's parser.rs matches the urn prefix
+    // as literal lowercase bytes and try_parse never trims (only
+    // parse_uuid_from, query_interface.rs:662, trims at the call site).
+    // All probed against the refharness oracle r11 (probes/uuid.ql).
+    val s = newSession()
+    s.execute("CREATE NODE Ux")
+    val hyph = {
+      val id = s.execute("MATCH NODE Ux").rows.head.id
+      val h = id.replace("-", "").toLowerCase
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20)}"
+    }
+    val simple = hyph.replace("-", "")
+    def hits(form: String): Int =
+      s.execute(s"""MATCH NODE Ux WHERE id="$form"""").rows.length
+    assert(hits(hyph) == 1)
+    assert(hits(simple) == 1)
+    assert(hits(s"{$hyph}") == 1)
+    assert(hits(s"urn:uuid:$hyph") == 1)
+    assert(hits(hyph.toUpperCase) == 1) // hex digits ARE case-insensitive
+    // uppercase URN prefix: rejected (lowercase byte-literal match)
+    val e1 = intercept[Exception] { hits(s"URN:UUID:$hyph") }
+    assert(e1.getMessage.startsWith("invalid uuid"))
+    // padding INSIDE the quotes reaches try_parse untrimmed: rejected
+    val e2 = intercept[Exception] { hits(s" $hyph ") }
+    assert(e2.getMessage.startsWith("invalid uuid"))
+    // braced form requires the hyphenated inner shape
+    val e3 = intercept[Exception] { hits(s"{$simple}") }
+    assert(e3.getMessage.startsWith("invalid uuid"))
+    // DELETE NODE mirrors parse_uuid_from: padding IS trimmed there
+    val del = s.execute(s"DELETE NODE   $hyph ")
+    assert(del.affectedNodes == 1)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

@@ -31,8 +31,14 @@ object MutFuzz {
   // the Spark attribute-quoting escape (backtick, Executor.vcol), and
   // both Rust-vs-Java whitespace divergence classes (U+202F: Rust
   // strips, Java keeps; 0x1C: Java strips, Rust keeps — r9 routing)
+  // r11 (VERDICT #2): plus the remaining Zl/Zp/Zs edge members —
+  // U+2028/U+2029 line/paragraph separators, U+1680 ogham space,
+  // U+3000 ideographic space: all isSpaceChar AND Rust White_Space,
+  // but invisible to plain-ASCII whitespace scans and (Zl/Zp) line
+  // TERMINATORS to some Java regex constructs
   private val Alphabet: IndexedSeq[Char] =
-    "\"'(){}[]:,=<>!$.;*-` \tABCxyz019" + "éλ→ " + "\u202f\u001c"
+    "\"'(){}[]:,=<>!$.;*-` \tABCxyz019" + "éλ→ " + "\u202f\u001c" +
+      "\u2028\u2029\u1680\u3000"
 
   private val Keywords = Seq(
     " AND ", " WHERE ", " RETURN ", " SET ", " REMOVE ", " DELETE ",

@@ -601,16 +601,43 @@ class RefModel {
       case _ => None
     }
 
+  /** Rust `f64::from_str` mirror (cypher_spec.rs:1129,1198,1487 all use
+    * `parse::<f64>`): NO trimming — str::parse never trims, so a " 5"
+    * prop value string-compares there — sign + (inf|infinity|nan,
+    * case-insensitive) or ASCII decimal/exponent. The old model used
+    * `s.trim.toDouble` with a d/f-suffix guard, which wrongly accepted
+    * " 5" and Java hex floats ("0x1p3") and wrongly REJECTED
+    * "inf"/"+infinity" (Java spells it "Infinity"). Grammar kept
+    * written-out here (not delegated to the engine's rustF64) so the
+    * differential compare stays genuinely two-sided. r11. */
+  private val numRe = java.util.regex.Pattern.compile(
+    "(?i)[+-]?(inf(inity)?|nan|([0-9]+\\.?[0-9]*|\\.[0-9]+)(e[+-]?[0-9]+)?)")
   private def parseNum(s: String): Option[Double] = {
-    // Rust f64::from_str: optional sign, decimal/exponent, inf/NaN
-    // words. Scala's toDouble accepts the same core grammar plus
-    // trailing 'd'/'f' suffixes — reject those to stay faithful.
-    val t = s.trim
-    if (t.isEmpty || t.exists(c => c == 'd' || c == 'D' || c == 'f' || c == 'F'))
-      if (!t.equalsIgnoreCase("inf") && !t.equalsIgnoreCase("infinity") &&
-          !t.equalsIgnoreCase("-inf") && !t.equalsIgnoreCase("-infinity") &&
-          !t.equalsIgnoreCase("nan")) return None
-    scala.util.Try(t.toDouble).toOption
+    if (!numRe.matcher(s).matches()) None
+    else {
+      val neg = s.startsWith("-")
+      val body = (if (neg || s.startsWith("+")) s.substring(1) else s).toLowerCase
+      val v =
+        if (body.startsWith("inf")) Double.PositiveInfinity
+        else if (body == "nan") Double.NaN
+        else body.toDouble
+      Some(if (neg) -v else v)
+    }
+  }
+
+  /** Rust `String` cmp is UTF-8 byte order == code point order; Java's
+    * compareTo is UTF-16 unit order, which disagrees above U+FFFF
+    * (surrogate units sort below U+E000-U+FFFF). r11. */
+  private def cpCmp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
   }
 
   private def cmpNum(a: Double, b: Double, op: String): Boolean = op match {
@@ -620,8 +647,9 @@ class RefModel {
   }
 
   private def cmpStr(a: String, b: String, op: String): Boolean = op match {
-    case "<" => a < b; case "<=" => a <= b; case ">" => a > b
-    case ">=" => a >= b; case "=" => a == b; case "<>" => a != b
+    case "<" => cpCmp(a, b) < 0; case "<=" => cpCmp(a, b) <= 0
+    case ">" => cpCmp(a, b) > 0; case ">=" => cpCmp(a, b) >= 0
+    case "=" => a == b; case "<>" => a != b
     case _ => true
   }
 
@@ -650,7 +678,7 @@ class RefModel {
       val asc = orderBy(i).ascending
       val ord = (parseNum(ka(i)), parseNum(kb(i))) match {
         case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-        case _ => ka(i).compareTo(kb(i))
+        case _ => cpCmp(ka(i), kb(i))
       }
       val o = if (asc) ord else -ord
       if (o != 0) return o < 0

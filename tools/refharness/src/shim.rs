@@ -13,12 +13,17 @@ pub mod uuid {
             Uuid(COUNTER.fetch_add(1, Ordering::SeqCst) as u128)
         }
         pub fn as_u128(&self) -> u128 { self.0 }
-        // Mirror of uuid 1.19 try_parse's length dispatch (round 10; the
-        // real crate the reference links): simple 32-hex, hyphenated
+        // Mirror of uuid 1.x try_parse's length dispatch (the real
+        // crate the reference links): simple 32-hex, hyphenated
         // 8-4-4-4-12, braced {hyphenated} (the inner form must be
-        // hyphenated), urn:uuid:hyphenated with a byte-wise
-        // case-insensitive prefix. The earlier shim accepted any-width
-        // hex, which blocked golden-recording the urn:/braced forms.
+        // hyphenated), urn:uuid:hyphenated. The crate's parser.rs
+        // pattern-matches the urn prefix as LITERAL LOWERCASE bytes
+        // ([b'u', b'r', b'n', b':', b'u', b'u', b'i', b'd', b':',
+        // s @ ..]) — so URN:UUID: is rejected; hex digits themselves
+        // are case-insensitive via its HEX_TABLE. (r11: the earlier
+        // eq_ignore_ascii_case prefix here was wrong; no offline build
+        // of the real crate exists in this container, so this pins the
+        // crate source's match arm rather than a probe.)
         pub fn parse_str(s: &str) -> Result<Uuid, String> {
             fn hex32(h: &str) -> Option<u128> {
                 if h.len() == 32 && h.bytes().all(|b| b.is_ascii_hexdigit()) {
@@ -33,14 +38,15 @@ pub mod uuid {
                     h.chars().filter(|&c| c != '-').collect();
                 hex32(&compact)
             }
-            let s = s.trim();
+            // no trim: the real try_parse dispatches on the exact input
+            // length; the one reference call site that trims
+            // (parse_uuid_from) does so itself before calling here
             let v = if s.len() == 32 { hex32(s) }
                 else if s.len() == 36 { hyphenated(s) }
                 else if s.len() == 38 && s.starts_with('{') && s.ends_with('}') {
                     s.get(1..37).and_then(hyphenated)
                 }
-                else if s.len() == 45
-                    && s.get(0..9).map_or(false, |p| p.eq_ignore_ascii_case("urn:uuid:")) {
+                else if s.len() == 45 && s.starts_with("urn:uuid:") {
                     s.get(9..).and_then(hyphenated)
                 }
                 else { None };
