@@ -393,7 +393,10 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
   // ------------------------------------------------------------- execute
 
   /** Run the statement; returns (result rows, updated graph). */
-  def run(g0: PropertyGraph, stmt: Statement): (Seq[ResultRow], PropertyGraph) = {
+  def run(g0: PropertyGraph, stmt0: Statement): (Seq[ResultRow], PropertyGraph) = {
+    // case-sensitive variable names → case-insensitive-safe column
+    // space, once, at the boundary (see CypherExecutor.nm)
+    val stmt = CypherExecutor.mangleVars(stmt0)
     var g = g0
     var binding: DataFrame = spark.range(1).select(lit(0).as("__seed"))
     val statementMs = System.currentTimeMillis()
@@ -1011,6 +1014,67 @@ object CypherExecutor {
     * predicate and the scalar comparator must agree on every string. */
   private[graft] val rustNumRe =
     "\\A[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?\\z"
+
+  /** Injective, case-insensitive-safe COLUMN name for a user pattern
+    * variable. Reference variables are case-SENSITIVE Rust HashMap keys
+    * (`a` and `A` are distinct bindings — probed r11, probes/case.ql),
+    * but Spark's default attribute resolution compares column names
+    * with equalsIgnoreCase, which collided them into
+    * AMBIGUOUS_REFERENCE (found by MutFuzz r11 seed 21:
+    * `MATCH (a)-[A:U]->(b) DELETE r, LIMIT  a`). Plain lowercase names
+    * stay readable in plans; anything carrying case (or case-foldable
+    * Unicode — 'ſ' equalsIgnoreCase 's'), the mangle prefix itself, or
+    * a "__" run (reserved for `<var>__id/__props/...` helper columns
+    * and `__`-internal scratch — closes the latent `a__props`-as-a-
+    * variable collision too) is hex-encoded per char. Applied ONCE, at
+    * the AST boundary in [[mangleVars]]; everything inside the executor
+    * then lives in mangled column space. */
+  private[graft] def nm(v: String): String = {
+    val plain = v.nonEmpty &&
+      v.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '_' || c == '.') &&
+      !v.startsWith("x_") && !v.contains("__")
+    if (plain) v else "x_" + v.map(c => f"${c.toInt}%04x").mkString
+  }
+
+  /** Rewrites every variable name in a parsed statement through [[nm]]
+    * — names are internal binding labels (they never appear in result
+    * rows or error texts), so this is invisible outside the executor. */
+  private[graft] def mangleVars(stmt: Statement): Statement = {
+    def ex(e: Expr): Expr = e match {
+      case Expr.Var(v) => Expr.Var(nm(v))
+      case Expr.Prop(v, k) => Expr.Prop(nm(v), k)
+      case Expr.Id(v) => Expr.Id(nm(v))
+      case s: Expr.StrLit => s
+    }
+    def np(p: NodePattern): NodePattern = p.copy(variable = p.variable.map(nm))
+    def rp(r: RelPattern): RelPattern = r.copy(variable = r.variable.map(nm))
+    def path(p: PathPattern): PathPattern =
+      PathPattern(p.nodes.map(np), p.rels.map(rp))
+    def cond(c: Cond): Cond = c match {
+      case Cond.IdCmp(l, op, r) => Cond.IdCmp(nm(l), op, nm(r))
+      case Cond.PropCmp(v, k, op, value) => Cond.PropCmp(nm(v), k, op, value)
+      case Cond.Contains(v, k, value) => Cond.Contains(nm(v), k, value)
+      case Cond.StartsWith(v, k, value) => Cond.StartsWith(nm(v), k, value)
+      case Cond.EndsWith(v, k, value) => Cond.EndsWith(nm(v), k, value)
+      case u: Cond.Unknown => u
+    }
+    def ok(o: OrderKey): OrderKey = o.copy(expr = ex(o.expr))
+    Statement(stmt.clauses.map {
+      case Clause.Match(paths, opt) => Clause.Match(paths.map(path), opt)
+      case Clause.Where(conds) => Clause.Where(conds.map(cond))
+      case Clause.With(items, d, ob, s, l) =>
+        Clause.With(items.map(ex), d, ob.map(ok), s, l)
+      case Clause.Create(paths) => Clause.Create(paths.map(path))
+      case Clause.Merge(p) => Clause.Merge(path(p))
+      case Clause.SetProp(v, k, value) => Clause.SetProp(nm(v), k, value)
+      case Clause.SetLabel(v, l) => Clause.SetLabel(nm(v), l)
+      case Clause.RemoveProp(v, k) => Clause.RemoveProp(nm(v), k)
+      case Clause.Delete(vs, detach) => Clause.Delete(vs.map(nm), detach)
+      case Clause.Return(items, d, ob, s, l) =>
+        Clause.Return(items.map(ex), d, ob.map(ok), s, l)
+    })
+  }
 
   /** Column mirror of [[rustF64]]: the value's f64 when it
     * Rust-parses, else NULL. Spark's bare string→double cast would

@@ -1164,6 +1164,29 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("2"))
   }
 
+  test("cypher_variable_names_are_case_sensitive") {
+    // Rust HashMap binding keys: `a` and `A` are DISTINCT variables
+    // (probed r11, probes/case.ql). Spark's default case-insensitive
+    // attribute resolution collided their binding columns into
+    // AMBIGUOUS_REFERENCE (found by MutFuzz seed 21) — the engine now
+    // analyzes all graph/binding frames on a case-sensitive session
+    // (PropertyGraph.engineSession).
+    val s = newSession()
+    s.execute("CREATE (:Cx {k:\"1\"}); CREATE (:Cy {k:\"2\"})")
+    s.execute("MATCH (a {k:\"1\"}), (b {k:\"2\"}) CREATE (a)-[:CU {ek:\"e1\"}]->(b)")
+    // rel var `A` coexists with node var `a`
+    assert(s.execute("MATCH (a)-[A:CU]->(b) RETURN b.k").rows.map(_.info) == Seq("2"))
+    // node vars `a` and `A` bind independently
+    assert(s.execute("MATCH (a {k:\"1\"}), (A {k:\"2\"}) RETURN A.k").rows.map(_.info)
+      == Seq("2"))
+    // rel-var prop in RETURN drops the row (P10), unchanged by case
+    assert(s.execute("MATCH (a)-[A:CU]->(b) RETURN A.ek").rows.isEmpty)
+    // the seed-21 shape: junk DELETE items on a case-colliding pattern
+    // must not blow up analysis; the reference succeeds with 0 affected
+    val d = s.execute("MATCH (a)-[A:CU]->(b) DELETE r, LIMIT  a")
+    assert(d.affectedNodes == 0 && d.affectedRels == 0)
+  }
+
   test("legacy_uuid_forms_follow_uuid_crate_try_parse") {
     // ADVICE r10 #3: the uuid crate's parser.rs matches the urn prefix
     // as literal lowercase bytes and try_parse never trims (only

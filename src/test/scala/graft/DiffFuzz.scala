@@ -576,7 +576,15 @@ object DiffFuzz {
     oracle.foreach(_.reset())
 
     def guard(body: => SideResult): Either[String, SideResult] =
-      try Right(body) catch { case e: ParseException => Left(e.getMessage) }
+      try Right(body) catch {
+        case e: ParseException => Left(e.getMessage)
+        // an escaped internal error (e.g. AnalysisException) from the
+        // engine or model side must not kill the soak: surface it as a
+        // loud per-statement mismatch — the reference never produces
+        // this prefix, so it can neither equate nor be golden-recorded
+        case scala.util.control.NonFatal(e) =>
+          Left(s"INTERNAL: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
 
     // both engine and model branch on params presence, like the
     // transports: empty map = the no-params router (oracle Q), any

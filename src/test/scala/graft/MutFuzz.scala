@@ -260,7 +260,14 @@ object MutFuzz {
                     else session.executeWithParams(q, p)
             Right(DiffFuzz.SideResult(o.rows,
               Some((o.affectedNodes, o.affectedRels, o.mutated))))
-          } catch { case e: graft.cypher.Parser.ParseException => Left(e.getMessage) })
+          } catch {
+            case e: graft.cypher.Parser.ParseException => Left(e.getMessage)
+            // anything else is an engine INTERNAL error (e.g. an escaped
+            // AnalysisException): keep the soak alive and force a loud,
+            // statement-attributed mismatch instead of killing the JVM
+            case scala.util.control.NonFatal(e) =>
+              Left(s"ENGINE INTERNAL: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          })
         oracleSide = new DiffFuzz.SideState("reference", (q, p) => oracle.run(q, p))
         baseStmts.foreach { s => engineSide.run(s, Map.empty); oracleSide.run(s, Map.empty) }
         engineSide.refresh(); oracleSide.refresh()
