@@ -306,10 +306,20 @@ object Parser {
     false
   }
 
-  private def refSliceAudit(s: String): Boolean = {
+  private def refSliceAudit(s: String, relCount: Int): Boolean = {
     var from = 0
     var first = true
-    if (s.indexOf("-[") >= 0 && quotedStructural(s)) return false
+    // The reference enters rel parsing iff the raw BYTES "-[" occur; a
+    // token grammar that skips whitespace can find a rel the raw scan
+    // cannot see. Probed r11 (MutFuzz seed 27): `(x)- [:U {ek:..}]->(y)`
+    // is a NODE pattern there — label "U", the props kept, NO
+    // relationship — so the raw occurrence count must equal the
+    // token-parsed hop count exactly, else the string mirror takes over.
+    var raw = 0
+    var j = s.indexOf("-[")
+    while (j >= 0) { raw += 1; j = s.indexOf("-[", j + 2) }
+    if (raw != relCount) return false
+    if (raw > 0 && quotedStructural(s)) return false
     while (true) {
       val midStart = s.indexOf("-[", from)
       if (midStart < 0) return true
@@ -336,7 +346,7 @@ object Parser {
       val p = new P(tokenize(seg))
       val path = p.pathPattern()
       if (!p.eof) throw ParseException(s"invalid node pattern: $seg")
-      if (!refSliceAudit(seg))
+      if (!refSliceAudit(seg, path.rels.length))
         throw ParseException("rel slice audit: string mirror handles")
       path
     } catch {

@@ -1164,6 +1164,22 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("2"))
   }
 
+  test("cypher_spaced_rel_lead_is_a_node_pattern") {
+    // `- [` defeats the reference's raw "-[" byte scan (parse_pattern,
+    // cypher_spec.rs:239-268): the segment is a NODE pattern there —
+    // label "U", props kept, NO relationship (probed r11, found by
+    // MutFuzz seed 27). The tokenizer's whitespace-skip must not
+    // resurrect the relationship: refSliceAudit requires the raw "-["
+    // count to equal the token-parsed hop count.
+    val s = newSession()
+    s.execute("CREATE (x:Lb {k:'1'}), (y:Lb {k:'2'}), (x)- [:U {ek:'e9'}]->(y)")
+    assert(s.execute("MATCH ()-[r]->() RETURN r").rows.isEmpty)
+    val n = s.execute("MATCH (n:U) RETURN n").rows
+    assert(n.length == 1 && n.head.label == "U")
+    assert(n.head.properties == Map("ek" -> "e9"))
+    assert(s.execute("MATCH (n) RETURN n").rows.length == 3)
+  }
+
   test("cypher_variable_names_are_case_sensitive") {
     // Rust HashMap binding keys: `a` and `A` are DISTINCT variables
     // (probed r11, probes/case.ql). Spark's default case-insensitive
