@@ -8,6 +8,7 @@ import scala.collection.mutable
 
 import graft.core.{IdGen, PropertyGraph}
 import graft.cypher.Ast._
+import graft.cypher.Parser
 import graft.cypher.Parser.ParseException
 
 /** Result-row union schema mirroring the reference DTO
@@ -67,10 +68,15 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
     * non-param values are whitespace-trimmed and quote-trimmed once
     * more. */
   private def resolvePropValue(v: PropValue): String = {
-    val t = (v match {
+    // RUST trim, not Java's: resolve_param re-trims the already-
+    // dequoted stored value with str::trim (Unicode White_Space), so a
+    // quoted value's trailing U+2029/U+00A0 strips there while
+    // 0x1C-0x1F (Java-trimmed, not Rust-ws) survive — probed r11,
+    // found by MutFuzz seed 38: {g:'g2\u2029'} matches g=g2.
+    val t = Parser.rustTrim(v match {
       case PropValue.Lit(s) => s
       case PropValue.Param(name) => "$" + name
-    }).trim
+    })
     if (t.startsWith("$")) {
       val key = t.substring(1)
       params.getOrElse(key, throw ParseException(s"Missing parameter: $$$key"))
@@ -88,18 +94,18 @@ class CypherExecutor(spark: SparkSession, params: Map[String, String]) {
 
   /** True when resolving `v` would raise Missing parameter. */
   private def isMissingParam(v: PropValue): Boolean = {
-    val t = (v match {
+    val t = Parser.rustTrim(v match {
       case PropValue.Lit(s) => s
       case PropValue.Param(name) => "$" + name
-    }).trim
+    })
     t.startsWith("$") && !params.contains(t.substring(1))
   }
 
   private def missingParamError(v: PropValue): Nothing = {
-    val t = (v match {
+    val t = Parser.rustTrim(v match {
       case PropValue.Lit(s) => s
       case PropValue.Param(name) => "$" + name
-    }).trim
+    })
     throw ParseException(s"Missing parameter: $$${t.substring(1)}")
   }
 

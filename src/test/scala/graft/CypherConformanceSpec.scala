@@ -1164,6 +1164,23 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("2"))
   }
 
+  test("cypher_pattern_prop_values_retrim_with_rust_whitespace") {
+    // resolve_param re-trims the already-DEQUOTED stored value with
+    // str::trim = Unicode White_Space (cypher_spec.rs:94-104 parse_props
+    // dequotes, :738-746 resolve_param trims again) -- so a quoted
+    // trailing U+2029/U+00A0 strips (probed r11, probes/trim.ql; found
+    // by MutFuzz seed 38) while 0x1C, Java-trimmed but NOT Rust
+    // whitespace, survives and defeats the match.
+    val s = newSession()
+    s.execute("CREATE (:Tw {g:'g2'})")
+    assert(s.execute("MATCH (n:Tw {g:'g2\u2029'}) RETURN n").rows.length == 1)
+    assert(s.execute("MATCH (n:Tw {g:'g2\u00a0'}) RETURN n").rows.length == 1)
+    assert(s.execute("MATCH (n:Tw {g:'g2\u001c'}) RETURN n").rows.isEmpty)
+    // CREATE stores the re-trimmed value too
+    s.execute("CREATE (:Tw2 {g:'x\u00a0'})")
+    assert(s.execute("MATCH (n:Tw2 {g:'x'}) RETURN n").rows.length == 1)
+  }
+
   test("cypher_spaced_rel_lead_is_a_node_pattern") {
     // `- [` defeats the reference's raw "-[" byte scan (parse_pattern,
     // cypher_spec.rs:239-268): the segment is a NODE pattern there —

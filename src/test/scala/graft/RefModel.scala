@@ -243,12 +243,14 @@ class RefModel {
 
   /** resolve_param (cypher_spec.rs:738-746) over parse_props output:
     * $-leading ⇒ parameter (missing ⇒ error); else whitespace-trim and
-    * one more quote-trim. */
+    * one more quote-trim. RUST trim (str::trim = Unicode White_Space),
+    * not Java's — a dequoted value's trailing U+2029 strips there while
+    * 0x1C-0x1F survive (r11, MutFuzz seed 38). */
   private def resolvePropValue(v: PropValue, params: Map[String, String]): String = {
-    val t = (v match {
+    val t = Parser.rustTrim(v match {
       case PropValue.Lit(s) => s
       case PropValue.Param(n) => "$" + n
-    }).trim
+    })
     if (t.startsWith("$")) {
       val key = t.substring(1)
       params.getOrElse(key, throw ParseException(s"Missing parameter: $$$key"))
