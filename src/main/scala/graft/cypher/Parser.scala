@@ -1115,11 +1115,13 @@ object Parser {
       while (!peekSym("}")) {
         if (!first) expectSym(",")
         first = false
-        if (peekSym("}")) () // trailing comma tolerance
-        else {
-          val k = ident(); expectSym(":")
-          m += k -> propValue()
-        }
+        // NO trailing-comma tolerance: parse_props splits on ',' and
+        // errors "invalid property: " on the empty part
+        // (cypher_spec.rs:94-104) — failing here degrades the segment
+        // to the string mirror, which reproduces that error byte-exact
+        // (probed r11, MutFuzz seed 54: `{g:'g3',}` errors there)
+        val k = ident(); expectSym(":")
+        m += k -> propValue()
       }
       expectSym("}")
       m.result()

@@ -1164,6 +1164,18 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("2"))
   }
 
+  test("cypher_prop_map_trailing_comma_is_invalid_property") {
+    // parse_props splits the props block on ',' and errors on the empty
+    // part (cypher_spec.rs:94-104): `{g:'g3',}` is "invalid property: "
+    // there, for MATCH and CREATE alike (probed r11; found by MutFuzz
+    // seed 54 after the token grammar tolerated the trailing comma)
+    val s = newSession()
+    for (bad <- Seq("MATCH (n:La {g:'g3',}) RETURN n", "CREATE (:Zz {a:'1',})")) {
+      val e = intercept[ParseException] { s.execute(bad) }
+      assert(e.getMessage == "invalid property: ", bad)
+    }
+  }
+
   test("cypher_pattern_prop_values_retrim_with_rust_whitespace") {
     // resolve_param re-trims the already-DEQUOTED stored value with
     // str::trim = Unicode White_Space (cypher_spec.rs:94-104 parse_props

@@ -325,6 +325,15 @@ object MutFuzz {
         val er = engineSide.run(stmt, params)
         val or = oracleSide.run(stmt, params)
         val oraclePanicked = or.left.exists(_.startsWith("panic: "))
+        val needRefresh = maybeMutating(stmt) || er.exists(_.meta.exists(_._3)) ||
+          or.exists(_.meta.exists(_._3))
+        // refresh the marker maps BEFORE canonicalizing this trial's
+        // rows: a script that CREATEs a node and RETURNs id(n) in the
+        // same statement otherwise leaks both sides' raw (necessarily
+        // differing) ids into the row compare — found r11, seed 107
+        if (needRefresh && !oraclePanicked) {
+          engineSide.refresh(); oracleSide.refresh()
+        }
 
         (er.left.map(DiffFuzz.normErr(_, stmt)),
             or.left.map(DiffFuzz.normErr(_, stmt))) match {
@@ -356,9 +365,8 @@ object MutFuzz {
           // post-panic oracle state is unobservable in the real binary
           // (the process dies) — realign instead of comparing
           reseed()
-        } else if (maybeMutating(stmt) || er.exists(_.meta.exists(_._3)) ||
-                   or.exists(_.meta.exists(_._3))) {
-          engineSide.refresh(); oracleSide.refresh()
+        } else if (needRefresh) {
+          // maps already refreshed above, pre-comparison
           if (engineSide.stateCanon != oracleSide.stateCanon)
             mismatches += DiffFuzz.Mismatch(seed, step, stmt,
               s"state diverged: engine-only " +
