@@ -914,6 +914,45 @@ object DiffFuzz {
       Map.empty, mutates = false)
     checkStatement("MATCH (n:Zs) RETURN n.u ORDER BY n.u SKIP 0 SKIP 1",
       Map.empty, mutates = false)
+    // round-11 fixes, pinned offline three-way (each probed against the
+    // reference during the round — see CypherConformanceSpec r11 block):
+    // a trailing prop-map comma is parse_props' "invalid property: ";
+    // quoted prop values re-trim with Rust White_Space at resolution
+    // (U+2029 strips, 0x1C survives and defeats the match); a spaced
+    // `- [` rel lead misses the raw "-[" scan and parses as a NODE
+    // pattern; variable names are case-sensitive bindings; quoted
+    // structural bytes ()[] misalign the quote-blind pattern slicing
+    checkStatement("MATCH (n:La {g:'g1',}) RETURN n", Map.empty, mutates = false)
+    checkStatement("CREATE (:Zc {a:'1',})", Map.empty, mutates = true)
+    val tw = fresh()
+    checkStatement(s"CREATE (:Tw {k:'tw$tw', u:'${930 + tw}', g:'g2'})",
+      Map.empty, mutates = true)
+    checkStatement("MATCH (n:Tw) WHERE n.g = 'g2' RETURN n.k", Map.empty, mutates = false)
+    checkStatement("MATCH (n:Tw {g:'g2\u2029'}) RETURN n.k", Map.empty, mutates = false)
+    checkStatement("MATCH (n:Tw {g:'g2\u00a0'}) RETURN n.k", Map.empty, mutates = false)
+    checkStatement("MATCH (n:Tw {g:'g2\u001c'}) RETURN n.k", Map.empty, mutates = false)
+    checkStatement(s"CREATE (:Tw2 {k:'tx$tw', u:'${940 + tw}', g:'x\u00a0'})",
+      Map.empty, mutates = true)
+    checkStatement("MATCH (n:Tw2 {g:'x'}) RETURN n.k", Map.empty, mutates = false)
+    val sr = fresh()
+    checkStatement(
+      s"CREATE (x:Lb {k:'sx$sr', u:'${950 + sr}', g:'g1'}), " +
+        s"(y:Lb {k:'sy$sr', u:'${951 + sr}', g:'g1'}), (x)- [:Uq {ek:'sq$sr'}]->(y)",
+      Map.empty, mutates = true)
+    checkStatement("MATCH (n:Uq) RETURN n", Map.empty, mutates = false)
+    checkStatement("MATCH (a)-[A:T]->(b) RETURN b", Map.empty, mutates = false)
+    checkStatement("MATCH (a {k:'n0'}), (A {k:'n1'}) RETURN A.k", Map.empty, mutates = false)
+    checkStatement("MATCH (a)-[A:T]->(b) RETURN A.w", Map.empty, mutates = false)
+    checkStatement("MATCH (b {j:')', k:'-['}) RETURN b", Map.empty, mutates = false)
+    checkStatement("MATCH (b {j:')', k:'-[]'}) RETURN b", Map.empty, mutates = false)
+    checkStatement("MATCH (a {p:')-['})-[r:T]->(b) RETURN a", Map.empty, mutates = false)
+    checkStatement("MATCH (a)-[r:T]->(b {p:'-['}) RETURN a", Map.empty, mutates = false)
+    // uuid forms (ADVICE r10 #3): uppercase URN prefix and in-quote
+    // padding both reach try_parse unnormalized and are rejected
+    checkPerSide(s => s"MATCH NODE La WHERE id=URN:UUID:${hyph(nid(s, "n2"))}",
+      Map.empty, mutates = false)
+    checkPerSide(s => s"""MATCH NODE La WHERE id=" ${hyph(nid(s, "n2"))} """",
+      Map.empty, mutates = false)
     mismatches.toSeq
   }
 
