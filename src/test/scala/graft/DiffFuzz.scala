@@ -90,10 +90,16 @@ object DiffFuzz {
       else Right(SideResult(rows.toSeq, meta))
     }
 
+    // pairs are `key\u001fvalue` joined on \u001e (NOT `k=v`): mutated
+    // statements can mint prop KEYS containing '=' — the reference's
+    // legacy prop split parses `{k=:"v"}` as key "k=" — and an
+    // '='-encoded pair is then ambiguous at this split (r11, MutFuzz
+    // seed 177: the marker map mis-attributed "k=" to "k" and a
+    // harness-only "state diverged" appeared)
     private def parseProps(s: String): Map[String, String] =
       if (s.isEmpty) Map.empty
       else s.split('').map { kv =>
-        val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+        val i = kv.indexOf(''); kv.substring(0, i) -> kv.substring(i + 1)
       }.toMap
 
     def close(): Unit = proc.destroy()

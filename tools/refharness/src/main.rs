@@ -4,8 +4,8 @@
 //   P <query>\x1f<k>=<v>\x1f... -- execute_cypher_with_params
 //   RESET                     -- fresh database
 // Response: one line per result row, then "OK" or "ERR <msg>".
-//   node|<id>|<label>|k=v\x1ek=v
-//   rel|<id>|<from>|<to>|<label>|k=v\x1ek=v
+//   node|<id>|<label>|k\x1fv\x1ek\x1fv
+//   rel|<id>|<from>|<to>|<label>|k\x1fv\x1ek\x1fv
 //   info|<s>
 mod shim;
 mod graph;
@@ -17,8 +17,16 @@ use std::io::{self, BufRead, Write};
 use graph::GraphDatabase;
 use query_interface::QueryResultRow;
 
+// key and value are joined with \x1f, NOT '=': fuzz mutations can mint
+// prop KEYS that themselves contain '=' (`{k=:"v"}` parses as key "k=",
+// value "v" in the reference's legacy prop split), and a `k=v`-encoded
+// pair is then ambiguous at the client's first-'=' split — seen live
+// r11, MutFuzz seed 177, where the marker map mis-attributed the "k="
+// prop to "k" and a harness-only "state diverged" appeared. \x1f can
+// occur in neither keys nor values (it is consumed by the P-command
+// param split on input and is outside every generator alphabet).
 fn fmt_props(m: &HashMap<String, String>) -> String {
-    let mut kv: Vec<String> = m.iter().map(|(k, v)| format!("{}={}", k, v)).collect();
+    let mut kv: Vec<String> = m.iter().map(|(k, v)| format!("{}\x1f{}", k, v)).collect();
     kv.sort();
     kv.join("\x1e")
 }
