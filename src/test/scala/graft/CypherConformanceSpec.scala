@@ -1266,6 +1266,116 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val del = s.execute(s"DELETE NODE   $hyph ")
     assert(del.affectedNodes == 1)
   }
+
+  test("cypher_where_numeric_compare_follows_rust_f64_and_ieee_nan") {
+    // The P5 dual compare routes numeric iff BOTH sides parse per Rust
+    // f64::from_str (cypher_spec.rs:1129-1132 `s.parse::<f64>`): no
+    // trimming, "inf"/"infinity"/"nan" case-insensitive, ASCII digits
+    // only, no Java d/f suffixes or hex floats; overflow parses to inf.
+    // NaN comparisons are all false except `<>` (Rust `a != b`); -0.0
+    // == 0.0. Direct pin of the r11 rustF64/rustF64Col rewrite (VERDICT
+    // r11 #1), probed against the refharness oracle r12
+    // (probes/nan.ql). WHERE RHS literals keep whitespace INSIDE the
+    // quotes (trim_quotes trims only outside); CREATE prop-map values
+    // re-trim at resolution but SET values do not (cypher_spec.rs
+    // Clause::Set literal handling), so the ws-adjacent rows are
+    // stored via SET.
+    val s = newSession()
+    val inline = Seq(
+      "nanlc" -> "nan", "nanmc" -> "NaN", "pinf" -> "inf",
+      "ninf" -> "-infinity", "five" -> "5", "ofive" -> "05",
+      "tendot" -> "10.", "negz" -> "-0", "zero" -> "0.0",
+      "hex" -> "0x10", "j5d" -> "5d", "arab" -> "\u0661")
+    inline.foreach { case (k, v) => s.execute(s"CREATE (:Nv {k:'$k', v:'$v'})") }
+    s.execute("CREATE (:Nv {k:'sp5'}); CREATE (:Nv {k:'tab5'})")
+    s.execute("MATCH (n:Nv {k:'sp5'}) SET n.v = ' 5'")
+    s.execute("MATCH (n:Nv {k:'tab5'}) SET n.v = '5\t'")
+    // SET stored the values untrimmed
+    assert(s.execute("MATCH (n:Nv {k:'sp5'}) RETURN n").rows.head
+      .properties("v") == " 5")
+    assert(s.execute("MATCH (n:Nv {k:'tab5'}) RETURN n").rows.head
+      .properties("v") == "5\t")
+    def hits(op: String, rhs: String): Set[String] =
+      s.execute(s"MATCH (n:Nv) WHERE n.v $op '$rhs' RETURN n.k").rows
+        .map(_.info).toSet
+    val all = (inline.map(_._1) ++ Seq("sp5", "tab5")).toSet
+    // NaN RHS: numeric path for every Rust-parsing lhs (all false
+    // except <>); byte-order strings for the rest
+    assert(hits("=", "nan") == Set.empty)
+    assert(hits("=", "NaN") == Set.empty) // v='NaN' does NOT match: NaN != NaN
+    assert(hits("<>", "nan") == all)
+    assert(hits("<", "nan") == Set("hex", "j5d", "sp5", "tab5"))
+    assert(hits(">=", "nan") == Set("arab")) // U+0661 sorts above 'n'
+    // inf RHS
+    assert(hits("<", "inf") == Set("ninf", "five", "ofive", "tendot",
+      "negz", "zero", "hex", "j5d", "sp5", "tab5"))
+    assert(hits(">=", "-infinity") == all -- Set("nanlc", "nanmc", "sp5"))
+    assert(hits("=", "+Infinity") == Set("pinf")) // spelling-insensitive both sides
+    // finite numeric RHS: "05" numeric-equals "5"; -0.0 == 0.0
+    assert(hits("=", "5") == Set("five", "ofive"))
+    assert(hits("<>", "5") == all -- Set("five", "ofive"))
+    assert(hits("=", "-0") == Set("negz", "zero"))
+    assert(hits("<", "10.") == Set("ninf", "five", "ofive", "negz",
+      "zero", "hex", "sp5"))
+    // overflow RHS parses to +inf, not an error
+    assert(hits(">=", "1e99999") == Set("pinf", "j5d", "arab", "tab5"))
+    // non-numeric RHS forces the string path even for numeric lhs
+    assert(hits(">", "5d") == Set("nanlc", "nanmc", "pinf", "arab"))
+    // untrimmed RHS: ' 5' stays non-numeric, so EVERY value string-sorts
+    // >= it (a trimming implementation would drop ninf here)
+    assert(hits(">=", " 5") == all)
+  }
+
+  test("cypher_prop_keys_may_contain_equals") {
+    // Both prop splits keep '='-bearing keys whole: parse_props
+    // (cypher_spec.rs:94-104) and legacy parse_keyvals
+    // (query_interface.rs:354-366) split key from value with
+    // splitn(2, ':') — `{k=:"v"}` is key "k=", value "v" (VERDICT r11
+    // Next #3: reachable on the oracle wire since the \u001f pair
+    // encoding; probed r12, probes/nan.ql tail).
+    val s = newSession()
+    s.execute("CREATE (:Ke {k=:'v', =:'w'})")
+    val n = s.execute("MATCH (n:Ke) RETURN n").rows.head
+    assert(n.properties == Map("k=" -> "v", "=" -> "w"))
+    assert(s.execute("MATCH (n:Ke {k=:'v'}) RETURN n").rows.length == 1)
+    assert(s.execute("MATCH (n:Ke {k=:'x'}) RETURN n").rows.isEmpty)
+    s.execute("""CREATE NODE Ke2 {q=:"w2"}""")
+    assert(s.execute("MATCH NODE Ke2").rows.head.properties == Map("q=" -> "w2"))
+  }
+
+  test("cypher_escaped_quote_wrapping_structural_bytes") {
+    // quotedStructural's backslash arm (Parser.scala:300-303): a
+    // \'-escaped quote wrapping ')' / '-[' payloads must neither
+    // terminate the quote scan early nor resurrect a relationship the
+    // reference's raw byte scan wouldn't see (VERDICT r11 Next #4).
+    // Escape PROCESSING is a documented engine EXTENSION (the
+    // reference stores the backslash raw, cypher_spec.rs:85), so this
+    // seam is pinned engine-only — it was tried three-way r12 and
+    // diverged exactly on the stored value, as the DiffFuzz header
+    // predicts (see the fixed-block note there).
+    val s = newSession()
+    s.execute("CREATE (:Qe {k:'q1', p:'a\\')b'})")
+    val n = s.execute("MATCH (n:Qe) RETURN n").rows.head
+    assert(n.properties == Map("k" -> "q1", "p" -> "a')b"))
+    assert(s.execute("MATCH (n:Qe {p:'a\\')b'}) RETURN n.k").rows.map(_.info)
+      == Seq("q1"))
+    // a quoted '-[' with no ')' before it still routes to the string
+    // mirror's exact reference errors — the escaped quote must not
+    // swallow them
+    val e1 = intercept[Exception] {
+      s.execute("MATCH (b {j:'\\'-['}) RETURN b") }
+    assert(e1.getMessage == "bad path left")
+    val e2 = intercept[Exception] {
+      s.execute("MATCH (a {p:'\\')-['})-[r:T]->(b) RETURN a") }
+    assert(e2.getMessage == "unclosed properties")
+    // a REAL relationship whose quoted props embed ')-[': the raw "-["
+    // count (2) exceeds the token hop count (1), so refSliceAudit
+    // routes to the string mirror — which still creates the edge
+    s.execute("CREATE (x:Qf {k:'x1'}), (y:Qf {k:'y1'}), " +
+      "(x)-[:QT {ek:'eq', note:'\\')-['}]->(y)")
+    assert(s.execute("MATCH (a)-[r:QT]->(b) RETURN b.k").rows.map(_.info)
+      == Seq("y1"))
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

@@ -99,7 +99,11 @@ object DiffFuzz {
     private def parseProps(s: String): Map[String, String] =
       if (s.isEmpty) Map.empty
       else s.split('').map { kv =>
-        val i = kv.indexOf(''); kv.substring(0, i) -> kv.substring(i + 1)
+        val i = kv.indexOf('')
+        require(i >= 0,
+          s"oracle prop encoding mismatch (no \\u001f in '$kv') — " +
+            "stale refharness binary still emitting k=v? rebuild: tools/refharness/build.sh")
+        kv.substring(0, i) -> kv.substring(i + 1)
       }.toMap
 
     def close(): Unit = proc.destroy()
@@ -111,6 +115,25 @@ object DiffFuzz {
   private val RelTypes = Seq("T", "U")
   private val Groups = Seq("g1", "g2", "g3")
 
+  /** Near-numeric / inf-nan / whitespace-adjacent values (lifted from
+    * OrderPathEquivalenceSpec's nearNumGen/wsAdjGen pools), fed to
+    * WHERE RHS literals and CREATE prop values so the soak permanently
+    * exercises the r11 rustF64 dual-compare routing (VERDICT r11 #1).
+    * Wire-safe subset only: no `'`, `,`, `|`, `$`, \u001e/\u001f, or
+    * clause keywords. */
+  private val AdvVals = Seq(
+    "inf", "nan", "NaN", "-infinity", "+Infinity", "INF", "-nan", "nAn",
+    " 5", "5 ", "5\u000b", "5\t", "5\u00a0", "\u00a05", "5\u2028", "\u20295",
+    "0x10", "5d", "5f", "1_000", "1e", "1e+", "e5", ".", "+", "-",
+    "--5", "1.2.3", "5.", "10.", ".5", "-0", "05", "00", "2e3", "5E-1",
+    "1e99999", "-1e-99999", "2.5e-324", "\u0661", "3\u0661", "\uff15",
+    "9 lives", "1001?", "NaN5", "infx", "Infin")
+
+  /** '='-bearing prop keys: reachable now the oracle wire is
+    * \u001f-encoded (the r11 seed-177 fix); the reference's ':'-splits
+    * (parse_props, parse_keyvals) pass them through untouched. */
+  private val EqKeys = Seq("k=", "=k", "a=b", "=")
+
   case class GenGraph(nodeCount: Int, stmts: Seq[String])
 
   /** Node i carries k='n<i>' (unique), u='<unique int>', g='g1..3',
@@ -121,8 +144,12 @@ object DiffFuzz {
     val stmts = mutable.Buffer.empty[String]
     (0 until n).foreach { i =>
       val label = Labels(rnd.nextInt(Labels.size))
-      val opt = if (rnd.nextBoolean()) s", opt:'o${rnd.nextInt(3)}'" else ""
-      stmts += s"CREATE (:$label {k:'n$i', u:'${us(i)}', g:'${Groups(rnd.nextInt(3))}'$opt})"
+      val opt =
+        if (!rnd.nextBoolean()) ""
+        else if (rnd.nextInt(4) == 0) s", opt:'${pick(rnd, AdvVals)}'"
+        else s", opt:'o${rnd.nextInt(3)}'"
+      val eqk = if (rnd.nextInt(8) == 0) s", ${pick(rnd, EqKeys)}:'q${rnd.nextInt(3)}'" else ""
+      stmts += s"CREATE (:$label {k:'n$i', u:'${us(i)}', g:'${Groups(rnd.nextInt(3))}'$opt$eqk})"
     }
     val e = 8 + rnd.nextInt(13)
     (0 until e).foreach { j =>
@@ -151,13 +178,17 @@ object DiffFuzz {
   private def genWhere(rnd: Random, vars: Seq[String]): String = {
     val conds = (0 until 1 + rnd.nextInt(2)).map { _ =>
       val v = pick(rnd, vars)
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
         case 0 => s"$v.u ${pick(rnd, Seq("<", "<=", ">", ">=", "=", "<>"))} '${5 + rnd.nextInt(20)}'"
         case 1 => s"$v.g = '${pick(rnd, Groups)}'"
         case 2 => s"$v.k CONTAINS '${rnd.nextInt(10)}'"
         case 3 => s"$v.k STARTS WITH 'n${rnd.nextInt(3)}'"
         case 4 => s"$v.u ENDS WITH '${rnd.nextInt(10)}'"
         case 5 => s"$v.opt = 'o${rnd.nextInt(3)}'" // missing prop reads ""
+        // near-numeric / inf-nan RHS against a numeric prop (u) and an
+        // adversarially-valued prop (opt) — the rustF64 routing seam
+        case 6 => s"$v.u ${pick(rnd, Seq("<", "<=", ">", ">=", "=", "<>"))} '${pick(rnd, AdvVals)}'"
+        case 7 => s"$v.opt ${pick(rnd, Seq("<", ">", "=", "<>"))} '${pick(rnd, AdvVals)}'"
         case _ if vars.size >= 2 =>
           val w = pick(rnd, vars.filterNot(_ == v))
           s"id($v) ${pick(rnd, Seq("<", ">", "<>"))} id($w)"
@@ -369,8 +400,9 @@ object DiffFuzz {
       case 9 =>
         // deferred SET between WHERE and RETURN: applies to the WHERE
         // survivors, and RETURN reads the post-mutation graph
+        val fzVal = if (rnd.nextInt(3) == 0) pick(rnd, AdvVals) else s"z${rnd.nextInt(3)}"
         s"MATCH ${genNodePat(rnd, "n")} WHERE ${genWhere(rnd, Seq("n"))} " +
-          s"SET n.fz = 'z${rnd.nextInt(3)}' RETURN n.fz"
+          s"SET n.fz = '$fzVal' RETURN n.fz"
       case 10 =>
         s"MATCH ${genNodePat(rnd, "n")} REMOVE n.opt RETURN n"
       case _ =>
@@ -380,8 +412,12 @@ object DiffFuzz {
 
   // ------------------------------------------------------ normalization
 
+  // \u001f/\u001e separators, mirroring the wire protocol: '='/',' would
+  // leave the seed-177 ambiguity alive in the canonical state strings
+  // ({"k=":"v"} and {"k":"=v"} would canonicalize identically, masking
+  // a compensating divergence) — ADVICE r11
   private def canonProps(p: Map[String, String]): String =
-    p.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    p.toSeq.sorted.map { case (k, v) => s"$k\u001f$v" }.mkString("\u001e")
 
   /** One side's current state + marker maps, refreshed after mutations. */
   final class SideState(val name: String, val run: Runner) {
@@ -516,10 +552,44 @@ object DiffFuzz {
     /** Recorded keys the replay never produced (coverage hole). */
     def unvisited: Seq[String] = entries.keys.filterNot(seen).toSeq
 
+    // line-format escaping: a recorded statement or outcome containing a
+    // raw newline/CR (reachable via fuzz values) or the \u0001 field
+    // separator would corrupt the one-entry-per-line file (r12)
+    private def esc(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\u0001' => sb.append("\\a")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    private def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 'a' => sb.append('\u0001')
+            case o => sb.append('\\').append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
     def save(path: java.nio.file.Path): Unit = {
       val sb = new StringBuilder
       entries.foreach { case (k, (s, v)) =>
-        sb.append(k).append('\u0001').append(s).append('\u0001').append(v).append('\n') }
+        sb.append(esc(k)).append('\u0001').append(esc(s))
+          .append('\u0001').append(esc(v)).append('\n') }
       java.nio.file.Files.createDirectories(path.getParent)
       java.nio.file.Files.write(path, sb.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
@@ -530,7 +600,7 @@ object DiffFuzz {
         java.nio.charset.StandardCharsets.UTF_8)
       text.split("\n").filter(_.nonEmpty).foreach { line =>
         val p = line.split('')
-        entries(p(0)) = (p(1), if (p.length > 2) p(2) else "")
+        entries(unesc(p(0))) = (unesc(p(1)), if (p.length > 2) unesc(p(2)) else "")
       }
     }
   }
@@ -959,6 +1029,59 @@ object DiffFuzz {
       Map.empty, mutates = false)
     checkPerSide(s => s"""MATCH NODE La WHERE id=" ${hyph(nid(s, "n2"))} """",
       Map.empty, mutates = false)
+    // ------- round-12: WHERE NaN/inf dual-compare corners (VERDICT r11
+    // #1, probed via probes/nan.ql). Prop values that Rust-parse to
+    // nan/inf/finite vs near-numerics that DON'T (str::parse never
+    // trims, rejects Java suffixes and non-ASCII digits), against RHS
+    // literals of every routing class. Rust f64 semantics: NaN
+    // comparisons are all false except `!=`; -0.0 == 0.0; both-parse
+    // routes numeric, otherwise byte-order strings.
+    val nv = fresh()
+    val nanVals = Seq("nan", "NaN", "inf", "-infinity", "5", "05", "10.",
+      "-0", "0.0", " 5", "5\t", "0x10", "5d", "\u0661", "1e99999")
+    nanVals.zipWithIndex.foreach { case (v, i) =>
+      checkStatement(s"CREATE (:Nv {k:'nv${nv}_$i', u:'${960 + i}', g:'g1', v:'$v'})",
+        Map.empty, mutates = true)
+    }
+    // CREATE re-trimmed the ws-adjacent members (resolve_param, Rust
+    // White_Space) to "5"; SET does NOT re-trim (trim_quotes strips only
+    // OUTSIDE the quotes, cypher_spec.rs:1284-1288) -- re-store the real
+    // untrimmed values so the WHERE probes compare against them
+    checkStatement(s"MATCH (n:Nv {k:'nv${nv}_9'}) SET n.v = ' 5' RETURN n.v",
+      Map.empty, mutates = true)
+    checkStatement(s"MATCH (n:Nv {k:'nv${nv}_10'}) SET n.v = '5\t' RETURN n.v",
+      Map.empty, mutates = true)
+    val nanProbes = Seq(
+      "nan" -> Seq("=", "<>", "<", ">="), "NaN" -> Seq("=", "<>"),
+      "inf" -> Seq("<", ">=", "="), "-infinity" -> Seq(">=", "<"),
+      "5" -> Seq("=", "<>", "<=", ">"), "10." -> Seq("<", "="),
+      "-0" -> Seq("=", ">="), "5d" -> Seq(">", "="),
+      " 5" -> Seq(">=", "="), "\u0661" -> Seq("=", ">"),
+      "1e99999" -> Seq(">=", "<"))
+    nanProbes.foreach { case (rhs, ops) =>
+      ops.foreach { op =>
+        checkStatement(s"MATCH (n:Nv) WHERE n.v $op '$rhs' RETURN n.k",
+          Map.empty, mutates = false)
+      }
+    }
+    // '='-bearing prop keys in both dialects (VERDICT r11 Next #3): the
+    // reference's ':'-splits keep them whole — parse_props
+    // (cypher_spec.rs:94-104) and parse_keyvals
+    // (query_interface.rs:354-366) both splitn(2, ':')
+    val ek = fresh()
+    checkStatement(s"CREATE (:Ek {k:'ek$ek', u:'${980 + ek}', g:'g1', k=:'v1', =:'v2'})",
+      Map.empty, mutates = true)
+    checkStatement("MATCH (n:Ek {k=:'v1'}) RETURN n", Map.empty, mutates = false)
+    checkStatement("MATCH (n:Ek {=:'v2'}) RETURN n.k", Map.empty, mutates = false)
+    checkStatement(s"""CREATE NODE Ek2 {q=:"w$ek"}""", Map.empty, mutates = true)
+    checkStatement("MATCH NODE Ek2", Map.empty, mutates = false)
+    // NOTE r12: \'-escaped quoted-structural combos (VERDICT r11 Next
+    // #4) were tried HERE first and immediately diverged at seed 101 —
+    // the engine processes string escapes (a documented EXTENSION,
+    // header above) while the reference stores the backslash raw
+    // (cypher_spec.rs:85 never unescapes) — so that seam is pinned
+    // engine-only in CypherConformanceSpec
+    // (cypher_escaped_quote_wrapping_structural_bytes), not three-way.
     mismatches.toSeq
   }
 

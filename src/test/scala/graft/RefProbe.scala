@@ -18,13 +18,23 @@ import graft.engine.GraphSession
   * `Q <query>` (no-params router), `P <query>\x1f<k>=<v>\x1f...`
   * (with-params Cypher path), `RESET` (fresh database); `\x1d` in a
   * query encodes an embedded newline. Responses: `meta|n|r|m` then
-  * `node|id|label|k=v\x1e...` / `rel|id|from|to|label|k=v\x1e...` /
-  * `info|s` rows, terminated by `OK` — or `ERR <msg>`. No argument (or
-  * `-`) reads the script from stdin.
+  * `node|id|label|k\x1fv\x1ek\x1fv...` /
+  * `rel|id|from|to|label|k\x1fv\x1e...` / `info|s` rows, terminated by
+  * `OK` — or `ERR <msg>`. Prop key and value join on `\x1f`, not '=':
+  * fuzz-minted keys can contain '=' (`{k=:"v"}` → key "k=") and a
+  * `k=v` pair is then ambiguous at a first-'=' split (r11 seed 177).
+  * No argument (or `-`) reads the script from stdin.
   */
 object RefProbe {
 
   def main(args: Array[String]): Unit = {
+    // explicit UTF-8 stdout: with a POSIX-C locale the JVM's stdout
+    // encoder mangles multi-byte payloads to '?', which diffs
+    // spuriously against the reference's raw-UTF-8 output (found r12
+    // probing probes/nan.ql's U+0661 statement)
+    val out = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    def println(s: String): Unit = out.println(s)
     val spark = SparkTestSession.spark
     var session = new GraphSession(spark)
     val lines: Iterator[String] =
@@ -51,7 +61,7 @@ object RefProbe {
             println(s"meta|${o.affectedNodes}|${o.affectedRels}|${o.mutated}")
             o.rows.foreach { r =>
               val props = Option(r.properties).getOrElse(Map.empty)
-                .toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\u001e")
+                .toSeq.sorted.map { case (k, v) => s"$k\u001f$v" }.mkString("\u001e")
               r.kind match {
                 case "node" => println(s"node|${r.id}|${r.label}|$props")
                 case "relationship" =>
@@ -67,7 +77,7 @@ object RefProbe {
           }
         }
       }
-      Console.out.flush()
+      out.flush()
     }
     spark.stop()
   }
