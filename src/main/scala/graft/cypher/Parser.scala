@@ -1101,7 +1101,19 @@ object Parser {
     }
 
     def propValue(): PropValue = next() match {
-      case Tok.Str(s) => PropValue.Lit(s)
+      case Tok.Str(s) =>
+        // parse_props splits the props BLOCK on ALL commas BEFORE any
+        // quote handling (cypher_spec.rs:98), so a quoted value
+        // containing ',' can never reach the reference as one value —
+        // the re-split either errors ("invalid property: 7'" for
+        // {ek:'e,7'}) or mints different props ({k:'a,b:c'} becomes
+        // k="'a" plus b="c'"). Degrade to the string mirror, which
+        // reproduces that split byte-exact (probed r12,
+        // probes/comma.ql; found by MutFuzz seed 166 — the token path
+        // silently accepted the value in MATCH and CREATE alike)
+        if (s.contains(','))
+          throw ParseException("quoted comma in props: string mirror handles")
+        PropValue.Lit(s)
       case Tok.Num(s) => PropValue.Lit(s)
       case Tok.Param(p) => PropValue.Param(p)
       case Tok.Ident(s) => PropValue.Lit(s) // bareword value

@@ -1376,6 +1376,33 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.execute("MATCH (a)-[r:QT]->(b) RETURN b.k").rows.map(_.info)
       == Seq("y1"))
   }
+
+  test("cypher_quoted_comma_in_props_resplits_like_parse_props") {
+    // parse_props splits the props BLOCK on ALL commas BEFORE any quote
+    // handling (cypher_spec.rs:98): a quoted value containing ',' never
+    // survives as one value. The re-split part either lacks ':' and
+    // errors with the reference's exact text, or re-parses as a
+    // DIFFERENT prop. Found by MutFuzz seed 166 (the token grammar
+    // accepted {ek:'e,7'} silently); probed r12, probes/comma.ql, all
+    // 12 statements agreeing.
+    val s = newSession()
+    for ((bad, err) <- Seq(
+        "MATCH (n:Ca {g:'g,1'}) RETURN n" -> "invalid property: 1'",
+        "MATCH (a)-[r:T {ek:'e,7'}]-(b {g:'g1'}) RETURN b" -> "invalid property: 7'",
+        "CREATE (:Cb {k:'c,2', g:'g1'})" -> "invalid property: 2'",
+        "MATCH (a)-[r:T {ek:'e7,'}]-(b) RETURN b" -> "invalid property: '")) {
+      val e = intercept[Exception] { s.execute(bad) }
+      assert(e.getMessage == err, bad)
+    }
+    // WHERE literals are untouched — no comma split there
+    assert(s.execute("MATCH (n) WHERE n.g = 'g,1' RETURN n.k").rows.isEmpty)
+    // the ACCEPTING re-split: {k:'a,b:c'} is TWO props — k with the
+    // dangling open quote kept, b with the dangling close quote kept
+    s.execute("CREATE (:Cd {k:'a,b:c'})")
+    val n = s.execute("MATCH (n:Cd) RETURN n").rows.head
+    assert(n.properties == Map("k" -> "'a", "b" -> "c'"))
+    assert(s.execute("""MATCH (n:Cd {b:"c'"}) RETURN n""").rows.length == 1)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

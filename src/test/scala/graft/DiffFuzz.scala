@@ -1075,6 +1075,18 @@ object DiffFuzz {
     checkStatement("MATCH (n:Ek {=:'v2'}) RETURN n.k", Map.empty, mutates = false)
     checkStatement(s"""CREATE NODE Ek2 {q=:"w$ek"}""", Map.empty, mutates = true)
     checkStatement("MATCH NODE Ek2", Map.empty, mutates = false)
+    // quoted commas in prop maps re-split like parse_props
+    // (cypher_spec.rs:98 splits the block on ALL commas before quote
+    // handling): erroring forms and the accepting two-prop re-split —
+    // found by MutFuzz seed 166, probed via probes/comma.ql
+    checkStatement("MATCH (a)-[r:T {ek:'e,7'}]-(b {g:'g1'}) RETURN b",
+      Map.empty, mutates = false)
+    checkStatement("MATCH (n:La {g:'g,1'}) RETURN n", Map.empty, mutates = false)
+    checkStatement("CREATE (:Cb {k:'c,2', g:'g1'})", Map.empty, mutates = true)
+    checkStatement("MATCH (a)-[r:T {ek:'e7,'}]-(b) RETURN b", Map.empty, mutates = false)
+    val cd = fresh()
+    checkStatement(s"CREATE (:Cd {u:'${920 + cd}', k:'a,b:c$cd'})", Map.empty, mutates = true)
+    checkStatement("MATCH (n:Cd) RETURN n.b", Map.empty, mutates = false)
     // NOTE r12: \'-escaped quoted-structural combos (VERDICT r11 Next
     // #4) were tried HERE first and immediately diverged at seed 101 —
     // the engine processes string escapes (a documented EXTENSION,

@@ -36,8 +36,11 @@ object MutFuzz {
   // U+3000 ideographic space: all isSpaceChar AND Rust White_Space,
   // but invisible to plain-ASCII whitespace scans and (Zl/Zp) line
   // TERMINATORS to some Java regex constructs
+  // r12: plus 'e'/'n'/'f'/'i'/'+' so single-char mutations can mint
+  // exponent/inf/nan-adjacent forms right at the rustF64 routing seam
+  // ("15" -> "1e5" -> "1e+", "in" -> "inf", "nan" -> "nAn" via flips)
   private val Alphabet: IndexedSeq[Char] =
-    "\"'(){}[]:,=<>!$.;*-` \tABCxyz019" + "éλ→ " + "\u202f\u001c" +
+    "\"'(){}[]:,=<>!$.;*-` \tABCxyz019enfi+" + "éλ→ " + "\u202f\u001c" +
       "\u2028\u2029\u1680\u3000"
 
   private val Keywords = Seq(
