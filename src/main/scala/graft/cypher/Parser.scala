@@ -15,6 +15,13 @@ import Ast._
   * engine deliberately extends the reference (chained hops parse as
   * real multi-hop paths instead of garbage variable names, string
   * escapes are processed, trailing pattern commas are tolerated).
+  * Carve-out (r12/r13): a quoted prop value with a raw ',' BYTE routes
+  * its whole segment to the string mirror — parse_props re-splits
+  * source bytes quote-blind (cypher_spec.rs:98), so fidelity wins over
+  * the extensions there; chained-hop patterns with such a value degrade
+  * with the mirror's single-hop contract. Escape-minted commas
+  * (backslash-u002c) have no ',' byte and keep the extensions live
+  * (probes/u002c.ql).
   *
   * Mirrored slicing artifacts (each one probed against the reference):
   *  - clause priority RETURN > WHERE > MERGE > CREATE > WITH > SET >
@@ -46,7 +53,12 @@ object Parser {
   sealed trait Tok
   object Tok {
     case class Ident(s: String) extends Tok
-    case class Str(s: String) extends Tok
+    // raw = the source slice between the quotes, escapes untouched:
+    // prop-value comma detection must see the BYTES parse_props would
+    // re-split on (cypher_spec.rs:98), not the unescaped value — a
+    // comma minted by a backslash-u002c escape has no ',' byte in the
+    // source, so the reference never re-splits it (ADVICE r12)
+    case class Str(s: String, raw: String) extends Tok
     case class Num(s: String) extends Tok
     case class Param(name: String) extends Tok
     case class Sym(s: String) extends Tok // ( ) [ ] { } : , . - > < = <> <= >= * !=
@@ -71,6 +83,7 @@ object Parser {
         val quote = c
         val sb = new StringBuilder
         i += 1
+        val rawStart = i
         // openCypher escape semantics for the standard set; anything
         // else keeps BOTH characters (the reference never unescapes —
         // trim_quotes in cypher_spec.rs:85 strips outer quotes only —
@@ -98,8 +111,8 @@ object Parser {
           } else { sb.append(q(i)); i += 1 }
         }
         if (i >= n) throw ParseException(s"unterminated string literal")
+        out += Tok.Str(sb.toString, q.substring(rawStart, i))
         i += 1
-        out += Tok.Str(sb.toString)
       } else if (c == '$') {
         val start = i + 1
         var j = start
@@ -1101,17 +1114,21 @@ object Parser {
     }
 
     def propValue(): PropValue = next() match {
-      case Tok.Str(s) =>
+      case Tok.Str(s, raw) =>
         // parse_props splits the props BLOCK on ALL commas BEFORE any
-        // quote handling (cypher_spec.rs:98), so a quoted value
-        // containing ',' can never reach the reference as one value —
-        // the re-split either errors ("invalid property: 7'" for
+        // quote handling (cypher_spec.rs:98), so a quoted value with a
+        // ',' BYTE can never reach the reference as one value — the
+        // re-split either errors ("invalid property: 7'" for
         // {ek:'e,7'}) or mints different props ({k:'a,b:c'} becomes
         // k="'a" plus b="c'"). Degrade to the string mirror, which
         // reproduces that split byte-exact (probed r12,
         // probes/comma.ql; found by MutFuzz seed 166 — the token path
-        // silently accepted the value in MATCH and CREATE alike)
-        if (s.contains(','))
+        // silently accepted the value in MATCH and CREATE alike).
+        // Scan the RAW slice, not the unescaped value: an escape-minted
+        // comma (backslash-u002c) has no ',' byte in the source, so the
+        // reference stores it verbatim and the escape-processing
+        // extension stays live for it (ADVICE r12; r13 fix)
+        if (raw.contains(','))
           throw ParseException("quoted comma in props: string mirror handles")
         PropValue.Lit(s)
       case Tok.Num(s) => PropValue.Lit(s)

@@ -1403,6 +1403,60 @@ class CypherConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.properties == Map("k" -> "'a", "b" -> "c'"))
     assert(s.execute("""MATCH (n:Cd {b:"c'"}) RETURN n""").rows.length == 1)
   }
+
+  // ADVICE r12 / r13 fix: the quoted-comma degrade keys on the RAW
+  // source slice, not the unescaped token value. An escape-minted comma
+  // (backslash-u002c) has no ',' byte for parse_props to re-split on
+  // (cypher_spec.rs:98 splits source bytes), so the reference keeps the
+  // raw text verbatim — and the engine's escape-processing EXTENSION
+  // stays live for it (engine-only pin; the reference never unescapes,
+  // cypher_spec.rs:85). A raw or backslash-escaped ',' BYTE still
+  // degrades: the reference's quote-blind split re-splits either.
+  test("cypher_escaped_comma_keeps_escape_extension_alive") {
+    val s = newSession()
+    s.execute("CREATE (:Ec {k:'a\\u002cb', g:'g1'})")
+    val n = s.execute("MATCH (n:Ec) RETURN n").rows.head
+    assert(n.properties("k") == "a,b", "escape-minted comma is one value")
+    assert(n.properties("g") == "g1")
+    assert(s.execute("MATCH (n:Ec {k:'a\\u002cb'}) RETURN n").rows.length == 1)
+    val e = intercept[Exception] { s.execute("MATCH (n:Ec {k:'a,b'}) RETURN n") }
+    assert(e.getMessage == "invalid property: b'")
+    val e2 = intercept[Exception] { s.execute("CREATE (:Ec2 {k:'a\\,b'})") }
+    assert(e2.getMessage == "invalid property: b'")
+  }
+
+  // VERDICT r12 #2: the quoted-comma degrade narrows the CHAINED-HOP
+  // extension region. A raw ',' byte in any quoted prop value routes
+  // the whole comma-segment to the string mirror, which parses only
+  // reference-shaped single-hop paths — so a multi-hop pattern that
+  // would match without the comma now surfaces parse_props's re-split
+  // error (or, when the re-split is ACCEPTING, the mirror's garbage
+  // right-variable fold: zero rows, silently). Deliberate trade:
+  // single-hop fidelity is byte-exact and the extension never promised
+  // reference-impossible inputs.
+  test("cypher_chained_hop_quoted_comma_carveout") {
+    val s = newSession()
+    s.execute("CREATE (:Hh {k:'c1'}); CREATE (:Hh {k:'c2'}); CREATE (:Hh {k:'c3'})")
+    s.execute("MATCH (a {k:'c1'}), (b {k:'c2'}) CREATE (a)-[:CE {e:'x'}]->(b)")
+    s.execute("MATCH (a {k:'c2'}), (b {k:'c3'}) CREATE (a)-[:CE {e:'y'}]->(b)")
+    // extension baseline: the comma-free multi-hop matches
+    assert(s.execute("MATCH (a)-[r1:CE {e:'x'}]->(b)-[r2:CE]->(c) RETURN c")
+      .rows.map(_.properties("k")) == Seq("c3"))
+    // erroring re-split: comma in a rel prop / mid-node prop
+    for ((bad, err) <- Seq(
+        "MATCH (a)-[r1:CE {e:'x,y'}]->(b)-[r2:CE]->(c) RETURN c"
+          -> "invalid property: y'",
+        "MATCH (a)-[r1:CE]->(b {k:'c2,z'})-[r2:CE]->(c) RETURN c"
+          -> "invalid property: z'")) {
+      val e = intercept[Exception] { s.execute(bad) }
+      assert(e.getMessage == err, bad)
+    }
+    // accepting re-split ({e:'x,f:y'} -> two props): the mirror folds
+    // everything after the first right-paren into a garbage variable
+    // that never binds — zero rows, no error
+    assert(s.execute(
+      "MATCH (a)-[r1:CE {e:'x,f:y'}]->(b)-[r2:CE]->(c) RETURN c").rows.isEmpty)
+  }
 }
 
 /** One shared local SparkSession for the whole test run. */

@@ -37,8 +37,13 @@ object RefProbe {
     def println(s: String): Unit = out.println(s)
     val spark = SparkTestSession.spark
     var session = new GraphSession(spark)
+    // explicit UTF-8 stdin too: Source.stdin decodes with the JVM
+    // default charset, which under a POSIX-C locale would mangle
+    // multi-byte probe input piped via '-' on the way IN — the mirror
+    // image of the stdout fix above (ADVICE r12)
     val lines: Iterator[String] =
-      if (args.isEmpty || args(0) == "-") scala.io.Source.stdin.getLines()
+      if (args.isEmpty || args(0) == "-")
+        scala.io.Source.fromInputStream(System.in)(scala.io.Codec.UTF8).getLines()
       else scala.io.Source.fromFile(args(0), "UTF-8").getLines()
 
     for (line <- lines) {
