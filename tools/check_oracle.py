@@ -2,21 +2,45 @@
 """Local approximation of the driver's correctness gate: run each
 oracle SQL in DuckDB over the sf parquet tables, load the Verify
 parquet dump, sort columns by name + rows, and compare values."""
-import sys, json, glob
+import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 con = duckdb.connect()
+# defaults are tuned for the sf0.01 gate; scaled re-checks (sfx10)
+# need headroom before DuckDB starts spilling to .tmp
+con.execute("SET memory_limit='48GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata ships single-file tables; ScaleUp-materialized
+    # dirs (e.g. /tmp/sfx10) are Spark-written directories of parts
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    if t == "events":
+        # ScaleUp replicas ship ts as raw epoch-nanos BIGINT (the
+        # engine reads either width via Tables.events.deriveTsNs);
+        # give the oracle SQL the same TIMESTAMP view it gets on
+        # driver testdata. Nanos came from micros*1000, so //1000
+        # is lossless.
+        (ts_type,) = con.execute(
+            "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+        if ts_type == "BIGINT":
+            con.execute("DROP VIEW events")
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE"
+                f" (make_timestamp(ts // 1000) AS ts) FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         odf = con.execute(sql).df()
     except Exception as e:
