@@ -10,9 +10,12 @@ import org.apache.spark.storage.StorageLevel
   * Default behavior is `localCheckpoint(eager = true)`: blocks are
   * stored on executors — fast, no distributed filesystem needed, the
   * right call for local mode and short-lived jobs. Its known weakness
-  * at cluster scale is that the blocks die with their executor, and a
-  * lost executor then forces recomputing the whole chain (the lineage
-  * was truncated, so there is nothing to replay from).
+  * at cluster scale is that the blocks die with their executor, and
+  * because the lineage was truncated there is nothing to replay from:
+  * the job FAILS outright with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+  * (measured r13: kill -9 one executor of local-cluster[2] mid-sweep
+  * → q53 fails in this mode; identical kill with durable mode on →
+  * bit-identical result, see BASELINE.md).
   *
   * Setting `spark.graft.durableCheckpoint=<dir>` swaps every call site
   * to a RELIABLE `checkpoint(eager = true)` under `<dir>` (any
