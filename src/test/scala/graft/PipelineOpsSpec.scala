@@ -109,6 +109,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("min_label_early_exit_identical_to_fixed_sweeps") {
+    import spark.implicits._
+    import graft.operators.Components
+    // reference: the pre-r13 fixed-sweep unroll, inline
+    def fixedSweeps(ids: org.apache.spark.sql.DataFrame,
+        pairs: org.apache.spark.sql.DataFrame, sweeps: Int) = {
+      val und = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      var lbl = ids.select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to sweeps) {
+        val nbr = und.join(lbl.withColumnRenamed("id", "v"), "v")
+          .select(col("u").as("id"), col("lbl"))
+        lbl = lbl.unionByName(nbr).groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl.select(col("id"), col("lbl").as("cluster"),
+        (col("lbl") === col("id")).as("keep"))
+    }
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().toSet
+    // (a) fast-converging clusters: the early exit FIRES (diameter 2,
+    // sweeps 8) and must not change the assignment
+    val ids = (1L to 12L).toDF("id")
+    val smallPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L), (9L, 11L))
+      .toDF("a", "b")
+    assert(asSet(Components.minLabelClusters(ids, smallPairs, 8)) ==
+      asSet(fixedSweeps(ids, smallPairs, 8)))
+    // (b) a chain LONGER than the sweep budget: labels are still moving
+    // at sweep 8 (no fixpoint), so the early exit must NOT fire and the
+    // truncated assignment must equal the fixed-sweep unroll's exactly
+    val chainIds = (1L to 20L).toDF("id")
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = asSet(Components.minLabelClusters(chainIds, chain, 8))
+    assert(got == asSet(fixedSweeps(chainIds, chain, 8)))
+    // sanity: the far end of the chain has NOT reached label 1 in 8 hops
+    assert(got.exists { case (id, cluster, _) => id == 20L && cluster != 1L })
+  }
+
   test("copurchase_basket_cap_drops_hot_orders") {
     import spark.implicits._
     val memb = (Seq.tabulate(5)(i => (1L, i.toLong)) ++   // order 1: 5 parts (hot)

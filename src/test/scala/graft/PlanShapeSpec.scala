@@ -145,13 +145,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
-  test("q67 segment derivation is map-only; frequent-segment drop is an anti-join") {
+  test("q67 segment derivation is map-only; drop+rebuild is one window + one agg") {
     val p = plan("q67_segment_dedup")
     // segments come from array slices of the token array (Generate over
     // a projected expression), never an explode→regroup shuffle; the
-    // boilerplate drop must appear as a (Broadcast|SortMerge) anti join
-    assert(p.contains("LeftAnti"),
-      "frequent-segment removal must be an anti-join, not a subquery re-scan")
+    // corpus-wide frequency is a seg-keyed window and the boilerplate
+    // drop rides the doc-keyed aggregation as a conditional aggregate —
+    // exactly two exchanges (seg window, doc agg), no join, no anti-join
+    // re-scan of the segment stream (r13 rewrite, guide §2.4)
+    assert(p.contains("hashpartitioning(seg"),
+      "segment frequency must be a seg-partitioned window")
+    assert(!p.contains("LeftAnti") && !p.contains("Join"),
+      "no join may touch the segment stream — the drop is a conditional aggregate")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, // tree + details sections each list operators once
+      s"expected exactly two hash exchanges (seg window, doc agg), saw $exchanges mentions:\n$p")
   }
 
   test("q69 redact is map-only up to the presentation sort") {
