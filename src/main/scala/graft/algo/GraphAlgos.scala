@@ -63,6 +63,24 @@ object GraphAlgos {
       sweeps: Int = 8, scale: Long = 10000000000L): DataFrame =
     pageRankLoop(g, Some(seedLabel), sweeps, scale)
 
+  /** The rank family's seed-INDEPENDENT derived artifacts, cached per
+    * (session, graph instance): the (id, vid) map and the
+    * hash-partitioned (src → (dst, outdeg)) edge RDD. q53 and q101 run
+    * the same loop over the same graph with different seed sets — before
+    * r13 each call re-derived and re-persisted the identical edge chain
+    * (2.8M vid hashes + partition + degree join, ~5 s cold at sf0.1);
+    * now the second ranker reuses the blocks, the same
+    * derived-artifact pattern as GraphOps.graphCache. Keyed by the
+    * graph's edge-frame identity (graphCache hands every caller the
+    * same PropertyGraph instance per dataset); eviction unpersists. */
+  private val rankArtifacts = new graft.core.BoundedCache[
+    (String, Int),
+    (DataFrame, org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+      org.apache.spark.HashPartitioner)](
+    release = { v =>
+      graft.core.BoundedCache.releaseDf(v._1); v._2.unpersist(false); ()
+    })
+
   private def pageRankLoop(g: PropertyGraph, seedLabel: Option[String],
       sweeps: Int, scale: Long): DataFrame = {
     import org.apache.spark.HashPartitioner
@@ -79,33 +97,38 @@ object GraphAlgos {
     // (src→(dst,deg)) RDD is hash-partitioned once, the per-sweep rank
     // lookup and the rank update are narrow joins, and the only shuffle
     // is the flat-tuple (dst, share) reduceByKey.
-    val seedCol = seedLabel
-      .map(l => col("label") === l).getOrElse(lit(true))
-    val idMap = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"),
-        seedCol.as("seed"))
-      .graftCheckpoint()
+    val (idMap, eDeg, part) = rankArtifacts.getOrElseUpdate(
+      (sc.applicationId, System.identityHashCode(g.edges))) {
+      val ids = g.nodes.select(col("id"), vidExpr(col("id")).as("vid"))
+        .graftCheckpoint()
+      val p = new HashPartitioner(math.max(sc.defaultParallelism, 16))
+      val eBySrc: RDD[(Long, Long)] = g.edges
+        .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"))
+        .as[(Long, Long)].rdd
+        .partitionBy(p).persist(StorageLevel.MEMORY_AND_DISK)
+      val outdeg = eBySrc.mapValues(_ => 1L).reduceByKey(p, _ + _)
+      val ed: RDD[(Long, (Long, Long))] = eBySrc.join(outdeg) // narrow
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ed.count()
+      eBySrc.unpersist(blocking = false)
+      (ids, ed, p)
+    }
     // hub-heavy worst case: one node can receive ~all the total mass
     // n·scale, and the update multiplies by 17 before dividing
     require(BigInt(17) * idMap.count() * scale < BigInt(Long.MaxValue),
       s"pageRankInt overflow guard: 17*n*scale must stay < 2^63; lower scale=$scale")
-    val part = new HashPartitioner(math.max(sc.defaultParallelism, 16))
-    val eBySrc: RDD[(Long, Long)] = g.edges
-      .select(vidExpr(col("src")).as("s"), vidExpr(col("dst")).as("d"))
-      .as[(Long, Long)].rdd
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = eBySrc.mapValues(_ => 1L).reduceByKey(part, _ + _)
-    val eDeg: RDD[(Long, (Long, Long))] = eBySrc.join(outdeg) // narrow
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    eDeg.count()
-    eBySrc.unpersist(blocking = false)
     // per-node restart term: `base` at seeds, 0 elsewhere (uniform run
     // = every node a seed); co-partitioned once, narrow-joined per sweep
-    val seedBase: RDD[(Long, Long)] = idMap
+    val seedCol = seedLabel
+      .map(l => col("label") === l).getOrElse(lit(true))
+    val seeds = g.nodes.select(vidExpr(col("id")).as("vid"),
+      seedCol.as("seed"))
+    val seedBase: RDD[(Long, Long)] = seeds
       .select(col("vid"), when(col("seed"), base).otherwise(0L).as("b"))
       .as[(Long, Long)].rdd.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     seedBase.count()
-    var pr: RDD[(Long, Long)] = idMap
+    var pr: RDD[(Long, Long)] = seeds
       .select(col("vid"), when(col("seed"), scale).otherwise(0L).as("p"))
       .as[(Long, Long)].rdd.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -123,10 +146,11 @@ object GraphAlgos {
     }
     val out = pr.toDF("vid", "pr").join(idMap, "vid")
       .select("id", "pr").graftCheckpoint()
-    // blocking: drop the loop's blocks before returning, so the cleanup
-    // storm lands inside this analytic's own wall-clock instead of
-    // disturbing whatever query runs next in the session
-    eDeg.unpersist(blocking = true)
+    // blocking: drop the loop's PER-SEED blocks before returning, so the
+    // cleanup storm lands inside this analytic's own wall-clock instead
+    // of disturbing whatever query runs next in the session. eDeg/idMap
+    // stay persisted — they belong to rankArtifacts (released on
+    // eviction), and the other ranker of the q53/q101 pair reuses them.
     seedBase.unpersist(blocking = true)
     pr.unpersist(blocking = true)
     out
