@@ -50,15 +50,21 @@ object CooccurrenceOps {
     */
   def copurchasePairs(s: SparkSession, d: String, k: Int = 25,
       maxBasket: Int = 64): DataFrame =
-    copurchasePairsOf(
+    // memb is already distinct — straight into the capped pair count,
+    // no second distinct pass
+    cappedPairCounts(
       memb(s, d, "order_part", ("l_orderkey", "l_partkey"))
         .select(col("a").as("okey"), col("b").as("pkey")),
-      k, maxBasket)
+      maxBasket)
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(k)
 
   /** [[copurchasePairs]] over an explicit (okey, pkey) membership frame
-    * — the unit-testable core. */
+    * — the unit-testable core. Collapses duplicate memberships first;
+    * the cached production path ([[memb]]) is already distinct and
+    * calls [[cappedPairCounts]] directly. */
   def copurchasePairsOf(memb: DataFrame, k: Int, maxBasket: Int): DataFrame =
-    cappedPairCounts(memb.select("okey", "pkey"), maxBasket)
+    cappedPairCounts(memb.select("okey", "pkey").distinct(), maxBasket)
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
       .limit(k)
 
@@ -67,31 +73,30 @@ object CooccurrenceOps {
     * two parts within a basket, count baskets per (p1, p2) pair. The
     * cap logic is part of the operator definition mirrored in the
     * oracle CTEs — ONE Scala copy so an edit can't silently diverge
-    * q57 from q68/q96. Duplicate (okey, pkey) memberships collapse
-    * inside the basket build (array_distinct), so callers need no
-    * distinct pre-pass.
+    * q57 from q68/q96. `lp` must be distinct (okey, pkey).
     *
-    * r13 rewrite (guide §2.3/§2.4 — aggregate before you shuffle,
-    * remove shuffles outright): pairs come from ONE groupBy(okey) that
-    * collects each basket into a sorted de-duplicated array, then a
-    * map-side double explode emits the (p1 < p2) pairs straight into
-    * the partial pair count — 2 exchanges total (basket build, pair
-    * count) and no materialization. The previous shape (distinct
-    * pre-pass + size-filter join + eager checkpoint + basket
-    * self-join) paid 4-5 exchanges plus a persisted pass per call and
-    * measured 2.7-4.2 s warm for q57 at sf0.1; this one measures
-    * ~1.0 s with the identical result (same pair multiset: the
-    * sorted-distinct array makes position order == value order, so
-    * `after-in-array` == `p1 < p2`). The per-basket quadratic is
-    * capped by `maxBasket` over DISTINCT parts, exactly as before. */
+    * r13 rewrite (guide §2.4 — remove shuffles outright, share one
+    * exchange): the basket-size cap rides a window count over ONE
+    * okey-partitioned exchange, and the pair self-join consumes that
+    * same exchange on both sides (ReuseExchange; the window's sort
+    * already satisfies the merge join's ordering) — so the membership
+    * stream is shuffled ONCE, with no eager checkpoint and no
+    * size-filter join. Probed three ways at 1×/10× (PairProbe): the
+    * previous shape (degree groupBy + cap join + checkpoint +
+    * self-join) ran 1.1 s / 6.8 s warm; a collect_list basket build +
+    * pair explode ran 0.8 s / 14.9 s (ObjectHashAggregate leaves
+    * whole-stage codegen and collapses at scale); this window shape
+    * runs 1.5 s / 2.3 s — the only variant that stays flat at 10×.
+    * The per-basket quadratic stays capped by `maxBasket` over
+    * distinct parts, exactly as before. */
   private def cappedPairCounts(lp: DataFrame, maxBasket: Int): DataFrame = {
-    val baskets = lp.groupBy("okey")
-      .agg(array_sort(array_distinct(collect_list(col("pkey")))).as("ps"))
-      .filter(size(col("ps")) <= maxBasket)
-    baskets
-      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
-      .select(col("p1"),
-        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("p2"))
+    import org.apache.spark.sql.expressions.Window
+    val kept = lp
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("okey")))
+      .filter(col("bsize") <= maxBasket)
+    kept.select(col("okey"), col("pkey").as("p1"))
+      .join(kept.select(col("okey"), col("pkey").as("p2")), "okey")
+      .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
   }
 
@@ -125,21 +130,22 @@ object CooccurrenceOps {
     val sp = memb(s, d, "supp_part", ("l_suppkey", "l_partkey"))
       .select(col("a").as("sk"), col("b").as("pk"))
     val sizes = sp.groupBy("sk").agg(count(lit(1)).as("nparts"))
-    // r13 rewrite, same shape as [[cappedPairCounts]]: ONE groupBy(pk)
-    // collects each part's (distinct) supplier list sorted, the df cap
-    // becomes a free size() filter on the collected array, and the
-    // map-side double explode feeds the partial (s1, s2) count — 2
-    // exchanges, no checkpoint, no self-join (was: degree groupBy +
-    // cap join + eager checkpoint + self-join = 4 exchanges and a
-    // persisted pass per call; measured 3.2-5.0 s warm at sf0.1 vs
-    // ~1.5 s now, identical result). Per-part pair volume stays capped
+    // r13 rewrite, same shape as [[cappedPairCounts]]: the df cap rides
+    // a window count over ONE pk-partitioned exchange and the candidate
+    // self-join consumes that same exchange on both sides — the
+    // membership stream shuffles once, with no degree groupBy, no cap
+    // join, and no eager checkpoint (was 4 exchanges + a persisted pass
+    // per call, 3.2-5.0 s warm at sf0.1; now ~1.7 s, and flat at 10×
+    // where a collect_list basket build collapses — see PairProbe
+    // numbers in cappedPairCounts). Per-part pair volume stays capped
     // by maxDf exactly as before.
-    val shared = sp.groupBy("pk")
-      .agg(array_sort(collect_list(col("sk"))).as("ss"))
-      .filter(size(col("ss")) <= maxDf)
-      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
-      .select(col("s1"),
-        explode(slice(col("ss"), col("i") + lit(2), size(col("ss")))).as("s2"))
+    import org.apache.spark.sql.expressions.Window
+    val kept = sp
+      .withColumn("pdeg", count(lit(1)).over(Window.partitionBy("pk")))
+      .filter(col("pdeg") <= maxDf)
+    val shared = kept.select(col("pk"), col("sk").as("s1"))
+      .join(kept.select(col("pk"), col("sk").as("s2")), "pk")
+      .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
     shared
       .join(broadcast(sizes.select(col("sk").as("s1"), col("nparts").as("n1"))), "s1")
