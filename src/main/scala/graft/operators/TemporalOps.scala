@@ -469,14 +469,16 @@ object TemporalOps {
     * (days², tiny). Because (user, day) rows are already distinct, the
     * cell count is a plain COUNT — no countDistinct expansion. */
   def retentionCohorts(s: SparkSession, d: String): DataFrame = {
-    // referenced by both the cohort agg and the join: materialize once
-    val active = Tables.events(s, d)
+    // r13 (guide §2.4): the cohort day is a per-user window min over
+    // the distinct activity set — the previous cohort groupBy +
+    // user_id join + checkpoint collapse into one window pass on the
+    // user key (the same exchange the join paid), identical output.
+    val wU = Window.partitionBy("user_id")
+    Tables.events(s, d)
       .select(col("user_id"),
         expr("(ts_ns div 1000) div 86400000000").as("day"))
       .distinct()
-      .graftCheckpoint()
-    val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
-    active.join(cohort, "user_id")
+      .withColumn("cohort_day", min("day").over(wU))
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

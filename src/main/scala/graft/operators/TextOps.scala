@@ -365,22 +365,22 @@ object TextOps {
     * the per-document ranking), so no logarithm or float enters the
     * oracle-gated path; ties break lexicographically.
     *
-    * Scale shape: the (doc, term) tf table is ONE map-side-combined
-    * shuffle over the exploded token stream; df reduces the tf table
-    * (bounded by vocabulary); tf⋈df joins on the term key df was just
-    * partitioned on; the top-k window repartitions by doc_id once.
-    * The tf table feeds both df and the join, so it is materialized
-    * once rather than re-expanded. */
+    * Scale shape (r13, guide §2.4): the (doc, term) tf table is ONE
+    * map-side-combined shuffle over the exploded token stream; df is a
+    * term-keyed window count over that same tf table (tf rows are
+    * distinct (doc, term), so the window count IS the document
+    * frequency) — which removes the df groupBy, the tf⋈df join, and
+    * the tf materialization the join forced; the top-k window then
+    * repartitions by doc_id once. Three exchanges end to end. */
   def tfidfTopTerms(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = withToks(s, d)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .graftCheckpoint()
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wTok = Window.partitionBy("tok")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_ppm").desc, col("tok"))
-    tf.join(dfreq, "tok")
+    withToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(wTok))
       .withColumn("score_ppm", expr("tf * 1000000L div df"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -723,18 +723,20 @@ object TextOps {
     * document is made of rare vocabulary — the cheap end of the
     * perplexity-filter family), and their rounded ratio.
     *
-    * Scale shape: distinct (doc, token) pairs → token-keyed DF count
-    * with map-side partial aggregation → one shuffle equi-join back on
-    * token (vocabulary can be arbitrarily large, so no broadcast) →
-    * doc-keyed sum. Every stage is keyed by token or doc_id; no
-    * collect, no skew hazard beyond stopword tokens, which cap at
-    * |corpus| per key in the join (values, not row blowup). */
+    * Scale shape (r13, guide §2.4): distinct (doc, token) pairs →
+    * token-keyed WINDOW count (the rows are distinct, so the window
+    * count IS the document frequency — no separate df groupBy and no
+    * join back; vocabulary can be arbitrarily large, so no broadcast
+    * either way) → doc-keyed sum. Every stage is keyed by token or
+    * doc_id; no collect, no skew hazard beyond stopword tokens, which
+    * bound a window partition's width exactly as they bounded the old
+    * join key's value list. */
   def rarityScore(s: SparkSession, d: String): DataFrame = {
-    val toks = withToks(s, d)
+    import org.apache.spark.sql.expressions.Window
+    withToks(s, d)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .distinct()
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    toks.join(dfreq, "tok")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_distinct"),
         sum("df").cast("bigint").as("df_sum"))
@@ -1053,23 +1055,30 @@ object TextOps {
     // NULL-fp rows (null text) are excluded up front: a NULL join key
     // matches nothing anywhere downstream and the engines disagree on
     // the leftovers (see oracle's NOT EXISTS note)
-    val docs = Tables.documents(s, d)
+    // r13 (guide §2.4 — remove shuffles outright): history probe,
+    // in-batch dedup, and classification collapse into ONE fp-keyed
+    // window pass — per fp group, "any history row exists" answers the
+    // semi/anti joins and "min batch doc_id" answers the keep pick, so
+    // the two eager checkpoints, the semi-join, the anti-join, and the
+    // keeper groupBy+join all disappear (warm 0.9 s → ~0.4 s at sf0.1,
+    // identical output). History stays unbounded — the window shuffles
+    // the fingerprint stream once, the same single fp-keyed exchange
+    // the old probe join paid anyway.
+    import org.apache.spark.sql.expressions.Window
+    val wFp = Window.partitionBy("fp")
+    Tables.documents(s, d)
       .select(col("doc_id"), normFp(col("text")).as("fp"))
       .filter(col("fp").isNotNull)
-    // hist and batch are each read by 2+ join branches; as views every
-    // branch re-runs the corpus fingerprint scan
-    val hist = docs.filter(col("doc_id") % 5 =!= 4).select("fp").distinct()
-      .graftCheckpoint()
-    val batch = docs.filter(col("doc_id") % 5 === 4).graftCheckpoint()
-    val inHist = batch.join(hist, Seq("fp"), "left_semi")
-      .select(col("doc_id"), col("fp"), lit("dup_historical").as("status"))
-    val fresh = batch.join(hist, Seq("fp"), "left_anti")
-    val firstPerFp = fresh.groupBy("fp").agg(min("doc_id").as("keep_id"))
-    val inBatch = fresh.join(firstPerFp, "fp")
+      .withColumn("has_hist",
+        max(when(col("doc_id") % 5 =!= 4, 1).otherwise(0)).over(wFp))
+      .withColumn("min_batch",
+        min(when(col("doc_id") % 5 === 4, col("doc_id"))).over(wFp))
+      .filter(col("doc_id") % 5 === 4)
       .select(col("doc_id"), col("fp"),
-        when(col("doc_id") === col("keep_id"), "kept")
+        when(col("has_hist") === 1, "dup_historical")
+          .when(col("doc_id") === col("min_batch"), "kept")
           .otherwise("dup_in_batch").as("status"))
-    inHist.unionByName(inBatch).orderBy("doc_id")
+      .orderBy("doc_id")
   }
 
   /** DuckDB rendering of [[incrementalDedup]]. */

@@ -213,13 +213,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
-  test("q86 incremental dedup probes history via semi/anti joins on the fingerprint") {
+  test("q86 incremental dedup classifies in one fp-keyed window pass") {
     val p = plan("q86_incremental_dedup")
-    assert(p.contains("LeftSemi"), "historical-dup detection must be a semi join")
-    assert(p.contains("LeftAnti"), "fresh set must come from an anti join")
-    // history is only ever projected to its fingerprint column
-    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
-      "history side must not read full document rows")
+    // r13 rewrite (guide §2.4): history probe + in-batch keeper pick are
+    // per-fp window aggregates over ONE fingerprint exchange — no semi
+    // join, no anti join, no checkpoint, and both Window nodes must
+    // share the single fp sort (exactly one hash exchange in the plan)
+    assert(p.contains("hashpartitioning(fp"),
+      "classification must run on a fingerprint-partitioned window")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti") &&
+      !p.contains("Join"),
+      "no join may remain — history/batch classification is window-only")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // tree + details sections each list it once
+      s"expected ONE fp hash exchange, saw $exchanges mentions:\n$p")
   }
 
   test("q70 rollup computes all grouping sets in one Expand+aggregate pass") {
@@ -235,10 +242,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q92_tfidf_topterms")
     assert(p.contains("WindowGroupLimit"),
       "rank<=k must prune inside the window (WindowGroupLimit), not post-filter")
-    // the tf table is materialized once, not recomputed per branch
+    // r13 rewrite (guide §2.4): df is a term-keyed window count over the
+    // distinct (doc, term) tf table — no df groupBy, no tf⋈df join, no
+    // checkpoint; the stream explodes once and is never re-expanded
+    assert(!p.contains("Join"),
+      "df must come from the term window, not a join back onto tf")
     val exploded = "Generate explode".r.findAllIn(p).size
-    assert(exploded == 0,
-      s"token explode must happen before the checkpoint, not in the joined plan (found $exploded)")
+    assert(exploded <= 2, // tree + details sections each list it once
+      s"the token stream must explode exactly once (found $exploded mentions)")
+    assert(p.contains("partial_count"),
+      "the tf aggregation must combine map-side before the (doc, term) shuffle")
   }
 
   test("q98 session overlap joins on the bucket key, not nested-loop") {
